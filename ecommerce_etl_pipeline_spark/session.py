@@ -1,0 +1,66 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+The reference hand-tunes its runtime (chunked scans, 10% sampling, Postgres
+shared_buffers — see SURVEY.md §4); here the equivalent knobs are Spark confs
+set once: AQE (runtime re-planning, skew-join splitting, partition
+coalescing), a broadcast threshold sized so every reference dimension table
+(products 44k / customers 100k rows) broadcasts, and UTC session time so
+date semantics match the DuckDB oracle.
+
+On a real cluster the same factory applies — only ``master`` and the
+partition counts change (shuffle partitions ≈ 2-3× total executor cores; at
+100 TB input you'd also raise ``spark.sql.files.maxPartitionBytes`` and rely
+on AQE coalescing rather than hand-sizing).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+DEFAULT_BROADCAST_THRESHOLD = 64 * 1024 * 1024  # 64 MiB: all reference dims fit
+
+
+def get_spark(
+    app_name: str = "ecommerce-etl-pipeline-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession configured for this engine.
+
+    Honors ``SPARK_GRAFT_CPUS`` for local-mode parallelism so tests and
+    bench.py agree with the driver's environment.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
+        )
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # Adaptive execution: runtime shuffle-partition coalescing, skew-join
+        # splitting, and dynamic join-strategy switching. This is the engine's
+        # answer to the reference's hand-rolled chunking/sampling.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Deterministic date/time semantics (match DuckDB naive timestamps).
+        .config("spark.sql.session.timeZone", "UTC")
+        # Arrow for the few sanctioned pandas_udf escape hatches.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(DEFAULT_BROADCAST_THRESHOLD))
+        # Lenient casts (invalid → null) mirror pandas to_numeric(errors='coerce'),
+        # reference clean_product_v2.py:32.
+        .config("spark.sql.ansi.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -20,12 +20,18 @@ def day_name(ts: Column) -> Column:
 def age_years(birthdate: Column, as_of: Column) -> Column:
     """Birthday-aware age in whole years (SC5).
 
-    Reference customer_analytics_dag.py:76-82 computes year-diff minus
-    (birthday not yet reached); ``months_between`` carries the same
-    day-level adjustment. ``as_of`` is an explicit column/literal instead of
-    ``current_date()`` so results are reproducible (SURVEY §4 item 3).
+    Exactly the reference's arithmetic (customer_analytics_dag.py:76-82):
+    year difference minus one if the birthday hasn't been reached yet.
+    Explicit year/month/day comparison rather than ``months_between`` so the
+    semantics are portable (same formula runs in the DuckDB oracle) and free
+    of end-of-month special cases. ``as_of`` is an explicit column/literal
+    instead of ``current_date()`` so results are reproducible (SURVEY §4
+    item 3).
     """
-    return F.floor(F.months_between(as_of, birthdate) / 12).cast("int")
+    not_yet = (F.month(as_of) < F.month(birthdate)) | (
+        (F.month(as_of) == F.month(birthdate)) & (F.dayofmonth(as_of) < F.dayofmonth(birthdate))
+    )
+    return (F.year(as_of) - F.year(birthdate) - not_yet.cast("int")).cast("int")
 
 
 def tenure_days(start: Column, as_of: Column) -> Column:

@@ -1,0 +1,223 @@
+"""Join queries — SURVEY.md §2.3 (J1-J7) over driver testdata.
+
+Join-strategy stance for 100 TB:
+- dimension tables (region 5, nation 25, part/customer ≤ a few 100 MB even
+  at SF100k) are *broadcast* — no shuffle of the fact side;
+- fact-to-fact equi-joins (orders ⋈ lineitem) shuffle on the join key; at
+  scale both sides would be bucketed by orderkey at write time to make this
+  a zero-shuffle sort-merge join;
+- semi/anti joins are expressed as such (left_semi / left_anti) so Catalyst
+  can build only the key set instead of materializing the joined row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ecommerce_etl_pipeline_spark.functions.exact_agg import exact_sum
+from ecommerce_etl_pipeline_spark.plans.registry import register
+from ecommerce_etl_pipeline_spark.sources.io import load_table
+
+
+@register(
+    "j1_order_lineitem_join",
+    oracle="""
+    SELECT o.o_orderstatus,
+           COUNT(*) AS num_lineitems,
+           CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_quantity,
+           FLOOR(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) * 100 + 0.5)
+               / 100 AS total_value
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+    doc="Fact-to-fact equi-join then aggregate (J1) — reference clickstream ⋈ "
+    "transactions, customer_analytics_dag.py:177-188 (the one query the "
+    "reference pushes to Postgres; here it is native). Shuffles both sides "
+    "on orderkey; bucketing both tables by orderkey at write time removes "
+    "the shuffle entirely at scale.",
+)
+def j1_order_lineitem_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "inner")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("num_lineitems"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("total_quantity"),
+            exact_sum("l_extendedprice").alias("total_value"),
+        )
+    )
+
+
+@register(
+    "j2_customer_geo_broadcast",
+    oracle="""
+    SELECT r.r_name AS region_name, n.n_name AS nation_name,
+           COUNT(c.c_custkey) AS customer_count,
+           FLOOR(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) * 100 + 0.5) / 100
+               AS total_balance
+    FROM customer c
+    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1, 2
+    """,
+    doc="Two-hop broadcast left join against tiny dims (J2) — reference "
+    "behavior ⋈ segment merge, customer_analytics_dag.py:205-209. Both dims "
+    "broadcast: the customer side never shuffles for the join.",
+)
+def j2_customer_geo_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey, "left")
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey, "left")
+        .groupBy(
+            F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name")
+        )
+        .agg(
+            F.count("c_custkey").alias("customer_count"),
+            exact_sum("c_acctbal").alias("total_balance"),
+        )
+    )
+
+
+@register(
+    "j3_parts_with_sales",
+    oracle="""
+    SELECT p.p_partkey, p.p_name,
+           CAST(COALESCE(s.total_quantity, 0) AS BIGINT) AS total_quantity,
+           COALESCE(s.total_value, 0.0) AS total_value
+    FROM part p
+    LEFT JOIN (
+        SELECT l_partkey,
+               SUM(CAST(l_quantity AS BIGINT)) AS total_quantity,
+               FLOOR(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) * 100 + 0.5)
+                   / 100 AS total_value
+        FROM lineitem GROUP BY 1
+    ) s ON p.p_partkey = s.l_partkey
+    """,
+    doc="Dimension left-join to a fact rollup with zero-fill for never-sold "
+    "parts (J3 + P6) — reference product_analytics_dag.py:68-84. The rollup "
+    "aggregates BEFORE the join (shuffle carries |parts| rows, not "
+    "|lineitems|); the joined rollup side broadcasts.",
+)
+def j3_parts_with_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    rollup = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("total_quantity"),
+        exact_sum("l_extendedprice").alias("total_value"),
+    )
+    return (
+        part.join(rollup, part.p_partkey == rollup.l_partkey, "left")
+        .na.fill({"total_quantity": 0, "total_value": 0.0})
+        .select("p_partkey", "p_name", "total_quantity", "total_value")
+    )
+
+
+@register(
+    "j4_pair_names_lookup",
+    oracle="""
+    WITH pairs AS (
+        SELECT a.l_partkey AS product1, b.l_partkey AS product2, COUNT(*) AS pair_count
+        FROM lineitem a
+        JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    )
+    SELECT p.pair_count, p.product1, p.product2,
+           p1.p_name AS product1_name, p2.p_name AS product2_name
+    FROM pairs p
+    JOIN part p1 ON p.product1 = p1.p_partkey
+    JOIN part p2 ON p.product2 = p2.p_partkey
+    ORDER BY p.pair_count DESC, p.product1, p.product2
+    LIMIT 20
+    """,
+    doc="Market-basket pair mining + double aliased name lookup (J4, J7, A9) "
+    "— reference product_analytics_dag.py:196-234. The self-join is keyed on "
+    "orderkey (bounded fan-out: ≤7 items/order) and the name dim broadcasts "
+    "twice under different aliases.",
+)
+def j4_pair_names_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("product1"), F.col("b.l_partkey").alias("product2")
+        )
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+    )
+    names = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    p1 = F.broadcast(names.select(F.col("p_partkey").alias("product1"),
+                                  F.col("p_name").alias("product1_name")))
+    p2 = F.broadcast(names.select(F.col("p_partkey").alias("product2"),
+                                  F.col("p_name").alias("product2_name")))
+    return (
+        pairs.join(p1, "product1")
+        .join(p2, "product2")
+        .select("pair_count", "product1", "product2", "product1_name", "product2_name")
+        .orderBy(F.desc("pair_count"), F.asc("product1"), F.asc("product2"))
+        .limit(20)
+    )
+
+
+@register(
+    "j6_semi_cascade",
+    oracle="""
+    SELECT COUNT(*) AS num_lineitems,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_quantity
+    FROM lineitem l
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_orderkey = l.l_orderkey
+          AND EXISTS (
+              SELECT 1 FROM customer c
+              WHERE c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING'
+          )
+    )
+    """,
+    doc="Referential-integrity semi-join cascade (J6, P4, SM3 shape) — "
+    "reference data_sampling.py:144-151: parent keys filter children two "
+    "levels deep. left_semi joins never materialize the joined row, only "
+    "the key membership.",
+)
+def j6_semi_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    orders_b = orders.join(
+        F.broadcast(cust.select("c_custkey")), orders.o_custkey == F.col("c_custkey"), "left_semi"
+    )
+    li_b = li.join(
+        F.broadcast(orders_b.select("o_orderkey")), li.l_orderkey == F.col("o_orderkey"), "left_semi"
+    )
+    return li_b.agg(
+        F.count(F.lit(1)).alias("num_lineitems"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("total_quantity"),
+    )
+
+
+@register(
+    "j8_customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="Anti join (engine surface beyond the reference; underpins the "
+    "upsert-lite S9 pattern, test_db.py:53-64).",
+)
+def j8_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(
+        orders.select("o_custkey"), cust.c_custkey == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")

@@ -1,0 +1,80 @@
+"""Set-operation queries — SURVEY.md §2.7 (U1 + the intersect/except
+surface the engine exposes as built-ins).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ecommerce_etl_pipeline_spark.plans.registry import register
+from ecommerce_etl_pipeline_spark.sources.io import load_table
+
+
+@register(
+    "u1_union_chunks",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS cnt,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_quantity
+    FROM (
+        SELECT l_returnflag, l_quantity FROM lineitem WHERE l_discount < 0.05
+        UNION ALL
+        SELECT l_returnflag, l_quantity FROM lineitem WHERE l_discount >= 0.05
+    )
+    GROUP BY 1
+    """,
+    doc="Row union of homogeneous slices (U1) — reference chunked-concat, "
+    "data_sampling.py:68,97. unionByName is a zero-cost plan node: both "
+    "branches stay partition-parallel, no shuffle until the aggregate.",
+)
+def u1_union_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity", "l_discount")
+    lo = li.filter(F.col("l_discount") < 0.05).drop("l_discount")
+    hi = li.filter(F.col("l_discount") >= 0.05).drop("l_discount")
+    return (
+        lo.unionByName(hi)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("total_quantity"),
+        )
+    )
+
+
+@register(
+    "u2_intersect_keys",
+    oracle="""
+    SELECT o_custkey AS customer_id FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    doc="INTERSECT DISTINCT (engine built-in; absent from the reference, "
+    "SURVEY §2.7): customers with both open and fulfilled orders.",
+)
+def u2_intersect_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    open_c = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("customer_id")
+    )
+    done_c = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("customer_id")
+    )
+    return open_c.intersect(done_c)
+
+
+@register(
+    "u3_except_keys",
+    oracle="""
+    SELECT p_partkey FROM part
+    EXCEPT
+    SELECT l_partkey FROM lineitem
+    """,
+    doc="EXCEPT DISTINCT (engine built-in, SURVEY §2.7): parts never sold. "
+    "Same answer as the j3 zero-fill path, via set semantics.",
+)
+def u3_except_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").select("p_partkey")
+    sold = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p_partkey")
+    )
+    return part.subtract(sold)  # EXCEPT DISTINCT

@@ -1,0 +1,177 @@
+"""Window-function queries — SURVEY.md §2.5 (W1-W3) plus the analytic
+surface (lag/lead, frames, sessionization) the reference's clickstream data
+implies but never implements.
+
+Windows partition-shuffle once on the partition key and sort within
+partitions; at 100 TB the partition key must be high-cardinality (user_id,
+custkey — both are) so no single partition explodes. Skewed power-users are
+handled by AQE skew splitting for joins, and for windows by capping with a
+salt+re-merge if a key ever exceeds executor memory — not needed at these
+cardinalities.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ecommerce_etl_pipeline_spark.functions.binning import fixed_bins
+from ecommerce_etl_pipeline_spark.functions.exact_agg import exact_sum
+from ecommerce_etl_pipeline_spark.plans.registry import register
+from ecommerce_etl_pipeline_spark.sources.io import load_table
+
+
+@register(
+    "w2_balance_segments",
+    oracle="""
+    SELECT CASE WHEN c_acctbal <= 0 THEN 'Debt'
+                WHEN c_acctbal <= 2500 THEN 'Low'
+                WHEN c_acctbal <= 6000 THEN 'Mid'
+                ELSE 'High' END AS balance_segment,
+           COUNT(*) AS customer_count
+    FROM customer
+    GROUP BY 1
+    """,
+    doc="Fixed-interval bucketing, right-closed (W2) — reference pd.cut "
+    "tenure segmentation, customer_analytics_dag.py:88-92.",
+)
+def w2_balance_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.select(
+            fixed_bins(F.col("c_acctbal"), [0, 2500, 6000], ["Debt", "Low", "Mid", "High"]).alias(
+                "balance_segment"
+            )
+        )
+        .groupBy("balance_segment")
+        .agg(F.count(F.lit(1)).alias("customer_count"))
+    )
+
+
+@register(
+    "w3_top_orders_per_customer",
+    oracle="""
+    SELECT customer_id, o_orderkey, o_totalprice, rn AS order_rank
+    FROM (
+        SELECT o_custkey AS customer_id, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    )
+    WHERE rn <= 3
+    """,
+    doc="Top-N per group via row_number (W3) — reference per-product scrape "
+    "rank, web_scraping_dag.py:95,111. Deterministic tiebreak on orderkey.",
+)
+def w3_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.select(
+            F.col("o_custkey").alias("customer_id"),
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("order_rank"),
+        )
+        .filter(F.col("order_rank") <= 3)
+    )
+
+
+@register(
+    "w4_sessionize",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS INTEGER) AS session_seq
+    FROM (
+        SELECT user_id, event_id, ts,
+               CASE WHEN date_diff('second',
+                        LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) <= 1800
+                    THEN 0 ELSE 1 END AS is_new
+        FROM events
+    )
+    """,
+    doc="Clickstream sessionization: lag + gap threshold + running sum "
+    "(SURVEY §2.5 note — the analytic surface the reference's click_stream "
+    "table implies). 30-minute inactivity gap; one shuffle on user_id "
+    "serves both window passes.",
+)
+def w4_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    order = [F.asc("ts"), F.asc("event_id")]
+    w_lag = Window.partitionBy("user_id").orderBy(*order)
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w_lag))
+    is_new = F.when(gap <= 1800, F.lit(0)).otherwise(F.lit(1))
+    w_run = (
+        Window.partitionBy("user_id").orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(is_new).over(w_run).cast("int").alias("session_seq"),
+    )
+
+
+@register(
+    "w5_cumulative_daily_sales",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS order_date,
+               FLOOR(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) * 100 + 0.5) / 100
+                   AS day_sales,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS day_sales_dec
+        FROM orders GROUP BY 1
+    )
+    SELECT order_date, day_sales,
+           FLOOR(CAST(SUM(day_sales_dec) OVER (ORDER BY order_date
+                                               ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                 * 100 + 0.5) / 100 AS running_sales
+    FROM daily
+    """,
+    doc="Running total over an explicit frame (rowsBetween) on top of the "
+    "daily rollup (A1+frame spec). The cumulative sum stays in exact decimal "
+    "until the final cast. Single-partition window over |days| rows only — "
+    "fine at any fact size since it runs post-aggregation.",
+)
+def w5_cumulative_daily_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecommerce_etl_pipeline_spark.functions.exact_agg import dec, portable_round
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("order_date")).agg(
+        exact_sum("o_totalprice").alias("day_sales"),
+        F.sum(dec("o_totalprice", 2)).alias("day_sales_dec"),
+    )
+    w = Window.orderBy("order_date").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "order_date",
+        "day_sales",
+        portable_round(F.sum("day_sales_dec").over(w).cast("double"), 2).alias("running_sales"),
+    )
+
+
+@register(
+    "w6_event_gaps",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(date_diff('second', ts,
+                LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS BIGINT)
+               AS seconds_to_next,
+           RANK() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS value_rank
+    FROM events
+    """,
+    doc="lead() gap-to-next plus rank() (analytic window surface, SURVEY "
+    "§2.5 note). Same user_id shuffle serves both windows.",
+)
+def w6_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w_t = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    w_v = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return ev.select(
+        "user_id",
+        "event_id",
+        (F.unix_timestamp(F.lead("ts").over(w_t)) - F.unix_timestamp("ts")).alias(
+            "seconds_to_next"
+        ),
+        F.rank().over(w_v).alias("value_rank"),
+    )

@@ -1,0 +1,236 @@
+"""Document deduplication at scale: exact, MinHash-LSH, SimHash, n-gram
+Jaccard set-similarity join.
+
+Design for 100 TB (the whole point of these algorithms):
+- NEVER all-pairs. Every near-dup path generates candidates through a
+  bucket shuffle (LSH band, SimHash chunk, shared shingle) whose output is
+  proportional to actual collisions, then verifies only candidates.
+- Signatures are computed with JVM higher-order functions over token/shingle
+  hash arrays — one pass per document, no Python.
+- Hash arithmetic stays within 62 bits (31-bit hash values × 31-bit
+  coefficients) so it never overflows under the driver's ANSI session.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MERSENNE_31 = 2147483647  # 2^31 - 1, prime
+
+
+def shingles(tokens_col: Column, k: int = 3) -> Column:
+    """Word k-shingles of a token array (short docs fall back to the
+    whole-document shingle)."""
+    n = F.size(tokens_col)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.concat_ws(" ", F.slice(tokens_col, i + 1, k)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", tokens_col)))
+
+
+def shingle_hashes(text: Column, k: int = 3) -> Column:
+    """Distinct 31-bit shingle hashes for a document."""
+    sh = shingles(F.split(text, " "), k)
+    return F.array_distinct(
+        F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_31)))
+    )
+
+
+def _minhash_coeffs(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, MERSENNE_31), rng.randrange(0, MERSENNE_31))
+        for _ in range(num_hashes)
+    ]
+
+
+def minhash_signature(hashes_col: Column, num_hashes: int = 64, seed: int = 42) -> Column:
+    """MinHash signature: for each (a, b), min over pmod(a*h + b, P).
+
+    a, h < 2^31 so a*h < 2^62 — safe in a long even under ANSI mode.
+    """
+    def perm(a: int, b: int):
+        return lambda h: F.pmod(h * a + b, F.lit(MERSENNE_31))
+
+    sig = [
+        F.array_min(F.transform(hashes_col, perm(a, b)))
+        for a, b in _minhash_coeffs(num_hashes, seed)
+    ]
+    return F.array(*sig)
+
+
+def minhash_candidate_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """LSH banding: docs sharing any band of the MinHash signature become a
+    candidate pair, then exact shingle-set Jaccard verifies each candidate.
+
+    Returns (doc1, doc2, jaccard) for all candidates, doc1 < doc2. The band
+    shuffle is the only wide stage; its size tracks true duplicate density.
+    """
+    rows = num_hashes // bands
+    sigs = docs.select(
+        F.col(id_col).alias("doc_id"),
+        shingle_hashes(F.col(text_col), shingle_k).alias("hashes"),
+    ).withColumn("sig", minhash_signature(F.col("hashes"), num_hashes, seed))
+
+    banded = sigs.select(
+        "doc_id",
+        "hashes",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(F.concat_ws(",", F.slice("sig", b * rows + 1, rows))).alias(
+                        "band_hash"
+                    ),
+                ),
+            )
+        ).alias("bh"),
+    ).select("doc_id", "hashes", "bh.band", "bh.band_hash")
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc1"),
+            F.col("r.doc_id").alias("doc2"),
+            F.col("l.hashes").alias("h1"),
+            F.col("r.hashes").alias("h2"),
+        )
+        .dropDuplicates(["doc1", "doc2"])
+    )
+    inter = F.size(F.array_intersect("h1", "h2")).cast("double")
+    union = (F.size("h1") + F.size("h2") - F.size(F.array_intersect("h1", "h2"))).cast(
+        "double"
+    )
+    return cand.select("doc1", "doc2", (inter / union).alias("jaccard"))
+
+
+def simhash_of_hashes(hashes_sql: str, bits: int = 64) -> Column:
+    """SimHash over a precomputed token-hash array column: per bit position,
+    sign of the sum of (+1/-1) votes from each hash; sign bits packed into a
+    long. SQL-expression lambdas because shift amounts are lambda variables
+    (the Python shiftleft/shiftright wrappers only take literal ints).
+    Bit 63 is excluded so the packed value stays non-negative (no overflow
+    under ANSI)."""
+    votes = (
+        f"transform(sequence(0, {bits - 1}), i -> "
+        f"aggregate({hashes_sql}, 0, (acc, h) -> "
+        f"acc + (CASE WHEN shiftright(h, i) & 1 = 1 THEN 1 ELSE -1 END)))"
+    )
+    return F.expr(
+        f"aggregate(zip_with({votes}, sequence(0, {bits - 1}), "
+        f"(v, i) -> CASE WHEN v > 0 AND i < 63 THEN shiftleft(CAST(1 AS BIGINT), i) "
+        f"ELSE CAST(0 AS BIGINT) END), "
+        f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance.
+
+    Pigeonhole banding: with 4 chunks of 16 bits, any pair within hamming
+    distance 3 shares at least one exact chunk — candidates join per chunk,
+    then bit_count(xor) verifies. No all-pairs stage.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(
+            F.transform(F.split(F.col(text_col), " "), lambda t: F.xxhash64(t))
+        ).alias("th"),
+    ).select("doc_id", simhash_of_hashes("th").alias("sh"))
+    chunks = sh.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), c -> "
+                "struct(c AS chunk, shiftright(sh, c * 16) & 65535 AS chunk_val))"
+            )
+        ).alias("cv"),
+    ).select("doc_id", "sh", "cv.chunk", "cv.chunk_val")
+    l, r = chunks.alias("l"), chunks.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.chunk_val") == F.col("r.chunk_val"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc1"),
+            F.col("r.doc_id").alias("doc2"),
+            F.col("l.sh").alias("sh1"),
+            F.col("r.sh").alias("sh2"),
+        )
+        .dropDuplicates(["doc1", "doc2"])
+    )
+    hamming = F.expr("bit_count(sh1 ^ sh2)")
+    return cand.select("doc1", "doc2", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+def jaccard_similarity_join(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Exact n-gram (shingle) Jaccard set-similarity join.
+
+    MapReduce-style: explode distinct shingle hashes, join on shingle to
+    count intersections (candidates = pairs sharing ≥1 shingle), then
+    |A∩B| / (|A|+|B|-|A∩B|) ≥ threshold. Shingles (vs raw tokens) keep the
+    inverted index selective, so the shuffle carries near-duplicate pairs,
+    not the cross product.
+    """
+    sets = docs.select(
+        F.col(id_col).alias("doc_id"),
+        shingle_hashes(F.col(text_col), shingle_k).alias("hashes"),
+    ).withColumn("set_size", F.size("hashes"))
+    inv = sets.select("doc_id", "set_size", F.explode("hashes").alias("h"))
+    l, r = inv.alias("l"), inv.alias("r")
+    inter = (
+        l.join(r, (F.col("l.h") == F.col("r.h")) & (F.col("l.doc_id") < F.col("r.doc_id")))
+        .groupBy(
+            F.col("l.doc_id").alias("doc1"),
+            F.col("r.doc_id").alias("doc2"),
+            F.col("l.set_size").alias("n1"),
+            F.col("r.set_size").alias("n2"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    jac = F.col("c") / (F.col("n1") + F.col("n2") - F.col("c"))
+    return inter.select("doc1", "doc2", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )

@@ -1,0 +1,69 @@
+"""Text analysis over document tables: tokenization, quality scoring,
+language-ID, token counting, fingerprinting.
+
+Everything is built from JVM-side expression primitives (split/filter/
+aggregate/regexp) — no Python UDFs — so the same per-document pass runs
+inside whole-stage codegen and scales linearly with input bytes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny fixed stopword lists for the n-gram language heuristic. Deterministic
+# and oracle-portable; a production list would be larger but identical in shape.
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is"],
+    "es": ["el", "la", "de", "que", "y", "en", "los"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (single-space corpus)."""
+    return F.split(text, " ")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def distinct_token_count(text: Column) -> Column:
+    return F.size(F.array_distinct(tokens(text)))
+
+
+def token_length_sum(text: Column) -> Column:
+    """Exact integer sum of token lengths (order-independent)."""
+    return F.aggregate(
+        F.transform(tokens(text), F.length), F.lit(0), lambda acc, x: acc + x
+    )
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    """Count of tokens in the ``lang`` stopword list."""
+    stops = STOPWORDS[lang]
+    return F.size(F.filter(tokens(text), lambda x: x.isin(*stops)))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Token count under a BPE-ish regex (letter runs / digit runs /
+    single other-symbols) — the standard pre-tokenizer shape."""
+    return F.size(F.regexp_extract_all(text, F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), F.lit(0)))
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters outside [a-z0-9 ] (quality signal)."""
+    return F.length(F.regexp_replace(text, r"[a-z0-9 ]", "")) / F.length(text)
+
+
+def fingerprint(text: Column) -> Column:
+    """Exact document fingerprint: md5 of the lowercased,
+    whitespace-collapsed text."""
+    return F.md5(F.lower(F.regexp_replace(text, r"\s+", " ")))
+
+
+def content_fingerprint(text: Column) -> Column:
+    """Order-insensitive content fingerprint: md5 over the sorted distinct
+    token set — stable under shuffled word order (near-dup precursor)."""
+    return F.md5(F.concat_ws(" ", F.sort_array(F.array_distinct(tokens(text)))))

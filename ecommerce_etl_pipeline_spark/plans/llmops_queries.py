@@ -1,0 +1,292 @@
+"""North-star queries: dedup / similarity / text analysis / multimodal
+(SURVEY.md §2.13) over the documents and embeddings testdata tables.
+
+SQL-expressible operators carry full DuckDB oracles; the LSH/SimHash
+candidate-generation paths are registered without oracles (driver records
+rows-only checks) because their bucketing is hash-seeded rather than
+relational.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ecommerce_etl_pipeline_spark.functions.exact_agg import portable_round, sql_round
+from ecommerce_etl_pipeline_spark.llmops import dedup, multimodal, similarity, text
+from ecommerce_etl_pipeline_spark.plans.registry import register
+from ecommerce_etl_pipeline_spark.sources.io import load_table
+
+
+@register(
+    "dd_exact_dedup",
+    oracle="""
+    SELECT md5(text) AS text_hash,
+           MIN(doc_id) AS canonical_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="Exact deduplication via content-hash groupBy: one shuffle on the "
+    "hash, keep min doc_id as canonical. At 100 TB the md5 reduces shuffle "
+    "width to 32 bytes + id per row regardless of document size.",
+)
+def dd_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.min("doc_id").alias("canonical_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+@register(
+    "dd_dedup_summary",
+    oracle="""
+    SELECT COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5(text)) AS n_unique,
+           COUNT(*) - COUNT(DISTINCT md5(text)) AS n_duplicates
+    FROM documents
+    """,
+    doc="Corpus-level dedup statistics (exact).",
+)
+def dd_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_unique"),
+        (F.count(F.lit(1)) - F.countDistinct(F.md5("text"))).alias("n_duplicates"),
+    )
+
+
+@register(
+    "txt_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS token_count,
+           CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS distinct_tokens,
+           {sql_round(
+               "CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x)))"
+               " AS DOUBLE) / len(string_split(text, ' '))", 4)} AS avg_token_len
+    FROM documents
+    """,
+    doc="Per-document token statistics: whitespace tokenization, distinct "
+    "count, average token length — all JVM higher-order functions, one "
+    "codegen stage, no shuffle.",
+)
+def txt_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        text.token_count(t).alias("token_count"),
+        text.distinct_token_count(t).alias("distinct_tokens"),
+        portable_round(
+            text.token_length_sum(t).cast("double") / text.token_count(t), 4
+        ).alias("avg_token_len"),
+    )
+
+
+@register(
+    "txt_quality_scores",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INTEGER)
+               AS bpe_ish_tokens,
+           {sql_round("CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)"
+                      " / length(text)", 4)} AS punct_ratio,
+           {sql_round(
+               "CAST(len(list_filter(string_split(text, ' '), x -> list_contains("
+               "['the','a','and','of','to','in','is'], x))) AS DOUBLE)"
+               " / len(string_split(text, ' '))", 4)} AS stopword_ratio
+    FROM documents
+    """,
+    doc="Quality scoring: byte length, BPE-ish regex token count, "
+    "punctuation ratio, English stopword ratio — the standard pre-training "
+    "filter features (length/punct/stopword heuristics).",
+)
+def txt_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.octet_length(t).cast("bigint").alias("n_bytes"),
+        text.bpe_ish_token_count(t).alias("bpe_ish_tokens"),
+        portable_round(text.punct_ratio(t), 4).alias("punct_ratio"),
+        portable_round(
+            text.stopword_hits(t, "en").cast("double") / text.token_count(t), 4
+        ).alias("stopword_ratio"),
+    )
+
+
+_LANG_HITS = {
+    lang: (
+        f"len(list_filter(string_split(text, ' '), x -> list_contains("
+        f"[{', '.join(repr(s) for s in stops)}], x)))"
+    )
+    for lang, stops in text.STOPWORDS.items()
+}
+
+
+@register(
+    "txt_lang_id_confusion",
+    oracle=f"""
+    WITH scored AS (
+        SELECT lang AS labeled_lang,
+               {_LANG_HITS['en']} AS en_hits,
+               {_LANG_HITS['es']} AS es_hits,
+               {_LANG_HITS['de']} AS de_hits
+        FROM documents
+    )
+    SELECT labeled_lang,
+           CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits > 0 THEN 'en'
+                WHEN es_hits >= de_hits AND es_hits > 0 THEN 'es'
+                WHEN de_hits > 0 THEN 'de'
+                ELSE 'unknown' END AS predicted_lang,
+           COUNT(*) AS n_docs
+    FROM scored
+    GROUP BY 1, 2
+    """,
+    doc="Language-ID n-gram heuristic (stopword voting) + confusion matrix "
+    "against the labeled lang column. Deterministic tiebreak order "
+    "en > es > de.",
+)
+def txt_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    hits = {lang: text.stopword_hits(t, lang) for lang in ("en", "es", "de")}
+    predicted = (
+        F.when(
+            (hits["en"] >= hits["es"]) & (hits["en"] >= hits["de"]) & (hits["en"] > 0),
+            F.lit("en"),
+        )
+        .when((hits["es"] >= hits["de"]) & (hits["es"] > 0), F.lit("es"))
+        .when(hits["de"] > 0, F.lit("de"))
+        .otherwise(F.lit("unknown"))
+    )
+    return (
+        docs.select(F.col("lang").alias("labeled_lang"), predicted.alias("predicted_lang"))
+        .groupBy("labeled_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "txt_fingerprints",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+               AS content_fingerprint
+    FROM documents
+    """,
+    doc="Document fingerprinting: exact (normalized-text md5) and "
+    "order-insensitive (sorted distinct token set md5) — the cheap "
+    "first-pass signals before MinHash.",
+)
+def txt_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.fingerprint(F.col("text")).alias("fingerprint"),
+        text.content_fingerprint(F.col("text")).alias("content_fingerprint"),
+    )
+
+
+@register(
+    "sim_cosine_topk",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               list_sum(list_transform(generate_series(1, len(e.embedding)),
+                        i -> CAST(q.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(generate_series(1, len(q.qv)),
+                        i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)),
+                        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))))
+               AS cos
+        FROM q, embeddings e
+        WHERE e.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id,
+           {sql_round('cos', 6)} AS cosine,
+           CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= 10
+    """,
+    doc="Brute-force cosine top-10 for 5 query vectors — the exact ANN "
+    "baseline (broadcast queries × corpus scan, JVM zip_with dot products, "
+    "per-query window top-k). The LSH variant (sim_lsh_topk) is the scale "
+    "path.",
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    res = similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+    return res.select(
+        "query_id",
+        "neighbor_id",
+        portable_round(F.col("cosine"), 6).alias("cosine"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+# ---- rows-only checks (hash-seeded candidate generation; not relational) ----
+
+
+@register(
+    "dd_minhash_pairs",
+    doc="MinHash-LSH near-duplicate candidate pairs with exact-Jaccard "
+    "verification (64 hashes, 16 bands). Rows-only check: banding is "
+    "hash-seeded, not SQL-expressible.",
+)
+def dd_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_candidate_pairs(docs).filter(F.col("jaccard") >= 0.5)
+
+
+@register(
+    "dd_simhash_pairs",
+    doc="SimHash near-duplicate pairs within hamming distance 3, candidates "
+    "via 16-bit chunk pigeonhole banding. Rows-only check.",
+)
+def dd_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_pairs(docs)
+
+
+@register(
+    "dd_jaccard_pairs",
+    doc="Exact shingle-Jaccard set-similarity join (inverted-index "
+    "candidates, threshold 0.5). Rows-only check.",
+)
+def dd_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.jaccard_similarity_join(docs, threshold=0.5)
+
+
+@register(
+    "sim_lsh_topk",
+    doc="Random-hyperplane LSH approximate top-k (8 planes = 256 buckets, "
+    "sized for the testdata corpus; at larger corpora raise n_planes to "
+    "keep buckets small). Rows-only check: recall-bounded, not exact.",
+)
+def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, n_planes=8)
+
+
+@register(
+    "mm_asset_features",
+    doc="Multimodal plumbing: documents -> binary payload assets -> "
+    "Arrow-batched mapInPandas feature extraction (byte stats standing in "
+    "for stubbed decoders). Rows-only check.",
+)
+def mm_asset_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    assets = multimodal.assets_from_documents(docs)
+    return multimodal.extract_features(assets, fake=True)

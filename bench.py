@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): runs the engine's headline queries
+at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "headline_total", "value": <sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": <sf>}
+
+Each query is forced to full materialization with the noop sink (measures
+compute + shuffle, not driver collect). A tiny warmup query first so JVM/
+codegen startup isn't billed to the first headline query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ecommerce_etl_pipeline_spark.session import get_spark  # noqa: E402
+from ecommerce_etl_pipeline_spark.plans import all_queries  # noqa: E402
+
+#: Headline set: one representative per operator family (scan+agg, big-key
+#: rollup, date-filtered two-key agg, fact-fact join, self-join pair mining,
+#: window sessionization, HOF nested agg, dedup exact + near-dup, text
+#: quality, embedding top-k).
+HEADLINE = [
+    "a1_daily_sales",
+    "a4_customer_ltv",
+    "a8_pricing_summary",
+    "a10_product_rollup",
+    "j1_order_lineitem_join",
+    "j4_pair_names_lookup",
+    "w4_sessionize",
+    "n2_hof_array_aggregate",
+    "dd_exact_dedup",
+    "dd_minhash_pairs",
+    "txt_quality_scores",
+    "sim_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
+    except ValueError:
+        sf = -1.0
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+
+    # warmup: JVM + codegen + parquet footer caches
+    queries["a1_daily_sales"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

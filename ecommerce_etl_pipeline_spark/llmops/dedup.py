@@ -18,6 +18,8 @@ import random
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ecommerce_etl_pipeline_spark.operators.parallelism import ensure_parallelism
+
 MERSENNE_31 = 2147483647  # 2^31 - 1, prime
 
 
@@ -82,14 +84,21 @@ def minhash_candidate_pairs(
     shuffle is the only wide stage; its size tracks true duplicate density.
     """
     rows = num_hashes // bands
-    sigs = docs.select(
+    docs = ensure_parallelism(docs)
+    hashes_df = docs.select(
         F.col(id_col).alias("doc_id"),
         shingle_hashes(F.col(text_col), shingle_k).alias("hashes"),
-    ).withColumn("sig", minhash_signature(F.col("hashes"), num_hashes, seed))
+    )
 
+    # Thin banding rows: (doc_id, band, band_hash) only — the 16x band
+    # explode and its shuffle never carry the shingle-hash arrays. Both
+    # sides of the self-join share the identical exchange subtree, so
+    # Spark's ReuseExchange computes the signatures once.
+    sigs = hashes_df.select(
+        "doc_id", minhash_signature(F.col("hashes"), num_hashes, seed).alias("sig")
+    )
     banded = sigs.select(
         "doc_id",
-        "hashes",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -101,7 +110,7 @@ def minhash_candidate_pairs(
                 ),
             )
         ).alias("bh"),
-    ).select("doc_id", "hashes", "bh.band", "bh.band_hash")
+    ).select("doc_id", "bh.band", "bh.band_hash")
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -112,19 +121,18 @@ def minhash_candidate_pairs(
             & (F.col("l.band_hash") == F.col("r.band_hash"))
             & (F.col("l.doc_id") < F.col("r.doc_id")),
         )
-        .select(
-            F.col("l.doc_id").alias("doc1"),
-            F.col("r.doc_id").alias("doc2"),
-            F.col("l.hashes").alias("h1"),
-            F.col("r.hashes").alias("h2"),
-        )
+        .select(F.col("l.doc_id").alias("doc1"), F.col("r.doc_id").alias("doc2"))
         .dropDuplicates(["doc1", "doc2"])
     )
+
+    # Verify only the candidates: join the hash sets back per side (the
+    # candidate set is duplicate-density-sized, not corpus-sized).
+    h1 = hashes_df.select(F.col("doc_id").alias("doc1"), F.col("hashes").alias("h1"))
+    h2 = hashes_df.select(F.col("doc_id").alias("doc2"), F.col("hashes").alias("h2"))
+    verified = cand.join(h1, "doc1").join(h2, "doc2")
     inter = F.size(F.array_intersect("h1", "h2")).cast("double")
-    union = (F.size("h1") + F.size("h2") - F.size(F.array_intersect("h1", "h2"))).cast(
-        "double"
-    )
-    return cand.select("doc1", "doc2", (inter / union).alias("jaccard"))
+    union = (F.size("h1") + F.size("h2") - inter).cast("double")
+    return verified.select("doc1", "doc2", (inter / union).alias("jaccard"))
 
 
 def simhash_of_hashes(hashes_sql: str, bits: int = 64) -> Column:
@@ -160,6 +168,7 @@ def simhash_near_pairs(
     distance 3 shares at least one exact chunk — candidates join per chunk,
     then bit_count(xor) verifies. No all-pairs stage.
     """
+    docs = ensure_parallelism(docs)
     sh = docs.select(
         F.col(id_col).alias("doc_id"),
         F.array_distinct(
@@ -214,6 +223,7 @@ def jaccard_similarity_join(
     inverted index selective, so the shuffle carries near-duplicate pairs,
     not the cross product.
     """
+    docs = ensure_parallelism(docs)
     sets = docs.select(
         F.col(id_col).alias("doc_id"),
         shingle_hashes(F.col(text_col), shingle_k).alias("hashes"),

@@ -21,6 +21,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ecommerce_etl_pipeline_spark.operators.parallelism import ensure_parallelism
+
 
 def dot(a: Column, b: Column) -> Column:
     """Double-precision dot product of two float arrays (JVM-side)."""
@@ -55,7 +57,9 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec"))
+    c = ensure_parallelism(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec"))
+    )
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cosine", cosine(F.col("query_vec"), F.col("vec")))
@@ -111,7 +115,7 @@ def lsh_topk(
         F.col(vec_col).alias("query_vec"),
         lsh_signature(F.col(vec_col), planes).alias("bucket"),
     )
-    c = corpus.select(
+    c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("vec"),
         lsh_signature(F.col(vec_col), planes).alias("bucket"),

@@ -1,0 +1,24 @@
+"""Parallelism guard for compute-heavy per-row stages.
+
+A small dimension-sized table often arrives as ONE parquet split, so any
+expensive per-row work (shingling, hashing, vector math, pandas UDFs) runs
+on a single core while the rest of the cluster idles — measured 8s -> ~1s on
+the MinHash pipeline at sf0.1 on local[32]. At 100 TB inputs already carry
+thousands of splits and this is a no-op; the guard only widens genuinely
+under-split inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition ``df`` up to ``min_partitions`` (default: cluster default
+    parallelism) if it currently has fewer partitions. Never shrinks."""
+    spark = df.sparkSession
+    if min_partitions is None:
+        min_partitions = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= min_partitions:
+        return df
+    return df.repartition(min_partitions)

@@ -1,0 +1,9 @@
+"""Structured Streaming surface (SURVEY.md §2.11)."""
+
+from ecommerce_etl_pipeline_spark.streaming.streams import (  # noqa: F401
+    daily_sales_stream,
+    read_events_stream,
+    session_window_stream,
+    stream_to_memory,
+    user_running_counts_stream,
+)

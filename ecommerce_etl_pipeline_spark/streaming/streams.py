@@ -1,0 +1,157 @@
+"""Structured Streaming variants of the engine's event-time queries.
+
+The reference fakes micro-batches in-process (data_generator.py:83-111) and
+names Kafka ingestion as future work (README.md:116); this module is the
+real streaming runtime for the same query shapes:
+
+- tumbling-window daily rollup (A1 as a stream) with a watermark for late
+  data,
+- session windows (the clickstream sessionization w4 as native
+  ``session_window``),
+- custom stateful per-user running counts via ``applyInPandasWithState``.
+
+Batch/stream parity: transformations are the same DataFrame expressions as
+the batch queries, so a ``foreachBatch`` sink can reuse batch writers
+verbatim. Tests replay the events table as a file stream with
+``availableNow`` and assert the aggregates equal the batch answers.
+
+At scale the file source becomes Kafka (same code after ``readStream``);
+state stores are RocksDB-backed and partitioned by the grouping key, so
+stateful ops scale with distinct keys per trigger, not history.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # TIMESTAMP(NANOS) read as long
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def _replay_dir(sf_dir: str, table: str = "events") -> str:
+    """Stage a one-file directory for the file stream source (it requires a
+    directory, not a file): symlink the table's parquet into a temp dir."""
+    d = tempfile.mkdtemp(prefix=f"stream-{table}-")
+    os.symlink(f"{sf_dir}/{table}.parquet", f"{d}/{table}.parquet")
+    return d
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source replay of the events table as a stream (micro-batch per
+    file). Same nanos->micros conversion as the batch reader."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(_replay_dir(sf_dir))
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def daily_sales_stream(events: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """A1 (daily rollup) as a streaming tumbling-window aggregate with
+    late-data tolerance = ``watermark``."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("day"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("num_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("day.start").alias("day_start"),
+            "event_type",
+            "num_events",
+            "total_value",
+        )
+    )
+
+
+def session_window_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """w4 sessionization as a native streaming ``session_window`` (state
+    merges windows within ``gap`` per user)."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("sess"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("events_in_session"))
+        .select(
+            "user_id",
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "events_in_session",
+        )
+    )
+
+
+_RUNNING_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("total_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+_STATE_SCHEMA = StructType(
+    [StructField("cnt", LongType()), StructField("val", DoubleType())]
+)
+
+
+def user_running_counts_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user running event count/value via
+    ``applyInPandasWithState`` — the sanctioned escape hatch when built-in
+    windows can't express the state machine (SURVEY §2.12 U4)."""
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        cnt, val = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            cnt += len(pdf)
+            val += float(pdf["value"].sum())
+        state.update((cnt, val))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "total_events": [cnt], "total_value": [val]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_RUNNING_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_to_memory(
+    df: DataFrame, name: str, *, output_mode: str = "complete", timeout_sec: int = 120
+) -> None:
+    """Run a streaming query to completion over the replayed input
+    (availableNow trigger) into an in-memory sink table ``name``."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)

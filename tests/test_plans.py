@@ -1,0 +1,78 @@
+"""Physical-plan quality gates: the properties that make these queries hold
+at 100 TB must be visible in the plan (SURVEY.md §4) — predicate pushdown
+into the parquet scan, column pruning, broadcast joins for dims, semi joins
+that stay semi, TakeOrderedAndProject for top-k, partial aggregation.
+"""
+
+from __future__ import annotations
+
+import ecommerce_etl_pipeline_spark.plans  # noqa: F401
+from ecommerce_etl_pipeline_spark.plans.registry import _REGISTRY, get
+
+SF = "/root/testdata/sf0.001"
+
+
+def explain_str(df, mode: str = "formatted") -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def plan_of(spark, name: str, mode: str = "formatted") -> str:
+    return explain_str(get(name).fn(spark, SF), mode)
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = plan_of(spark, "a3_discount_effectiveness")
+    assert "PushedFilters" in plan
+    assert "GreaterThan(l_discount" in plan
+
+
+def test_column_pruning(spark):
+    plan = plan_of(spark, "a1_daily_sales")
+    # the scan must read only the two needed columns of 11+
+    rs = [line for line in plan.splitlines() if "ReadSchema" in line][0]
+    assert "o_orderdate" in rs and "o_totalprice" in rs
+    assert "o_orderpriority" not in rs and "o_custkey" not in rs
+
+
+def test_dim_joins_broadcast(spark):
+    plan = plan_of(spark, "j2_customer_geo_broadcast")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_semi_join_stays_semi(spark):
+    plan = plan_of(spark, "j6_semi_cascade")
+    assert "LeftSemi" in plan
+
+
+def test_anti_join(spark):
+    plan = plan_of(spark, "j8_customers_without_orders")
+    assert "LeftAnti" in plan
+
+
+def test_topk_plans_take_ordered(spark):
+    plan = plan_of(spark, "o1_global_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_partial_aggregation(spark):
+    plan = plan_of(spark, "a1_daily_sales")
+    # map-side partial + final hash aggregate around one exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_no_python_udfs_in_oracle_queries(spark):
+    """Oracle-checked queries must stay JVM-side (Python evaluation nodes
+    are allowed only in the sanctioned multimodal path)."""
+    for name, spec in _REGISTRY.items():
+        if spec.oracle is None:
+            continue
+        plan = explain_str(spec.fn(spark, SF), "simple")
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name

@@ -1,0 +1,61 @@
+"""Streaming/batch parity: the streamed aggregates over a replayed events
+table must equal the equivalent batch answers."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from ecommerce_etl_pipeline_spark.sources.io import load_table
+from ecommerce_etl_pipeline_spark.streaming import (
+    daily_sales_stream,
+    read_events_stream,
+    session_window_stream,
+    stream_to_memory,
+    user_running_counts_stream,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_daily_sales_stream_matches_batch(spark):
+    ev = read_events_stream(spark, SF)
+    stream_to_memory(daily_sales_stream(ev), "t_daily")
+    got = {
+        (r.day_start, r.event_type): (r.num_events, round(r.total_value, 2))
+        for r in spark.table("t_daily").collect()
+    }
+    batch = (
+        load_table(spark, SF, "events")
+        .groupBy(F.window("ts", "1 day").alias("day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("v"),
+        )
+        .select(F.col("day.start").alias("s"), "event_type", "n", "v")
+    )
+    want = {(r.s, r.event_type): (r.n, round(r.v, 2)) for r in batch.collect()}
+    assert got == want and len(got) > 0
+
+
+def test_session_window_stream_runs(spark):
+    ev = read_events_stream(spark, SF)
+    stream_to_memory(session_window_stream(ev), "t_sess")
+    rows = spark.table("t_sess").collect()
+    assert len(rows) > 0
+    # session totals must account for every event
+    assert sum(r.events_in_session for r in rows) == load_table(spark, SF, "events").count()
+
+
+def test_stateful_running_counts(spark):
+    ev = read_events_stream(spark, SF)
+    stream_to_memory(user_running_counts_stream(ev), "t_run", output_mode="update")
+    got = {r.user_id: r.total_events for r in spark.table("t_run").collect()}
+    want = {
+        r.user_id: r.n
+        for r in load_table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # single availableNow batch => final state equals batch counts
+    assert got == want

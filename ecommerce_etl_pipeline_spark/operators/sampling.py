@@ -1,0 +1,55 @@
+"""Seeded and referential-integrity sampling — SURVEY.md §2.10 (SM1-SM3).
+
+The reference's sampler (src/utils/data_sampling.py) pulls parent keys to
+the driver (`tolist()`) and filters children chunk-by-chunk; here the whole
+cascade is one lazy DAG of semi-joins — no driver round-trip, no chunking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def seeded_sample(df: DataFrame, fraction: float, seed: int = 42) -> DataFrame:
+    """Bernoulli sample (approximate-n) — reference data_sampling.py:40-43.
+    One scan, no shuffle; the right default at scale."""
+    return df.sample(fraction=fraction, seed=seed)
+
+
+def seeded_sample_exact(df: DataFrame, n: int, order_key: str, seed: int = 42) -> DataFrame:
+    """Exact-n seeded sample: rank rows by ``rand(seed)`` (tiebroken by a
+    unique key for determinism) and keep the first n — the fixture-parity
+    variant (SURVEY §4 item 2). Costs a single-partition window over the
+    sampled ordering; prefer :func:`seeded_sample` unless exact n matters."""
+    w = Window.orderBy(F.rand(seed), F.col(order_key))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn")
+    )
+
+
+def ri_cascade_sample(
+    parents: DataFrame,
+    children: list[tuple[DataFrame, str, str]],
+    *,
+    fraction: float,
+    seed: int = 42,
+) -> list[DataFrame]:
+    """Referential-integrity cascade (reference data_sampling.py:144-151):
+    sample the parent, then semi-join each child level on its FK so every
+    child row keeps a sampled ancestor.
+
+    ``children`` is a list of (child_df, child_fk_col, parent_key_col)
+    applied in order, each level keyed to the previous level's output.
+    Returns [sampled_parent, child1, child2, ...].
+    """
+    out = [seeded_sample(parents, fraction, seed)]
+    prev = out[0]
+    for child, fk, pk in children:
+        keys = prev.select(F.col(pk).alias(fk)).distinct()
+        out.append(child.join(keys, on=fk, how="left_semi"))
+        prev = out[-1]
+    return out

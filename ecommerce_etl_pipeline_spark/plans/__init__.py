@@ -26,6 +26,7 @@ for _optional in (
     "setops",
     "sampling",
     "llmops_queries",
+    "extended",
 ):
     try:
         _MODULES.append(

@@ -1,0 +1,256 @@
+"""Extended engine surface: the SQL API (spark.sql over registered views),
+exact percentiles, argmax/argmin, array-collecting aggregates, pivot, and
+the wider string/date scalar library — capabilities a user of the reference
+would expect from a complete engine even where the reference had no direct
+analogue (SURVEY.md §2.4 note, §2.9).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ecommerce_etl_pipeline_spark.functions.exact_agg import portable_round, sql_round
+from ecommerce_etl_pipeline_spark.plans.registry import register
+from ecommerce_etl_pipeline_spark.sources.io import load_table
+
+
+def _register_views(spark: SparkSession, sf_dir: str, *tables: str) -> None:
+    for t in tables:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+@register(
+    "sql_top_revenue_orders",
+    oracle=f"""
+    SELECT l.l_orderkey, CAST(o.o_orderdate AS DATE) AS order_date,
+           {sql_round("CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))"
+                      " * (1 - CAST(l.l_discount AS DECIMAL(9,2)))) AS DOUBLE)", 2)}
+               AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY 1, 2
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3-shaped three-table join via the spark.sql TEXT interface "
+    "over registered views — the engine's SQL front door. Catalyst plans "
+    "it identically to the DataFrame form (broadcast customer, shuffle "
+    "orders⋈lineitem on orderkey).",
+)
+def sql_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register_views(spark, sf_dir, "customer", "orders", "lineitem")
+    return spark.sql(
+        f"""
+        SELECT l.l_orderkey, CAST(o.o_orderdate AS DATE) AS order_date,
+               {sql_round("CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))"
+                          " * (1 - CAST(l.l_discount AS DECIMAL(9,2)))) AS DOUBLE)", 2)}
+                   AS revenue
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+        GROUP BY 1, 2
+        ORDER BY revenue DESC, l.l_orderkey
+        LIMIT 10
+        """
+    )
+
+
+@register(
+    "sql_nation_revenue",
+    oracle=f"""
+    SELECT n.n_name AS nation_name,
+           {sql_round("CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))"
+                      " * (1 - CAST(l.l_discount AS DECIMAL(9,2)))) AS DOUBLE)", 2)}
+               AS revenue
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY 1
+    """,
+    doc="TPC-H Q5-shaped five-table star join via spark.sql: the region/"
+    "nation/customer dim chain broadcasts; only the orders⋈lineitem edge "
+    "shuffles.",
+)
+def sql_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register_views(spark, sf_dir, "region", "nation", "customer", "orders", "lineitem")
+    return spark.sql(
+        f"""
+        SELECT n.n_name AS nation_name,
+               {sql_round("CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))"
+                          " * (1 - CAST(l.l_discount AS DECIMAL(9,2)))) AS DOUBLE)", 2)}
+                   AS revenue
+        FROM region r
+        JOIN nation n ON n.n_regionkey = r.r_regionkey
+        JOIN customer c ON c.c_nationkey = n.n_nationkey
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE r.r_name = 'ASIA'
+        GROUP BY 1
+        """
+    )
+
+
+@register(
+    "a17_percentiles",
+    oracle=f"""
+    SELECT p_brand,
+           {sql_round("CAST(quantile_cont(p_retailprice, 0.25) AS DOUBLE)", 4)} AS p25,
+           {sql_round("CAST(quantile_cont(p_retailprice, 0.50) AS DOUBLE)", 4)} AS median,
+           {sql_round("CAST(quantile_cont(p_retailprice, 0.75) AS DOUBLE)", 4)} AS p75
+    FROM part
+    GROUP BY 1
+    """,
+    doc="Exact interpolated percentiles per group (W1 foundation). At 100 TB "
+    "use approx_percentile (t-digest sketch, single pass, mergeable) — exact "
+    "percentile keeps per-group value buffers.",
+)
+def a17_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.groupBy("p_brand").agg(
+        portable_round(F.expr("percentile(p_retailprice, 0.25)"), 4).alias("p25"),
+        portable_round(F.expr("percentile(p_retailprice, 0.50)"), 4).alias("median"),
+        portable_round(F.expr("percentile(p_retailprice, 0.75)"), 4).alias("p75"),
+    )
+
+
+@register(
+    "a18_argmax",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_custkey, o_orderkey,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey DESC) AS rmax,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice ASC, o_orderkey DESC) AS rmin
+        FROM orders
+    )
+    SELECT o_custkey AS customer_id,
+           MAX(CASE WHEN rmax = 1 THEN o_orderkey END) AS biggest_order,
+           MAX(CASE WHEN rmin = 1 THEN o_orderkey END) AS smallest_order
+    FROM ranked
+    GROUP BY 1
+    """,
+    doc="argmax/argmin with deterministic composite tiebreak (max_by over a "
+    "struct ordering) — ties on totalprice resolve by orderkey on both "
+    "engines.",
+)
+def a18_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy(F.col("o_custkey").alias("customer_id")).agg(
+        F.expr("max_by(o_orderkey, struct(o_totalprice, o_orderkey))").alias("biggest_order"),
+        F.expr("min_by(o_orderkey, struct(o_totalprice, -o_orderkey))").alias(
+            "smallest_order"
+        ),
+    )
+
+
+@register(
+    "a19_collect_sorted",
+    oracle="""
+    SELECT l_returnflag,
+           array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
+           CAST(len(list(DISTINCT l_linestatus)) AS INTEGER) AS n_statuses
+    FROM lineitem
+    GROUP BY 1
+    """,
+    doc="Array-collecting aggregate rendered deterministically "
+    "(sort_array(collect_set) -> join) — nested results compare as text.",
+)
+def a19_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cs = F.sort_array(F.collect_set("l_linestatus"))
+    return li.groupBy("l_returnflag").agg(
+        F.array_join(cs, ",").alias("statuses"),
+        F.size(cs).alias("n_statuses"),
+    )
+
+
+@register(
+    "a20_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F
+    FROM lineitem
+    GROUP BY 1
+    """,
+    doc="Pivot (one shuffle; pivot values pinned so the schema is static — "
+    "never let pivot() scan for distinct values at scale).",
+)
+def a20_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    out = li.groupBy("l_returnflag").pivot("l_linestatus", ["O", "F"]).count()
+    return out.na.fill(0)
+
+
+@register(
+    "sc_string_functions",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand) AS brand_upper,
+           substr(p_name, 1, 8) AS name_prefix,
+           lpad(p_brand, 12, '*') AS brand_padded,
+           reverse(p_brand) AS brand_rev,
+           replace(p_type, ' ', '_') AS type_snake,
+           repeat(p_brand, 2) AS brand_twice,
+           CAST(strpos(p_name, 'a') AS INTEGER) AS first_a,
+           split_part(p_type, ' ', 1) AS type_head,
+           CAST(levenshtein(p_brand, p_type) AS INTEGER) AS brand_type_dist
+    FROM part
+    """,
+    doc="String-function library (SC10-SC12 generalization): case, substr, "
+    "pad, reverse, replace, repeat, find, split_part, levenshtein — all "
+    "JVM-side, all DuckDB-portable.",
+)
+def sc_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.lpad("p_brand", 12, "*").alias("brand_padded"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.regexp_replace("p_type", " ", "_").alias("type_snake"),
+        F.repeat("p_brand", 2).alias("brand_twice"),
+        F.instr("p_name", "a").cast("int").alias("first_a"),
+        F.split_part("p_type", F.lit(" "), F.lit(1)).alias("type_head"),
+        F.levenshtein("p_brand", "p_type").cast("int").alias("brand_type_dist"),
+    )
+
+
+@register(
+    "sc_date_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) + 30 AS due_date,
+           CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS review_date,
+           date_trunc('month', CAST(o_orderdate AS DATE)) AS order_month_start,
+           last_day(CAST(o_orderdate AS DATE)) AS order_month_end,
+           CAST(isodow(o_orderdate) AS INTEGER) AS iso_weekday,
+           CAST(quarter(o_orderdate) AS INTEGER) AS order_quarter
+    FROM orders
+    """,
+    doc="Date arithmetic library (SC3-SC6 generalization): day/month "
+    "offsets, month truncation, last_day, ISO weekday, quarter. ISO weekday "
+    "via weekday()+1 (Spark dayofweek is Sunday-based; DuckDB dayofweek is "
+    "0-based — isodow is the portable form).",
+)
+def sc_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.date_add(d, 30).alias("due_date"),
+        F.add_months(d, 2).alias("review_date"),
+        F.trunc(d, "month").alias("order_month_start"),
+        F.last_day(d).alias("order_month_end"),
+        (F.weekday(d) + 1).cast("int").alias("iso_weekday"),
+        F.quarter(d).cast("int").alias("order_quarter"),
+    )

@@ -1,0 +1,81 @@
+"""Sampling & generation queries — SURVEY.md §2.10 (SM1-SM4).
+
+Seeded randomness can't be replayed inside DuckDB, so these are rows-only
+checks by design (SURVEY §7 risk 4); determinism WITHIN Spark is covered by
+tests/test_sampling.py instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ecommerce_etl_pipeline_spark.operators.sampling import (
+    ri_cascade_sample,
+    seeded_sample,
+    seeded_sample_exact,
+)
+from ecommerce_etl_pipeline_spark.plans.registry import register
+from ecommerce_etl_pipeline_spark.sources.generator import generate_transactions
+from ecommerce_etl_pipeline_spark.sources.io import load_table
+
+
+@register(
+    "sm1_seeded_sample",
+    doc="10% Bernoulli sample, seed 42 (SM1) — reference "
+    "data_sampling.py:40-43. Rows-only: seeded rand isn't oracle-replayable.",
+)
+def sm1_seeded_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return seeded_sample(load_table(spark, sf_dir, "orders"), 0.1)
+
+
+@register(
+    "sm2_exact_n_sample",
+    doc="Exact-n seeded sample via rand+row_number (SM1 exact variant, "
+    "SURVEY §4 item 2). Rows-only.",
+)
+def sm2_exact_n_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return seeded_sample_exact(load_table(spark, sf_dir, "orders"), 100, "o_orderkey")
+
+
+@register(
+    "sm3_ri_cascade_sample",
+    doc="Referential-integrity cascade sample (SM3) — reference "
+    "data_sampling.py:144-151: sample customers -> semi-join orders -> "
+    "semi-join lineitem, one lazy DAG, no driver key lists. Rows-only.",
+)
+def sm3_ri_cascade_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    sampled_cust, sampled_orders, sampled_li = ri_cascade_sample(
+        customer,
+        [(orders, "o_custkey", "c_custkey"), (li, "l_orderkey", "o_orderkey")],
+        fraction=0.1,
+    )
+    return sampled_li.agg(
+        F.count(F.lit(1)).alias("sampled_lineitems"),
+        F.countDistinct("l_orderkey").alias("sampled_orders"),
+    )
+
+
+@register(
+    "sm4_generated_transactions",
+    doc="Distributed synthetic-transaction generator (SM4/N5) — reference "
+    "data_generator.py:52-81 as a spark.range program; parses its own JSON "
+    "back (N1) to prove the round-trip. Rows-only.",
+)
+def sm4_generated_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    txn = generate_transactions(spark, 1000)
+    items = F.from_json(
+        "product_metadata",
+        "array<struct<product_id:bigint,quantity:int,item_price:bigint>>",
+    )
+    return txn.select(
+        "booking_id",
+        "payment_method",
+        F.size(items).alias("num_items"),
+        F.aggregate(
+            items, F.lit(0).cast("bigint"), lambda acc, x: acc + x["quantity"]
+        ).alias("total_items"),
+    )

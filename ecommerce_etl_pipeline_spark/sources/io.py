@@ -141,6 +141,44 @@ def write_json(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    query: str,
+    *,
+    properties: dict[str, str] | None = None,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int = 8,
+) -> DataFrame:
+    """JDBC source (S5) — the reference's one Postgres-delegated query
+    (customer_analytics_dag.py:177-188 ``pd.read_sql``) as a Spark JDBC
+    read. With ``partition_column`` + bounds the read is split into
+    ``num_partitions`` parallel range scans instead of one connection
+    pulling everything — mandatory at scale. Simple predicates on the
+    result push down into the remote database.
+
+    Untested here (no database in this environment); the engine-native
+    path for the same query is a plain join — see j1_order_lineitem_join.
+    """
+    reader = spark.read.format("jdbc").option("url", url)
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    if partition_column is not None:
+        # partitioned reads require dbtable (a subquery alias), not query
+        reader = (
+            reader.option("dbtable", f"({query}) q")
+            .option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions))
+        )
+    else:
+        reader = reader.option("query", query)
+    return reader.load()
+
+
 def upsert_append(target: DataFrame, incoming: DataFrame, keys: list[str]) -> DataFrame:
     """Idempotent insert: rows of ``incoming`` whose key is absent from
     ``target`` (S9, ``ON CONFLICT DO NOTHING`` — reference test_db.py:53-64).

@@ -9,4 +9,10 @@ functions in the hot path, pandas UDFs only at the sanctioned multimodal
 decode boundary.
 """
 
-from ecommerce_etl_pipeline_spark.llmops import dedup, multimodal, similarity, text  # noqa: F401
+from ecommerce_etl_pipeline_spark.llmops import (  # noqa: F401
+    clustering,
+    dedup,
+    multimodal,
+    similarity,
+    text,
+)

@@ -1,0 +1,140 @@
+"""Iterative/ML-assisted llmops operators: duplicate-cluster resolution
+(connected components) and IVF approximate nearest neighbors.
+
+Both are the canonical "beyond one SQL query" shapes: connected components
+is an iterative fixpoint (non-SQL-expressible — rows-only checked), IVF
+uses a trained coarse quantizer (KMeans) as its bucketer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ecommerce_etl_pipeline_spark.operators.parallelism import ensure_parallelism
+
+
+def connected_components(
+    pairs: DataFrame,
+    *,
+    src: str = "doc1",
+    dst: str = "doc2",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Resolve near-duplicate PAIRS into duplicate CLUSTERS: connected
+    components by iterative min-label propagation.
+
+    Each node repeatedly adopts the minimum label among itself and its
+    neighbors until no label changes (hash-join + groupBy per round —
+    O(diameter) rounds, and near-dup graphs have tiny diameters). Returns
+    (node, component) where component = min doc_id of the cluster; the
+    component representative is the canonical document to keep.
+
+    At 100 TB scale the same loop runs with checkpointing every few rounds
+    to truncate lineage (Spark's iterative-algorithm standard practice).
+    """
+    edges = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.node)
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    "component", F.coalesce("nbr_component", F.col("component"))
+                ).alias("component"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_probe: int = 2,
+    k: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
+    assigns every vector to its nearest centroid cell; each query probes its
+    ``n_probe`` closest cells and ranks only those members.
+
+    The scale shape: candidate set ≈ corpus × n_probe / n_cells per query;
+    recall rises with n_probe at linear candidate cost. Training samples the
+    corpus (quantizer quality needs thousands of vectors, not all of them).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from ecommerce_etl_pipeline_spark.llmops.similarity import cosine, dot
+
+    corpus = ensure_parallelism(corpus)
+    with_vec = corpus.withColumn("_v", array_to_vector(F.col(vec_col)))
+    km = KMeans(k=n_cells, seed=seed, featuresCol="_v", predictionCol="_cell")
+    model = km.fit(with_vec.select("_v"))
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+
+    def cell_dists(vec):
+        # negative dot to each centroid (unit-ish vectors: max dot = nearest)
+        return F.array(
+            *[dot(vec, F.array(*[F.lit(x) for x in c])) for c in centroids]
+        )
+
+    def probe_cells(vec):
+        dists = cell_dists(vec)
+        idx = F.sequence(F.lit(0), F.lit(n_cells - 1))
+        pairs = F.zip_with(dists, idx, lambda d, i: F.struct(d.alias("d"), i.alias("i")))
+        return F.slice(F.reverse(F.array_sort(pairs)), 1, n_probe)
+
+    assigned = model.transform(with_vec).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("vec"),
+        F.col("_cell").cast("int").alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("query_vec"),
+        F.explode(probe_cells(F.col(vec_col))).alias("probe"),
+    ).select("query_id", "query_vec", F.col("probe.i").alias("cell"))
+
+    scored = (
+        assigned.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine(F.col("query_vec"), F.col("vec")))
+        .select("query_id", "neighbor_id", "cosine")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

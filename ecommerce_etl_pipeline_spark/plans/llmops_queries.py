@@ -290,3 +290,98 @@ def mm_asset_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     assets = multimodal.assets_from_documents(docs)
     return multimodal.extract_features(assets, fake=True)
+
+
+_COS_SQL = (
+    "list_sum(list_transform(generate_series(1, len(a.embedding)), "
+    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) "
+    "/ (sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)), "
+    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) "
+    "* sqrt(list_sum(list_transform(generate_series(1, len(b.embedding)), "
+    "i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))"
+)
+
+
+@register(
+    "dd_embedding_neardup",
+    oracle=f"""
+    SELECT a.vec_id AS id1, b.vec_id AS id2,
+           {sql_round(_COS_SQL, 6)} AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.vec_id < b.vec_id AND a.vec_id < 200 AND b.vec_id < 200
+    WHERE {_COS_SQL} >= 0.5
+    """,
+    doc="Embedding-cosine near-duplicate pairs (the 5th dedup modality): "
+    "exact all-pairs on a bounded id range as the oracle-checkable core; "
+    "the unbounded form routes candidates through sim_lsh_topk / "
+    "sim_ivf_topk bucketing instead of a cross join.",
+)
+def dd_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    a = emb.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("e1"))
+    b = emb.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("e2"))
+    cos = similarity.cosine(F.col("e1"), F.col("e2"))
+    return (
+        a.join(F.broadcast(b), F.col("id1") < F.col("id2"))
+        .withColumn("_cos", cos)
+        .filter(F.col("_cos") >= 0.5)
+        .select("id1", "id2", portable_round(F.col("_cos"), 6).alias("cosine"))
+    )
+
+
+@register(
+    "dd_dup_clusters",
+    doc="Duplicate-cluster resolution: near-dup pairs (MinHash) -> connected "
+    "components via iterative min-label propagation — the canonical "
+    "non-SQL-expressible iterative algorithm. Rows-only check.",
+)
+def dd_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecommerce_etl_pipeline_spark.llmops.clustering import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_candidate_pairs(docs).filter(F.col("jaccard") >= 0.5)
+    comps = connected_components(pairs)
+    return comps.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.sort_array(F.collect_list("node")).alias("members"),
+    )
+
+
+@register(
+    "sim_ivf_topk",
+    doc="IVF approximate top-k: KMeans coarse quantizer (16 cells), each "
+    "query probes its 2 nearest cells. Rows-only check (trained quantizer).",
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecommerce_etl_pipeline_spark.llmops.clustering import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+@register(
+    "txt_vocabulary",
+    oracle="""
+    SELECT tok AS token, COUNT(*) AS freq,
+           COUNT(DISTINCT doc_id) AS doc_freq
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+    GROUP BY 1
+    ORDER BY freq DESC, token
+    LIMIT 50
+    """,
+    doc="Corpus vocabulary statistics: term frequency + document frequency "
+    "(explode tokens -> two-level aggregate) — the TF/DF base for quality "
+    "filters and IDF weighting.",
+)
+def txt_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(50)
+    )

@@ -136,22 +136,36 @@ def j3_parts_with_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 20
     """,
     doc="Market-basket pair mining + double aliased name lookup (J4, J7, A9) "
-    "— reference product_analytics_dag.py:196-234. The self-join is keyed on "
-    "orderkey (bounded fan-out: ≤7 items/order) and the name dim broadcasts "
-    "twice under different aliases.",
+    "— reference product_analytics_dag.py:196-234. Pairs are generated "
+    "in-place from per-order baskets (sorted collect_list + nested transform: "
+    "one shuffle, fan-out bounded by items/order) instead of a fact-table "
+    "self-join, which would shuffle lineitem twice and explode intermediate "
+    "rows at 100 TB; the name dim broadcasts twice under different aliases. "
+    "Position-pairs over the sorted multiset with product1<>product2 are "
+    "exactly the self-join's a.l_partkey < b.l_partkey multiplicity.",
 )
 def j4_pair_names_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.alias("a")
-    b = li.alias("b")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("l_partkey")).alias("parts")
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        baskets.select(
+            F.explode(
+                F.expr(
+                    """
+                    flatten(transform(parts, (x, i) ->
+                        filter(
+                            transform(slice(parts, i + 2, size(parts) - i - 1), y ->
+                                struct(x AS product1, y AS product2)),
+                            p -> p.product1 <> p.product2)))
+                    """
+                )
+            ).alias("pair")
         )
         .groupBy(
-            F.col("a.l_partkey").alias("product1"), F.col("b.l_partkey").alias("product2")
+            F.col("pair.product1").alias("product1"),
+            F.col("pair.product2").alias("product2"),
         )
         .agg(F.count(F.lit(1)).alias("pair_count"))
     )

@@ -103,9 +103,15 @@ def ivf_topk(
     centroids = [list(map(float, c)) for c in model.clusterCenters()]
 
     def cell_dists(vec):
-        # negative dot to each centroid (unit-ish vectors: max dot = nearest)
+        # Euclidean-equivalent score: argmin ||x-c||^2 = argmax (x.c - ||c||^2/2)
+        # (the ||x||^2 term is constant per query) — MUST match the KMeans
+        # assignment metric or probes visit the wrong cells.
         return F.array(
-            *[dot(vec, F.array(*[F.lit(x) for x in c])) for c in centroids]
+            *[
+                dot(vec, F.array(*[F.lit(x) for x in c]))
+                - F.lit(sum(x * x for x in c) / 2.0)
+                for c in centroids
+            ]
         )
 
     def probe_cells(vec):

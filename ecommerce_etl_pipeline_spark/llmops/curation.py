@@ -1,0 +1,86 @@
+"""Training-data curation: the end-to-end pipeline a 100 TB pretraining
+corpus goes through — language ID -> quality filter -> exact dedup ->
+near-dup cluster canonicalization — composed from the llmops operators as
+ONE lazy plan (no intermediate materialization; Catalyst fuses the narrow
+stages, and the only wide stages are the dedup shuffles).
+
+Mirrors the shape of published pipelines (C4 / RefinedWeb / FineWeb):
+heuristic filters first (cheap, narrow, prune early so the expensive dedup
+shuffles see fewer bytes), exact dedup before near-dup (hash shuffle is
+cheaper than shingle shuffle), canonical representative = min doc_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ecommerce_etl_pipeline_spark.llmops import dedup, text
+from ecommerce_etl_pipeline_spark.llmops.clustering import connected_components
+
+
+def predicted_lang(t: F.Column) -> F.Column:
+    """Stopword-hit argmax language ID (same rule as txt_lang_id_confusion)."""
+    hits = {lang: text.stopword_hits(t, lang) for lang in ("en", "es", "de")}
+    return (
+        F.when(
+            (hits["en"] >= hits["es"]) & (hits["en"] >= hits["de"]) & (hits["en"] > 0),
+            F.lit("en"),
+        )
+        .when((hits["es"] >= hits["de"]) & (hits["es"] > 0), F.lit("es"))
+        .when(hits["de"] > 0, F.lit("de"))
+        .otherwise(F.lit("unknown"))
+    )
+
+
+def curate(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang: str = "en",
+    min_tokens: int = 5,
+    max_punct_ratio: float = 0.3,
+    jaccard_threshold: float = 0.5,
+    use_minhash: bool = True,
+) -> DataFrame:
+    """Curated corpus: (doc_id, text, n_tokens) of the documents that
+    survive all four stages. ``use_minhash=True`` is the scale path
+    (LSH-banded candidates); ``False`` runs the exact shingle-Jaccard join
+    (oracle-friendly, same downstream semantics).
+    """
+    t = F.col(text_col)
+
+    # 1+2: narrow, fused, pushed to the scan — prune before any shuffle.
+    filtered = docs.filter(
+        (predicted_lang(t) == lang)
+        & (text.token_count(t) >= min_tokens)
+        & (text.punct_ratio(t) <= max_punct_ratio)
+    )
+
+    # 3: exact dedup — keep the min-id copy of each byte-identical text.
+    exact = (
+        filtered.groupBy(F.md5(t).alias("_h"))
+        .agg(F.min(id_col).alias("_keep"))
+        .select(F.col("_keep").alias(id_col))
+        .join(filtered, id_col)
+    )
+
+    # 4: near-dup — candidate pairs -> clusters -> keep each cluster's
+    # representative (min id). Non-clustered docs pass through untouched.
+    if use_minhash:
+        pairs = dedup.minhash_candidate_pairs(exact, id_col, text_col).filter(
+            F.col("jaccard") >= jaccard_threshold
+        )
+    else:
+        pairs = dedup.jaccard_similarity_join(
+            exact, id_col, text_col, threshold=jaccard_threshold, hashed=False
+        )
+    drop = (
+        connected_components(pairs)
+        .filter(F.col("node") != F.col("component"))
+        .select(F.col("node").alias(id_col))
+    )
+    return exact.join(drop, id_col, "left_anti").select(
+        id_col, text_col, text.token_count(t).alias("n_tokens")
+    )

@@ -44,6 +44,14 @@ def shingle_hashes(text: Column, k: int = 3) -> Column:
     )
 
 
+def shingle_strings(text: Column, k: int = 3) -> Column:
+    """Distinct shingle STRINGS (no hashing) — exact-oracle variant of
+    :func:`shingle_hashes`: reproducible in any SQL engine, so Jaccard over
+    these is DuckDB-checkable. Hashes stay the scale path (fixed-width
+    ints shuffle smaller than strings)."""
+    return F.array_distinct(shingles(F.split(text, " "), k))
+
+
 def _minhash_coeffs(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     rng = random.Random(seed)
     return [
@@ -224,6 +232,7 @@ def jaccard_similarity_join(
     *,
     threshold: float = 0.5,
     shingle_k: int = 3,
+    hashed: bool = True,
 ) -> DataFrame:
     """Exact n-gram (shingle) Jaccard set-similarity join.
 
@@ -232,11 +241,21 @@ def jaccard_similarity_join(
     |A∩B| / (|A|+|B|-|A∩B|) ≥ threshold. Shingles (vs raw tokens) keep the
     inverted index selective, so the shuffle carries near-duplicate pairs,
     not the cross product.
+
+    ``hashed=False`` shuffles raw shingle strings instead of 31-bit hashes:
+    bit-identical to a SQL-engine oracle (no cross-engine hash function
+    needed, no collision risk) at the cost of a wider exchange — the
+    oracle-parity mode; ``hashed=True`` is the 100 TB mode.
     """
     docs = ensure_parallelism(docs)
+    shingle_col = (
+        shingle_hashes(F.col(text_col), shingle_k)
+        if hashed
+        else shingle_strings(F.col(text_col), shingle_k)
+    )
     sets = docs.select(
         F.col(id_col).alias("doc_id"),
-        shingle_hashes(F.col(text_col), shingle_k).alias("hashes"),
+        shingle_col.alias("hashes"),
     ).withColumn("set_size", F.size("hashes"))
     inv = sets.select("doc_id", "set_size", F.explode("hashes").alias("h"))
     l, r = inv.alias("l"), inv.alias("r")

@@ -259,14 +259,89 @@ def dd_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_pairs(docs)
 
 
+# 3-word shingle sets + inverted-index intersection counts, in DuckDB. The
+# candidate set is COMPLETE (a pair at jaccard >= t shares >= 1 shingle), so
+# unlike the MinHash/SimHash paths this is exactly oracle-checkable.
+def _jaccard_pairs_sql(src: str = "documents") -> str:
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM {src}
+    ), sh AS (
+        SELECT doc_id,
+               CASE WHEN len(t) >= 3 THEN
+                   list_distinct(list_transform(generate_series(1, len(t) - 2),
+                       i -> array_to_string(t[i:i+2], ' ')))
+               ELSE [array_to_string(t, ' ')] END AS shingles
+        FROM toks
+    ), inv AS (
+        SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh
+    ), inter AS (
+        SELECT l.doc_id AS doc1, r.doc_id AS doc2, l.n AS n1, r.n AS n2,
+               COUNT(*) AS c
+        FROM inv l JOIN inv r ON l.s = r.s AND l.doc_id < r.doc_id
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc1, doc2, c / (n1 + n2 - c) AS jac
+    FROM inter WHERE c / (n1 + n2 - c) >= 0.5
+"""
+
+
 @register(
     "dd_jaccard_pairs",
+    oracle=f"""
+    SELECT doc1, doc2, {sql_round('jac', 6)} AS jaccard
+    FROM ({_jaccard_pairs_sql()})
+    """,
     doc="Exact shingle-Jaccard set-similarity join (inverted-index "
-    "candidates, threshold 0.5). Rows-only check.",
+    "candidates, threshold 0.5). Candidates are complete — any pair at "
+    "jaccard >= t shares a shingle — so this near-dup path is fully "
+    "oracle-checked (raw-shingle mode; production uses 31-bit hashed "
+    "shingles for a narrower shuffle).",
 )
 def dd_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.jaccard_similarity_join(docs, threshold=0.5)
+    pairs = dedup.jaccard_similarity_join(docs, threshold=0.5, hashed=False)
+    return pairs.select(
+        "doc1", "doc2", portable_round(F.col("jaccard"), 6).alias("jaccard")
+    )
+
+
+@register(
+    "dd_jaccard_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_jaccard_pairs_sql()}),
+    edges AS (
+        SELECT doc1 AS a, doc2 AS b FROM pairs
+        UNION SELECT doc2, doc1 FROM pairs
+    ),
+    reach(node, r) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.a, re.r FROM edges e JOIN reach re ON e.b = re.node
+    )
+    SELECT component, COUNT(*) AS cluster_size,
+           array_to_string(list_sort(list(node)), ',') AS members
+    FROM (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+    GROUP BY 1
+    """,
+    doc="Duplicate-cluster resolution over EXACT jaccard pairs: iterative "
+    "min-label propagation (llmops/clustering.py) oracle-checked against a "
+    "DuckDB recursive-CTE transitive closure — the iterative fixpoint is "
+    "verifiable because the candidate pairs are themselves exact.",
+)
+def dd_jaccard_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecommerce_etl_pipeline_spark.llmops.clustering import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_similarity_join(docs, threshold=0.5, hashed=False)
+    comps = connected_components(pairs)
+    members = F.transform(
+        F.sort_array(F.collect_list("node")), lambda x: x.cast("string")
+    )
+    return comps.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.array_join(members, ",").alias("members"),
+    )
 
 
 @register(
@@ -341,9 +416,12 @@ def dd_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.minhash_candidate_pairs(docs).filter(F.col("jaccard") >= 0.5)
     comps = connected_components(pairs)
+    members = F.transform(
+        F.sort_array(F.collect_list("node")), lambda x: x.cast("string")
+    )
     return comps.groupBy("component").agg(
         F.count(F.lit(1)).alias("cluster_size"),
-        F.sort_array(F.collect_list("node")).alias("members"),
+        F.array_join(members, ",").alias("members"),
     )
 
 
@@ -385,3 +463,66 @@ def txt_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("freq"), F.asc("token"))
         .limit(50)
     )
+
+
+_CURATED_BASE_SQL = f"""
+    hits AS (
+        SELECT doc_id, text,
+               {_LANG_HITS['en']} AS en_hits,
+               {_LANG_HITS['es']} AS es_hits,
+               {_LANG_HITS['de']} AS de_hits,
+               len(string_split(text, ' ')) AS n_tokens,
+               CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+                   / length(text) AS pr
+        FROM documents
+    ), curated_filtered AS (
+        SELECT doc_id, text, CAST(n_tokens AS INTEGER) AS n_tokens FROM hits
+        WHERE (CASE
+                   WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits > 0
+                       THEN 'en'
+                   WHEN es_hits >= de_hits AND es_hits > 0 THEN 'es'
+                   WHEN de_hits > 0 THEN 'de'
+                   ELSE 'unknown' END) = 'en'
+          AND n_tokens >= 5 AND pr <= 0.3
+    ), curated_exact AS (
+        SELECT doc_id, text, n_tokens FROM curated_filtered
+        QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+    )
+"""
+
+
+@register(
+    "dd_curation_pipeline",
+    oracle=f"""
+    WITH RECURSIVE {_CURATED_BASE_SQL},
+    pairs AS ({_jaccard_pairs_sql('curated_exact')}),
+    edges AS (
+        SELECT doc1 AS a, doc2 AS b FROM pairs
+        UNION SELECT doc2, doc1 FROM pairs
+    ),
+    reach(node, r) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.a, re.r FROM edges e JOIN reach re ON e.b = re.node
+    )
+    SELECT doc_id, n_tokens FROM curated_exact
+    WHERE doc_id NOT IN (
+        SELECT node FROM (SELECT node, MIN(r) AS c FROM reach GROUP BY node)
+        WHERE node <> c
+    )
+    """,
+    doc="END-TO-END training-data curation (llmops/curation.py): language-ID "
+    "filter -> quality filter (length/punct heuristics) -> exact dedup "
+    "(md5, keep min id) -> near-dup cluster canonicalization (exact jaccard "
+    "pairs -> connected components -> keep representative). One lazy plan; "
+    "oracle-checked END TO END because every stage of the exact-jaccard "
+    "variant is SQL-expressible (recursive CTE for the fixpoint). The 100 TB "
+    "path swaps stage 4's candidate generator for MinHash-LSH banding "
+    "(use_minhash=True, same downstream semantics, rows-only checkable).",
+)
+def dd_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecommerce_etl_pipeline_spark.llmops import curation
+
+    docs = load_table(spark, sf_dir, "documents")
+    curated = curation.curate(docs, use_minhash=False)
+    return curated.select("doc_id", F.col("n_tokens").cast("int").alias("n_tokens"))

@@ -40,6 +40,7 @@ HEADLINE = [
     "dd_minhash_pairs",
     "txt_quality_scores",
     "sim_cosine_topk",
+    "dd_curation_pipeline",
 ]
 
 

@@ -15,35 +15,96 @@ from pyspark.sql.window import Window
 from ecommerce_etl_pipeline_spark.operators.parallelism import ensure_parallelism
 
 
+#: Below this many (undirected) candidate edges the component resolution
+#: runs as driver-side union-find over one collect — the same thresholded
+#: local-fast-path idea as Spark's broadcast join. 2M edges ≈ 32 MB on the
+#: driver; candidate graphs are duplicate-density-sized, so most corpora
+#: land far under this even at 100 TB. Above it: distributed label
+#: propagation.
+SMALL_GRAPH_EDGES = 2_000_000
+
+
+def _union_find_components(edge_rows) -> list[tuple]:
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edge_rows:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min so the representative is the min id
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return [(n, find(n)) for n in parent]
+
+
 def connected_components(
     pairs: DataFrame,
     *,
     src: str = "doc1",
     dst: str = "doc2",
     max_iterations: int = 20,
+    small_graph_edges: int = SMALL_GRAPH_EDGES,
 ) -> DataFrame:
     """Resolve near-duplicate PAIRS into duplicate CLUSTERS: connected
-    components by iterative min-label propagation.
+    components. Returns (node, component) where component = min doc_id of
+    the cluster; the component representative is the canonical document.
 
-    Each node repeatedly adopts the minimum label among itself and its
-    neighbors until no label changes (hash-join + groupBy per round —
-    O(diameter) rounds, and near-dup graphs have tiny diameters). Returns
-    (node, component) where component = min doc_id of the cluster; the
-    component representative is the canonical document to keep.
+    Two physical strategies behind one semantic (chosen at runtime from the
+    materialized edge count, like AQE picks join strategies):
 
-    At 100 TB scale the same loop runs with checkpointing every few rounds
-    to truncate lineage (Spark's iterative-algorithm standard practice).
+    - small graph (≤ ``small_graph_edges``): one collect + driver
+      union-find with path compression, result re-parallelized. Candidate
+      graphs are duplicate-density-sized — almost always this path — and
+      O(E α(E)) locally beats O(diameter) distributed rounds of job-launch
+      overhead by ~10x.
+    - large graph: iterative min-label propagation. Each node repeatedly
+      adopts the minimum label among itself and its neighbors (hash-join +
+      groupBy per round, O(diameter) rounds — near-dup graphs have tiny
+      diameters). Edges and each round's labels are cached so round N+1
+      never replays round N's lineage (at cluster scale swap cache() for
+      checkpoint every few rounds); convergence is detected from a MONOTONE
+      invariant — labels only ever decrease, so sum(component) is
+      stationary exactly at the fixpoint — one cheap aggregate per round
+      instead of a changed-rows self-join.
     """
+    spark = pairs.sparkSession
     edges = (
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        .cache()
     )
+    n_edges = edges.count()
+
+    if n_edges <= small_graph_edges:
+        rows = _union_find_components(
+            [(r.a, r.b) for r in edges.collect() if r.a < r.b]
+        )
+        edges.unpersist()
+        schema = pairs.select(
+            F.col(src).alias("node"), F.col(src).alias("component")
+        ).schema
+        return spark.createDataFrame(rows, schema)
+
     labels = (
         edges.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
+        .cache()
     )
+    # decimal(38,0) running sum: overflow-proof however many nodes
+    total = labels.agg(
+        F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+    ).collect()[0]["s"]
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.b == labels.node)
@@ -58,17 +119,17 @@ def connected_components(
                     "component", F.coalesce("nbr_component", F.col("component"))
                 ).alias("component"),
             )
+            .cache()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
+        new_total = new_labels.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+        labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if new_total == total:
             break
+        total = new_total
+    edges.unpersist()
     return labels
 
 

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ecommerce_etl_pipeline_spark.llmops import dedup, text
 from ecommerce_etl_pipeline_spark.llmops.clustering import connected_components
@@ -59,11 +60,17 @@ def curate(
     )
 
     # 3: exact dedup — keep the min-id copy of each byte-identical text.
+    # One window pass (single shuffle on the md5, no skew: hashes are
+    # near-unique) instead of groupBy+self-join, which would scan the
+    # filtered input twice. Cached: feeds both the candidate-pair
+    # generation (materialized during component resolution) and the final
+    # anti-join.
+    w = Window.partitionBy(F.md5(t)).orderBy(id_col)
     exact = (
-        filtered.groupBy(F.md5(t).alias("_h"))
-        .agg(F.min(id_col).alias("_keep"))
-        .select(F.col("_keep").alias(id_col))
-        .join(filtered, id_col)
+        filtered.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .cache()
     )
 
     # 4: near-dup — candidate pairs -> clusters -> keep each cluster's

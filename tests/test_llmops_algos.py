@@ -4,21 +4,27 @@ recall against the brute-force ground truth, curation stage monotonicity."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from ecommerce_etl_pipeline_spark.llmops import curation, similarity
 from ecommerce_etl_pipeline_spark.llmops.clustering import connected_components, ivf_topk
 from ecommerce_etl_pipeline_spark.sources.io import load_table
 
+# threshold high -> driver union-find fast path; 0 -> distributed label
+# propagation. Same semantics, both must pass everything.
+BOTH_PATHS = pytest.mark.parametrize("small_edges", [2_000_000, 0], ids=["local", "distributed"])
 
-def test_connected_components_handcrafted(spark):
+
+@BOTH_PATHS
+def test_connected_components_handcrafted(spark, small_edges):
     # components: {1,2,3,4} (chain), {10,11}, pair-only {20,21}
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (10, 11), (21, 20)], ["doc1", "doc2"]
     )
     got = {
         (r.node, r.component)
-        for r in connected_components(edges).collect()
+        for r in connected_components(edges, small_graph_edges=small_edges).collect()
     }
     assert got == {
         (1, 1), (2, 1), (3, 1), (4, 1),
@@ -27,9 +33,10 @@ def test_connected_components_handcrafted(spark):
     }
 
 
-def test_connected_components_converges_on_cycle(spark):
+@BOTH_PATHS
+def test_connected_components_converges_on_cycle(spark, small_edges):
     edges = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], ["doc1", "doc2"])
-    rows = connected_components(edges).collect()
+    rows = connected_components(edges, small_graph_edges=small_edges).collect()
     assert {r.component for r in rows} == {1}
     assert {r.node for r in rows} == {1, 2, 3}
 

@@ -68,11 +68,27 @@ def test_partial_aggregation(spark):
     assert "Exchange" in plan
 
 
-def test_no_python_udfs_in_oracle_queries(spark):
+def test_embedding_neardup_broadcasts_bounded_side(spark):
+    # non-equi (id1 < id2) join against a bounded id range must broadcast
+    # the small side, never shuffle a cross product
+    plan = plan_of(spark, "dd_embedding_neardup")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_vocabulary_partial_agg_and_topk(spark):
+    plan = plan_of(spark, "txt_vocabulary")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 2  # map-side partial before exchange
+
+
+def test_no_python_udfs_or_cartesian_in_oracle_queries(spark):
     """Oracle-checked queries must stay JVM-side (Python evaluation nodes
-    are allowed only in the sanctioned multimodal path)."""
+    are allowed only in the sanctioned multimodal path) and must never plan
+    an unbounded cross product."""
     for name, spec in _REGISTRY.items():
         if spec.oracle is None:
             continue
         plan = explain_str(spec.fn(spark, SF), "simple")
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name

@@ -101,3 +101,79 @@ def extract_features(assets: DataFrame, *, fake: bool = True) -> DataFrame:
             )
 
     return assets.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("frame_index", IntegerType()),
+        StructField("frame_offset", LongType()),
+        StructField("frame_payload", BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    assets: DataFrame,
+    *,
+    frame_bytes: int = 64,
+    every_nth: int = 4,
+    fake: bool = True,
+) -> DataFrame:
+    """Frame sampling: one video asset row fans out to N frame rows — the
+    1→N explode shape every video pipeline needs, through Arrow batches.
+
+    The fake decoder treats the payload as fixed-size byte frames and keeps
+    every ``every_nth`` one (a real one would demux + decode keyframes with
+    identical plumbing). Output partitioning inherits the input's, so
+    downstream per-frame work parallelizes without a shuffle.
+    """
+    if not fake:
+        require_codecs()
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "asset_id": [],
+                "frame_index": [],
+                "frame_offset": [],
+                "frame_payload": [],
+            }
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                n_frames = max(1, len(payload) // frame_bytes)
+                for i in range(0, n_frames, every_nth):
+                    off = i * frame_bytes
+                    out["asset_id"].append(aid)
+                    out["frame_index"].append(i)
+                    out["frame_offset"].append(off)
+                    out["frame_payload"].append(bytes(payload[off : off + frame_bytes]))
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(batches, FRAME_SCHEMA)
+
+
+def resize(assets: DataFrame, *, target_bytes: int = 256, fake: bool = True) -> DataFrame:
+    """Payload resize: binary -> binary transform preserving the asset
+    schema (metadata updated to the new size). The fake path
+    truncates/zero-pads to ``target_bytes``; a real one would re-encode at
+    a target resolution with the same batch-in/batch-out shape.
+    """
+    if not fake:
+        require_codecs()
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            resized = pdf["payload"].map(
+                lambda b: bytes(b[:target_bytes]).ljust(target_bytes, b"\x00")
+            )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": pdf["media_type"],
+                    "payload": resized,
+                    "n_bytes": resized.map(len).astype("int64"),
+                    "source": pdf["source"],
+                }
+            )
+
+    return assets.mapInPandas(batches, ASSET_SCHEMA)

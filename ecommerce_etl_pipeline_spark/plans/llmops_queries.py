@@ -526,3 +526,18 @@ def dd_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     curated = curation.curate(docs, use_minhash=False)
     return curated.select("doc_id", F.col("n_tokens").cast("int").alias("n_tokens"))
+
+
+@register(
+    "mm_frame_sample",
+    doc="Multimodal frame sampling: 1 video asset row -> N frame rows "
+    "through Arrow-batched mapInPandas (deterministic fake demux standing "
+    "in for the stubbed codec; plumbing — schema, fan-out, partition "
+    "inheritance — is real). Rows-only check.",
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    assets = multimodal.assets_from_documents(docs)
+    return multimodal.sample_frames(assets, frame_bytes=64, every_nth=4).drop(
+        "frame_payload"
+    )

@@ -142,6 +142,18 @@ def user_running_counts_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def deduped_events_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup: drop repeated event_ids in-flight with
+    ``dropDuplicatesWithinWatermark`` — state holds one key per event_id
+    seen within the watermark horizon and is evicted past it, so state size
+    tracks the duplicate-arrival window, not the stream length. The
+    streaming face of dd_exact_dedup (at-least-once source -> exactly-once
+    facts)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def stream_to_memory(
     df: DataFrame, name: str, *, output_mode: str = "complete", timeout_sec: int = 120
 ) -> None:

@@ -71,3 +71,25 @@ def test_curation_stages_monotone_and_deduped(spark, sf_dir):
         for r in curation.curate(docs, use_minhash=True).select("doc_id").collect()
     }
     assert kept_exact <= kept_minhash
+
+
+def test_multimodal_frame_sampling_and_resize(spark, sf_dir):
+    from ecommerce_etl_pipeline_spark.llmops import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = multimodal.assets_from_documents(docs)
+
+    frames = multimodal.sample_frames(assets, frame_bytes=64, every_nth=4)
+    rows = frames.limit(500).collect()
+    assert rows and all(len(r.frame_payload) <= 64 for r in rows)
+    assert all(r.frame_offset == r.frame_index * 64 for r in rows)
+    # 1 -> N fan-out: more frames than assets for long docs, >=1 per asset
+    per_asset = frames.groupBy("asset_id").count()
+    assert per_asset.agg(F.min("count")).collect()[0][0] >= 1
+
+    resized = multimodal.resize(assets, target_bytes=128)
+    assert [(f.name, f.dataType) for f in resized.schema] == [
+        (f.name, f.dataType) for f in assets.schema
+    ]
+    sizes = {r.n_bytes for r in resized.select("n_bytes").distinct().collect()}
+    assert sizes == {128}

@@ -59,3 +59,16 @@ def test_stateful_running_counts(spark):
     }
     # single availableNow batch => final state equals batch counts
     assert got == want
+
+
+def test_streaming_dedup(spark):
+    from ecommerce_etl_pipeline_spark.streaming import deduped_events_stream
+
+    ev = read_events_stream(spark, SF)
+    stream_to_memory(deduped_events_stream(ev), "t_dedup", output_mode="append")
+    rows = spark.table("t_dedup").collect()
+    ids = [r.event_id for r in rows]
+    assert len(ids) == len(set(ids))  # no duplicate survives
+    # equals batch-side exact dedup cardinality
+    want = load_table(spark, SF, "events").select("event_id").distinct().count()
+    assert len(ids) == want

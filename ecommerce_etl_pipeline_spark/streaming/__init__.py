@@ -6,5 +6,6 @@ from ecommerce_etl_pipeline_spark.streaming.streams import (  # noqa: F401
     read_events_stream,
     session_window_stream,
     stream_to_memory,
+    stream_to_table,
     user_running_counts_stream,
 )

@@ -154,6 +154,42 @@ def deduped_events_stream(events: DataFrame, watermark: str = "1 hour") -> DataF
     )
 
 
+def stream_to_table(
+    df: DataFrame,
+    table: str,
+    *,
+    keys: list[str] | None = None,
+    output_mode: str = "append",
+    timeout_sec: int = 120,
+) -> None:
+    """``foreachBatch`` sink into the warehouse catalog (the streaming face
+    of S6's overwrite-table sink): each micro-batch lands via the batch
+    writer, so one sink implementation serves both runtimes. With ``keys``,
+    batches upsert-append (left-anti on the key set — S9 semantics,
+    idempotent under at-least-once replays); without, they append.
+    """
+    from ecommerce_etl_pipeline_spark.sources.io import upsert_append
+
+    def sink(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        if keys and spark.catalog.tableExists(table):
+            target = spark.table(table)
+            # localCheckpoint materializes the anti-join so the append no
+            # longer reads the table it writes (read-write conflict rule)
+            new_rows = upsert_append(target, batch, keys).localCheckpoint(eager=True)
+            new_rows.write.mode("append").saveAsTable(table)
+        else:
+            batch.write.mode("append").saveAsTable(table)
+
+    q = (
+        df.writeStream.foreachBatch(sink)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+
+
 def stream_to_memory(
     df: DataFrame, name: str, *, output_mode: str = "complete", timeout_sec: int = 120
 ) -> None:

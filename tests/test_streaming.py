@@ -72,3 +72,19 @@ def test_streaming_dedup(spark):
     # equals batch-side exact dedup cardinality
     want = load_table(spark, SF, "events").select("event_id").distinct().count()
     assert len(ids) == want
+
+
+def test_foreach_batch_table_sink_idempotent(spark, tmp_path):
+    from ecommerce_etl_pipeline_spark.streaming import deduped_events_stream
+    from ecommerce_etl_pipeline_spark.streaming.streams import stream_to_table
+
+    spark.sql("DROP TABLE IF EXISTS t_sink")
+    ev = read_events_stream(spark, SF).select("event_id", "user_id", "event_type")
+    stream_to_table(ev, "t_sink", keys=["event_id"])
+    n1 = spark.table("t_sink").count()
+    assert n1 == load_table(spark, SF, "events").count()
+    # replay the whole stream again: upsert keys make it a no-op
+    ev2 = read_events_stream(spark, SF).select("event_id", "user_id", "event_type")
+    stream_to_table(ev2, "t_sink", keys=["event_id"])
+    assert spark.table("t_sink").count() == n1
+    spark.sql("DROP TABLE t_sink")

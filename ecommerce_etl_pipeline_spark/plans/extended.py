@@ -10,7 +10,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ecommerce_etl_pipeline_spark.functions.exact_agg import portable_round, sql_round
+from ecommerce_etl_pipeline_spark.functions.exact_agg import (
+    exact_sum,
+    portable_round,
+    sql_round,
+)
 from ecommerce_etl_pipeline_spark.plans.registry import register
 from ecommerce_etl_pipeline_spark.sources.io import load_table
 
@@ -253,4 +257,46 @@ def sc_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last_day(d).alias("order_month_end"),
         (F.weekday(d) + 1).cast("int").alias("iso_weekday"),
         F.quarter(d).cast("int").alias("order_quarter"),
+    )
+
+
+@register(
+    "a22_cube",
+    oracle="""
+    SELECT CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL'
+                ELSE o_orderpriority END AS priority,
+           CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL'
+                ELSE o_orderstatus END AS status,
+           COUNT(*) AS cnt,
+           FLOOR(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) * 100 + 0.5)
+               / 100 AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+    doc="CUBE over two keys — all 4 grouping combinations in ONE shuffle "
+    "(the full generalization of the reference's separate groupbys, "
+    "completing rollup/a16; SURVEY §2.4 note). GROUPING() disambiguates "
+    "subtotal rows from natural NULLs on both engines.",
+)
+def a22_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            exact_sum("o_totalprice").alias("total_price"),
+            # grouping() is only valid inside the cube's aggregate list
+            F.grouping("o_orderpriority").alias("_gp"),
+            F.grouping("o_orderstatus").alias("_gs"),
+        )
+        .select(
+            F.when(F.col("_gp") == 1, F.lit("ALL"))
+            .otherwise(F.col("o_orderpriority"))
+            .alias("priority"),
+            F.when(F.col("_gs") == 1, F.lit("ALL"))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("status"),
+            "cnt",
+            "total_price",
+        )
     )

@@ -77,23 +77,31 @@ def connected_components(
       instead of a changed-rows self-join.
     """
     spark = pairs.sparkSession
-    edges = (
-        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
-        .cache()
-    )
-    n_edges = edges.count()
+    # Materialize the pair projection ONCE before anything fans out over it.
+    # Without this cache the symmetrize-union (and the strategy-choosing
+    # count) would re-execute the candidate-generation lineage — for an LSH
+    # input that is the band self-join + verify join, easily the most
+    # expensive thing in the whole pipeline — once per consumer.
+    directed = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")).cache()
+    n_pairs = directed.count()
 
-    if n_edges <= small_graph_edges:
-        rows = _union_find_components(
-            [(r.a, r.b) for r in edges.collect() if r.a < r.b]
-        )
-        edges.unpersist()
+    if 2 * n_pairs <= small_graph_edges:
+        # Small-graph fast path needs no symmetrize/distinct shuffle at all:
+        # union-find consumes undirected edges as-is (duplicates are no-ops).
+        rows = _union_find_components([(r.a, r.b) for r in directed.collect()])
+        directed.unpersist()
         schema = pairs.select(
             F.col(src).alias("node"), F.col(src).alias("component")
         ).schema
         return spark.createDataFrame(rows, schema)
+
+    edges = (
+        directed.union(directed.select(F.col("b"), F.col("a")))
+        .distinct()
+        .cache()
+    )
+    edges.count()
+    directed.unpersist()
 
     labels = (
         edges.select(F.col("a").alias("node"))

@@ -14,10 +14,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from ecommerce_etl_pipeline_spark.llmops import dedup, text
 from ecommerce_etl_pipeline_spark.llmops.clustering import connected_components
+from ecommerce_etl_pipeline_spark.operators.parallelism import ensure_parallelism
 
 
 def predicted_lang(t: F.Column) -> F.Column:
@@ -52,24 +52,28 @@ def curate(
     """
     t = F.col(text_col)
 
-    # 1+2: narrow, fused, pushed to the scan — prune before any shuffle.
-    filtered = docs.filter(
+    # 1+2: narrow, fused, pushed to the scan — prune rows AND columns before
+    # any shuffle (only (id, text) travel through the dedup stages). Widen
+    # under-split inputs first: the lang-ID/quality regex pass is the
+    # per-row-heaviest narrow stage in the pipeline and must not run on one
+    # core because the corpus arrived as one parquet split.
+    filtered = ensure_parallelism(docs.select(id_col, text_col)).filter(
         (predicted_lang(t) == lang)
         & (text.token_count(t) >= min_tokens)
         & (text.punct_ratio(t) <= max_punct_ratio)
     )
 
     # 3: exact dedup — keep the min-id copy of each byte-identical text.
-    # One window pass (single shuffle on the md5, no skew: hashes are
-    # near-unique) instead of groupBy+self-join, which would scan the
-    # filtered input twice. Cached: feeds both the candidate-pair
+    # Hash-aggregate min_by on the md5, not a window: partial (map-side)
+    # aggregation collapses duplicates BEFORE the shuffle — at 100 TB the
+    # exchange carries one row per distinct text per input partition — and
+    # there is no per-partition sort. Cached: feeds both the candidate-pair
     # generation (materialized during component resolution) and the final
     # anti-join.
-    w = Window.partitionBy(F.md5(t)).orderBy(id_col)
     exact = (
-        filtered.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        filtered.groupBy(F.md5(t).alias("_h"))
+        .agg(F.min_by(F.struct(id_col, text_col), F.col(id_col)).alias("_doc"))
+        .select("_doc.*")
         .cache()
     )
 

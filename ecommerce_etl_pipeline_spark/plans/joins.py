@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ecommerce_etl_pipeline_spark.functions.exact_agg import exact_sum
+from ecommerce_etl_pipeline_spark.operators.parallelism import repartition_for_collect
 from ecommerce_etl_pipeline_spark.plans.registry import register
 from ecommerce_etl_pipeline_spark.sources.io import load_table
 
@@ -146,7 +147,10 @@ def j3_parts_with_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def j4_pair_names_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    baskets = li.groupBy("l_orderkey").agg(
+    # collect_list has no map-side reduction: pre-partition on the basket key
+    # so the list build runs at full parallelism (no extra exchange — the
+    # groupBy reuses this partitioning).
+    baskets = repartition_for_collect(li, "l_orderkey").groupBy("l_orderkey").agg(
         F.sort_array(F.collect_list("l_partkey")).alias("parts")
     )
     pairs = (

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ecommerce_etl_pipeline_spark.operators.parallelism import repartition_for_collect
 from ecommerce_etl_pipeline_spark.plans.registry import register
 from ecommerce_etl_pipeline_spark.sources.io import load_table
 
@@ -66,7 +67,12 @@ def n1_json_scalar_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "irrelevant.",
 )
 def n2_hof_array_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    # Pre-partition: list collection has no map-side reduction, so this costs
+    # no extra exchange and parallelizes the array build off a one-split scan.
+    li = repartition_for_collect(li, "l_orderkey")
     nested = li.groupBy(F.col("l_orderkey").alias("order_key")).agg(
         F.collect_list(
             F.struct(
@@ -146,8 +152,8 @@ def n3_build_explode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "oracle); pair blow-up is bounded by max items/order, not table size.",
 )
 def n4_pair_expansion_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    baskets = li.groupBy("l_orderkey").agg(
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = repartition_for_collect(li, "l_orderkey").groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("parts")
     )
     pairs = baskets.select(

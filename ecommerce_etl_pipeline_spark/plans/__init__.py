@@ -27,6 +27,7 @@ for _optional in (
     "sampling",
     "llmops_queries",
     "extended",
+    "temporal",
 ):
     try:
         _MODULES.append(

@@ -1,0 +1,181 @@
+"""Temporal / range-join / sketch queries — engine surface the reference's
+clickstream-attribution domain implies but its pandas code cannot express:
+as-of joins (attribute each event to the user's most recent prior order),
+range joins against interval dims, and mergeable distinct-count sketches.
+
+As-of join strategy for 100 TB: the naive formulation is an inequality join
+(events x orders on user AND orderdate <= ts) whose intermediate blows up
+with orders-per-user; instead, union both inputs into one stream tagged by
+side and take a running ``last(order_payload, ignorenulls)`` window per
+user — ONE shuffle on the (high-cardinality) user key, no join blow-up,
+per-partition sort only. This is the standard point-in-time-correctness
+shape for feature backfill (no future leakage: ties at equal timestamps
+admit the order, matching ``o_orderdate <= ts``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ecommerce_etl_pipeline_spark.functions.exact_agg import exact_sum
+from ecommerce_etl_pipeline_spark.plans.registry import register
+from ecommerce_etl_pipeline_spark.sources.io import load_table
+
+
+@register(
+    "j9_asof_join",
+    oracle="""
+    SELECT e.event_id, e.event_type,
+           m.o_orderkey AS matched_orderkey,
+           m.o_totalprice AS matched_totalprice,
+           CAST(date_diff('day', CAST(m.o_orderdate AS DATE), CAST(e.ts AS DATE))
+                AS INTEGER) AS days_since_order
+    FROM events e
+    LEFT JOIN (
+        SELECT ee.event_id AS eid, o.o_orderkey, o.o_totalprice, o.o_orderdate,
+               ROW_NUMBER() OVER (PARTITION BY ee.event_id
+                                  ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        FROM events ee
+        JOIN orders o ON ee.user_id = o.o_custkey AND o.o_orderdate <= ee.ts
+    ) m ON m.eid = e.event_id AND m.rn = 1
+    """,
+    doc="As-of (point-in-time) join: each event matched to the user's most "
+    "recent order with o_orderdate <= ts, deterministic tiebreak on max "
+    "orderkey. Implemented as union + running last-ignorenulls window — one "
+    "shuffle on user_id, no inequality-join blow-up (the oracle states the "
+    "same semantics as a rank-1 inequality join). The operator the "
+    "reference's clickstream->transaction attribution "
+    "(customer_analytics_dag.py:177-188) needs but equi-joins can't give.",
+)
+def j9_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    # Tag and union: orders carry the payload, events carry null payload.
+    # side=0 sorts orders BEFORE events at equal timestamps, so an order at
+    # exactly ts is admitted (<=, no future leakage); among equal
+    # (user, orderdate) orders the ascending orderkey sort makes the running
+    # last() pick the max orderkey — the oracle's DESC,DESC rank-1 row.
+    o_tag = orders.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("side"),
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderdate",
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("string").alias("event_type"),
+    )
+    e_tag = ev.select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("side"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+        F.lit(None).cast("timestamp").alias("o_orderdate"),
+        "event_id",
+        "event_type",
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "side", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = o_tag.unionByName(e_tag).select(
+        "side",
+        "event_id",
+        "event_type",
+        "t",
+        F.last("o_orderkey", ignorenulls=True).over(w).alias("matched_orderkey"),
+        F.last("o_totalprice", ignorenulls=True).over(w).alias("matched_totalprice"),
+        F.last("o_orderdate", ignorenulls=True).over(w).alias("m_orderdate"),
+    )
+    return merged.filter(F.col("side") == 1).select(
+        "event_id",
+        "event_type",
+        "matched_orderkey",
+        "matched_totalprice",
+        F.datediff(F.to_date("t"), F.to_date("m_orderdate"))
+        .cast("int")
+        .alias("days_since_order"),
+    )
+
+
+@register(
+    "j10_range_band_join",
+    oracle="""
+    WITH bands(band, lo, hi) AS (
+        VALUES ('small', 0.0, 50000.0), ('medium', 50000.0, 150000.0),
+               ('large', 150000.0, 300000.0), ('jumbo', 300000.0, 1e18)
+    )
+    SELECT b.band, COUNT(*) AS order_count,
+           FLOOR(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) * 100 + 0.5)
+               / 100 AS total_price
+    FROM orders o
+    JOIN bands b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY 1
+    """,
+    doc="Range (interval) join against a tiny interval dim: broadcast "
+    "nested-loop with a band predicate — the generic form of the W1/W2 "
+    "bucketing operators when bin edges live in a TABLE, not the query. At "
+    "scale with a large interval side you'd bucketize the point side onto "
+    "interval-aligned keys first (equi-join + residual predicate); here the "
+    "dim is 4 rows, so the broadcast NLJ never shuffles the fact side.",
+)
+def j10_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    bands = orders.sparkSession.createDataFrame(
+        [
+            ("small", 0.0, 50_000.0),
+            ("medium", 50_000.0, 150_000.0),
+            ("large", 150_000.0, 300_000.0),
+            ("jumbo", 300_000.0, 1e18),
+        ],
+        "band string, lo double, hi double",
+    )
+    return (
+        orders.join(
+            F.broadcast(bands),
+            (orders.o_totalprice >= bands.lo) & (orders.o_totalprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            exact_sum("o_totalprice").alias("total_price"),
+        )
+    )
+
+
+@register(
+    "sk_hll_user_reach",
+    oracle=None,  # sketch estimates are engine-specific: rows-only check
+    doc="Mergeable distinct-count sketches: per-event-type user reach via "
+    "HLL sketch aggregate, plus the re-aggregated ALL row from "
+    "hll_union_agg over the per-type sketches — the sketch (not the raw "
+    "keys) crosses the second aggregation, which is the whole point at "
+    "100 TB: partial sketches merge map-side, the exchange carries KB-sized "
+    "binaries, and stored sketches can be re-rolled to any grouping without "
+    "rescanning. Exact countDistinct alongside documents the estimate "
+    "error. Rows-only check (HLL implementations differ across engines).",
+)
+def sk_hll_user_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    typed = per_type.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").alias("approx_users"),
+        "exact_users",
+    )
+    overall = per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+        F.sum("exact_users").alias("exact_users"),  # upper bound, not exact
+    ).select(F.lit("ALL").alias("event_type"), "approx_users", "exact_users")
+    return typed.unionByName(overall)

@@ -13,12 +13,33 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+#: Logical operators whose presence means the data already passed (or will
+#: pass) through an exchange — its parallelism is governed by
+#: spark.sql.shuffle.partitions / AQE, not by input splits.
+_WIDE_OPS = ("Aggregate", "Join", "Repartition", "Sort", "Distinct", "Window", "Deduplicate")
+
+
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Repartition ``df`` up to ``min_partitions`` (default: cluster default
-    parallelism) if it currently has fewer partitions. Never shrinks."""
+    parallelism) if it currently has fewer partitions. Never shrinks.
+
+    Only scan-shaped plans (no wide operator in the lineage) are probed and
+    widened: post-shuffle outputs are already sized by
+    ``spark.sql.shuffle.partitions``/AQE, and — the sharp edge — calling
+    ``df.rdd`` on a plan that CONTAINS exchanges makes AQE materialize every
+    query stage eagerly, launching real jobs at plan-construction time.
+    """
     spark = df.sparkSession
     if min_partitions is None:
         min_partitions = spark.sparkContext.defaultParallelism
+    if not df.is_cached:
+        plan = df._jdf.queryExecution().analyzed().toString()
+        if any(op in plan for op in _WIDE_OPS):
+            return df
+    # Cached frames are probe-safe: the eager materialization fills the
+    # cache its consumers read anyway, and AQE may have coalesced the cached
+    # output far below cluster width (small post-agg results) — exactly the
+    # case where re-widening before heavy per-row work pays.
     if df.rdd.getNumPartitions() >= min_partitions:
         return df
     return df.repartition(min_partitions)

@@ -175,3 +175,48 @@ def w6_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.rank().over(w_v).alias("value_rank"),
     )
+
+
+@register(
+    "w7_moving_avg_7d",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS order_date,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS daily_total
+        FROM orders
+        GROUP BY 1
+    )
+    SELECT order_date,
+           FLOOR(CAST(daily_total AS DOUBLE) * 100 + 0.5) / 100 AS daily_sales,
+           FLOOR(CAST(SUM(daily_total) OVER w AS DOUBLE)
+                 / COUNT(*) OVER w * 100 + 0.5) / 100 AS moving_avg_7d
+    FROM daily
+    WINDOW w AS (ORDER BY order_date
+                 RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+    """,
+    doc="Sliding 7-day moving average over the daily sales rollup — a RANGE "
+    "(value-based) window frame, the time-series surface the reference's "
+    "daily rollup (A1) implies. Spark's rangeBetween needs a numeric order "
+    "key, so the frame runs over epoch-days; the decimal daily totals keep "
+    "the running sum order-independent for oracle parity. At scale the "
+    "window input is one row per day — trivially small after the first "
+    "aggregation; no skew concern.",
+)
+def w7_moving_avg_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("order_date")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("daily_total")
+    )
+    from ecommerce_etl_pipeline_spark.functions.exact_agg import portable_round
+
+    w = (
+        Window.orderBy(F.datediff("order_date", F.lit("1970-01-01")))
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "order_date",
+        portable_round(F.col("daily_total").cast("double")).alias("daily_sales"),
+        portable_round(
+            F.sum("daily_total").over(w).cast("double") / F.count(F.lit(1)).over(w)
+        ).alias("moving_avg_7d"),
+    )

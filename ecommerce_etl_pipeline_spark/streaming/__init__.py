@@ -8,4 +8,5 @@ from ecommerce_etl_pipeline_spark.streaming.streams import (  # noqa: F401
     stream_to_memory,
     stream_to_table,
     user_running_counts_stream,
+    view_purchase_attribution_stream,
 )

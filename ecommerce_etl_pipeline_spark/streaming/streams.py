@@ -154,6 +154,52 @@ def deduped_events_stream(events: DataFrame, watermark: str = "1 hour") -> DataF
     )
 
 
+def view_purchase_attribution_stream(
+    events: DataFrame, *, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream inner join: attribute each purchase to the same user's
+    views in the preceding ``window``. Both sides carry watermarks and the
+    join has an event-time range constraint — the two things Spark needs to
+    BOUND the join state: a view older than (watermark + window) can never
+    match a future purchase, so its state row is evicted. Without the time
+    bound, stream-stream join state grows with the stream. This is the
+    streaming face of the batch as-of/attribution joins (j9), i.e. the
+    reference's clickstream->transaction attribution running continuously.
+    """
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {window}")),
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "view_id",
+        "purchase_ts",
+        "view_ts",
+        "purchase_value",
+    )
+
+
 def stream_to_table(
     df: DataFrame,
     table: str,

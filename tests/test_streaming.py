@@ -88,3 +88,32 @@ def test_foreach_batch_table_sink_idempotent(spark, tmp_path):
     stream_to_table(ev2, "t_sink", keys=["event_id"])
     assert spark.table("t_sink").count() == n1
     spark.sql("DROP TABLE t_sink")
+
+
+def test_view_purchase_attribution_stream_matches_batch(spark):
+    from ecommerce_etl_pipeline_spark.streaming import view_purchase_attribution_stream
+
+    ev = read_events_stream(spark, SF)
+    stream_to_memory(
+        view_purchase_attribution_stream(ev), "t_attr", output_mode="append"
+    )
+    got = {
+        (r.purchase_id, r.view_id) for r in spark.table("t_attr").collect()
+    }
+    batch = load_table(spark, SF, "events")
+    views = batch.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("vu"), F.col("event_id").alias("view_id"), F.col("ts").alias("vts")
+    )
+    purchases = batch.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("event_id").alias("purchase_id"), F.col("ts").alias("pts")
+    )
+    want = {
+        (r.purchase_id, r.view_id)
+        for r in views.join(
+            purchases,
+            (F.col("vu") == F.col("pu"))
+            & (F.col("vts") <= F.col("pts"))
+            & (F.col("vts") >= F.col("pts") - F.expr("INTERVAL 1 hour")),
+        ).collect()
+    }
+    assert got == want and len(got) > 0

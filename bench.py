@@ -34,7 +34,9 @@ HEADLINE = [
     "a10_product_rollup",
     "j1_order_lineitem_join",
     "j4_pair_names_lookup",
+    "j9_asof_join",
     "w4_sessionize",
+    "w7_moving_avg_7d",
     "n2_hof_array_aggregate",
     "dd_exact_dedup",
     "dd_minhash_pairs",

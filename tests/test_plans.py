@@ -92,3 +92,33 @@ def test_no_python_udfs_or_cartesian_in_oracle_queries(spark):
         plan = explain_str(spec.fn(spark, SF), "simple")
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_asof_join_is_window_not_join(spark):
+    # the whole point of the union+window as-of implementation: ONE exchange
+    # on the user key, zero join operators, no inequality-join blow-up
+    plan = plan_of(spark, "j9_asof_join")
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+def test_range_band_join_broadcasts_interval_dim(spark):
+    plan = plan_of(spark, "j10_range_band_join")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_basket_build_single_exchange(spark):
+    # repartition_for_collect: the groupBy must reuse the repartition's
+    # hash partitioning — exactly one exchange before the list build
+    plan = plan_of(spark, "n2_hof_array_aggregate")
+    # the only exchange is the explicit repartition; Catalyst added none
+    assert "REPARTITION_BY_COL" in plan
+    assert "ENSURE_REQUIREMENTS" not in plan
+
+
+def test_moving_avg_runs_over_daily_rollup(spark):
+    # the RANGE-frame window must sit above the daily aggregate (|days| rows),
+    # never over raw orders
+    plan = plan_of(spark, "w7_moving_avg_7d")
+    assert "Window" in plan and plan.count("HashAggregate") >= 2

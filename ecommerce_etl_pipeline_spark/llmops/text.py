@@ -67,3 +67,25 @@ def content_fingerprint(text: Column) -> Column:
     """Order-insensitive content fingerprint: md5 over the sorted distinct
     token set — stable under shuffled word order (near-dup precursor)."""
     return F.md5(F.concat_ws(" ", F.sort_array(F.array_distinct(tokens(text)))))
+
+
+def bigrams(text: Column) -> Column:
+    """Adjacent token bigrams as strings (empty array below 2 tokens)."""
+    toks = tokens(text)
+    n = F.size(toks)
+    return F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def bigram_repetition(text: Column) -> Column:
+    """Repeated-bigram fraction: 1 - distinct/total bigrams — the
+    Gopher/C4-style repetition quality signal. Entirely scan-side (one
+    narrow HOF pass, no shuffle): at 100 TB this is the cheapest class of
+    quality filter and should run before anything wide."""
+    bg = bigrams(text)
+    return F.lit(1.0) - F.size(F.array_distinct(bg)) / F.size(bg)

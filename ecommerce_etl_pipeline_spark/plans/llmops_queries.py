@@ -119,6 +119,47 @@ def txt_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "txt_repetition",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+    ), bg AS (
+        SELECT doc_id,
+               tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS bigram
+        FROM toks
+        QUALIFY lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS INTEGER) AS n_bigrams,
+           CAST(COUNT(DISTINCT bigram) AS INTEGER) AS distinct_bigrams,
+           {sql_round("1.0 - CAST(COUNT(DISTINCT bigram) AS DOUBLE) / COUNT(*)", 4)}
+               AS repetition_ratio
+    FROM bg GROUP BY 1
+    """,
+    doc="Repeated-bigram fraction per document — the Gopher/C4-style "
+    "repetition quality filter. Spark computes it scan-side in one narrow "
+    "higher-order pass (build bigrams, count distinct in-array): zero "
+    "shuffle, so at 100 TB it prices like a projection. The oracle has to "
+    "unnest + window to say the same thing relationally.",
+)
+def txt_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    bg = text.bigrams(t)
+    return (
+        docs.filter(text.token_count(t) >= 2)
+        .select(
+            "doc_id",
+            F.size(bg).alias("n_bigrams"),
+            F.size(F.array_distinct(bg)).alias("distinct_bigrams"),
+            portable_round(text.bigram_repetition(t), 4).alias("repetition_ratio"),
+        )
+    )
+
+
 _LANG_HITS = {
     lang: (
         f"len(list_filter(string_split(text, ' '), x -> list_contains("

@@ -570,6 +570,23 @@ def dd_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dd_curation_minhash",
+    doc="The 100 TB curation path: same four stages as dd_curation_pipeline "
+    "but stage 4's candidate generator is MinHash-LSH banding instead of "
+    "the exact shingle join — the band shuffle scales with duplicate "
+    "density, not corpus size. Rows-only check (banding is probabilistic "
+    "candidate generation; downstream verify/cluster semantics are "
+    "identical and the exact variant is oracle-checked end-to-end).",
+)
+def dd_curation_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecommerce_etl_pipeline_spark.llmops import curation
+
+    docs = load_table(spark, sf_dir, "documents")
+    curated = curation.curate(docs, use_minhash=True)
+    return curated.select("doc_id", F.col("n_tokens").cast("int").alias("n_tokens"))
+
+
+@register(
     "mm_frame_sample",
     doc="Multimodal frame sampling: 1 video asset row -> N frame rows "
     "through Arrow-batched mapInPandas (deterministic fake demux standing "

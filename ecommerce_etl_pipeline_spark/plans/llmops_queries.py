@@ -148,14 +148,19 @@ def txt_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 def txt_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     t = F.col("text")
-    bg = text.bigrams(t)
+    # one bigram-array build per row: total count is arithmetic (n_tokens-1)
+    # and the ratio derives from the distinct count
+    db = text.distinct_bigram_count(t)
+    nb = text.token_count(t) - 1
     return (
         docs.filter(text.token_count(t) >= 2)
         .select(
             "doc_id",
-            F.size(bg).alias("n_bigrams"),
-            F.size(F.array_distinct(bg)).alias("distinct_bigrams"),
-            portable_round(text.bigram_repetition(t), 4).alias("repetition_ratio"),
+            nb.alias("n_bigrams"),
+            db.alias("distinct_bigrams"),
+            portable_round(F.lit(1.0) - db.cast("double") / nb, 4).alias(
+                "repetition_ratio"
+            ),
         )
     )
 

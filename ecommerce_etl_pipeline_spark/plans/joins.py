@@ -142,8 +142,11 @@ def j3_parts_with_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     "one shuffle, fan-out bounded by items/order) instead of a fact-table "
     "self-join, which would shuffle lineitem twice and explode intermediate "
     "rows at 100 TB; the name dim broadcasts twice under different aliases. "
-    "Position-pairs over the sorted multiset with product1<>product2 are "
-    "exactly the self-join's a.l_partkey < b.l_partkey multiplicity.",
+    "Position-pairs over the sorted multiset are exactly the self-join's "
+    "a.l_partkey < b.l_partkey multiplicity: the tail slice is all y >= x, "
+    "so filtering y > x BEFORE building pair structs drops equal pairs "
+    "while they are still bare longs (HOF lambdas run interpreted — "
+    "cheaper filter elements beat discarding built structs).",
 )
 def j4_pair_names_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
@@ -159,10 +162,9 @@ def j4_pair_names_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr(
                     """
                     flatten(transform(parts, (x, i) ->
-                        filter(
-                            transform(slice(parts, i + 2, size(parts) - i - 1), y ->
-                                struct(x AS product1, y AS product2)),
-                            p -> p.product1 <> p.product2)))
+                        transform(
+                            filter(slice(parts, i + 2, size(parts) - i - 1), y -> y > x),
+                            y -> struct(x AS product1, y AS product2))))
                     """
                 )
             ).alias("pair")

@@ -57,6 +57,56 @@ def punct_ratio(text: Column) -> Column:
     return F.length(F.regexp_replace(text, r"[a-z0-9 ]", "")) / F.length(text)
 
 
+#: Winnowing (MOSS-style) rolling-hash fingerprint parameters: char k-grams,
+#: window of w consecutive k-gram hashes, polynomial hash base/modulus. The
+#: modulus keeps the accumulator < 2^30, so acc*B + c < 2^35 — exact in a
+#: long under ANSI, and reproducible in any SQL engine (no engine hash fn).
+WINNOW_K = 8
+WINNOW_W = 4
+WINNOW_B = 31
+WINNOW_P = 1_000_000_007
+
+
+def kgram_rolling_hashes(text: Column, k: int = WINNOW_K) -> Column:
+    """Polynomial rolling hash of every character k-gram:
+    h(g) = Σ ascii(g_j)·B^(k-1-j) mod P, one value per window position.
+    Requires length(text) >= k. O(n·k) evaluation; k is a small constant so
+    this is a linear scan-side pass (the classic O(n) rolling update needs
+    carried state across positions, which expression HOFs can't hold — at
+    k=8 the difference is a constant factor, not a complexity class)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.length(text) - (k - 1)),
+        lambda i: F.aggregate(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, j: F.pmod(
+                acc * WINNOW_B + F.ascii(F.substring(text, i + j, F.lit(1))),
+                F.lit(WINNOW_P),
+            ),
+        ),
+    )
+
+
+def winnow_fingerprints(kgram_hashes_col: Column, w: int = WINNOW_W) -> Column:
+    """Winnowed fingerprint set: the distinct minima of every window of w
+    consecutive k-gram hashes (MOSS winnowing). Guarantees a shared
+    fingerprint for any common substring of length >= k + w - 1 while
+    keeping ~2/(w+1) density.
+
+    MUST be called on a MATERIALIZED column from a prior select, not on the
+    :func:`kgram_rolling_hashes` expression inline: free variables in
+    interpreted HOF lambdas are re-evaluated per element, so an inline
+    hash-array expression would be recomputed once per window — O(n²·k).
+    CollapseProject keeps a non-cheap alias referenced twice materialized,
+    so the two-select shape is safe from re-inlining."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(kgram_hashes_col) - (w - 1)),
+            lambda s: F.array_min(F.slice(kgram_hashes_col, s, w)),
+        )
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Exact document fingerprint: md5 of the lowercased,
     whitespace-collapsed text."""

@@ -240,6 +240,48 @@ def txt_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "txt_winnow_fingerprints",
+    oracle=f"""
+    WITH g AS (
+        SELECT doc_id,
+               list_transform(range(1, length(text) - {text.WINNOW_K} + 2), i ->
+                   list_reduce(
+                       list_transform(range(0, {text.WINNOW_K}), j ->
+                           CAST(ascii(substring(text, CAST(i + j AS INT), 1)) AS BIGINT)),
+                       (a, b) -> (a * {text.WINNOW_B} + b) % {text.WINNOW_P})) AS kg
+        FROM documents
+        WHERE length(text) >= {text.WINNOW_K + text.WINNOW_W - 1}
+    )
+    SELECT doc_id,
+           unnest(list_distinct(
+               list_transform(range(1, len(kg) - {text.WINNOW_W} + 2), s ->
+                   list_min(list_transform(range(0, {text.WINNOW_W}),
+                                           d -> kg[CAST(s + d AS INT)]))))) AS fingerprint
+    FROM g
+    """,
+    doc="Winnowing (MOSS) rolling-hash fingerprints: polynomial hash of "
+    "every char k-gram, distinct minima of each w-window. Any shared "
+    "substring of length >= k+w-1 is guaranteed a shared fingerprint at "
+    "~2/(w+1) density — the partial-overlap detector exact/content md5 "
+    "fingerprints can't provide. Portable arithmetic hash (no engine hash "
+    "fn), so the oracle is exact. Scan-side narrow pass; the k-gram hash "
+    "array is materialized in its own projection so the windowing lambda "
+    "reads a column, not a re-evaluated expression (see winnow_fingerprints "
+    "docstring).",
+)
+def txt_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    k, w = text.WINNOW_K, text.WINNOW_W
+    kgrams = docs.filter(F.length("text") >= k + w - 1).select(
+        "doc_id", text.kgram_rolling_hashes(F.col("text"), k).alias("kg")
+    )
+    return kgrams.select(
+        "doc_id",
+        F.explode(text.winnow_fingerprints(F.col("kg"), w)).alias("fingerprint"),
+    )
+
+
+@register(
     "sim_cosine_topk",
     oracle=f"""
     WITH q AS (

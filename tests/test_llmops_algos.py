@@ -93,3 +93,33 @@ def test_multimodal_frame_sampling_and_resize(spark, sf_dir):
     ]
     sizes = {r.n_bytes for r in resized.select("n_bytes").distinct().collect()}
     assert sizes == {128}
+
+
+def test_winnow_fingerprints_overlap_guarantee(spark):
+    from ecommerce_etl_pipeline_spark.llmops import text
+
+    k, w = text.WINNOW_K, text.WINNOW_W
+    shared = "the quick brown fox jumps over the lazy dog"  # >> k+w-1 chars
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha prefix " + shared),
+            (2, shared + " entirely different suffix here"),
+            (3, "zzzz qqqq vvvv xxxx wwww kkkk jjjj yyyy uuuu"),
+        ],
+        ["doc_id", "text"],
+    )
+    kg = docs.select("doc_id", text.kgram_rolling_hashes(F.col("text"), k).alias("kg"))
+    fps = kg.select(
+        "doc_id", F.explode(text.winnow_fingerprints(F.col("kg"), w)).alias("fp")
+    )
+    by_doc = {
+        r.doc_id: set(r.fps)
+        for r in fps.groupBy("doc_id").agg(F.collect_set("fp").alias("fps")).collect()
+    }
+    # winnowing guarantee: a shared substring of length >= k+w-1 shares >=1
+    # fingerprint; doc 3 shares no k-gram with either
+    assert by_doc[1] & by_doc[2]
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+    # density: at most one fingerprint per window, far fewer than k-grams
+    n_kgrams = len("alpha prefix " + shared) - k + 1
+    assert len(by_doc[1]) < n_kgrams / 2

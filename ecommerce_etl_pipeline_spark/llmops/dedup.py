@@ -162,6 +162,82 @@ def minhash_candidate_pairs(
     return verified.select("doc1", "doc2", (inter / union).alias("jaccard"))
 
 
+def winnow_overlap_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_shared: int = 2,
+    max_df: int = 20,
+) -> DataFrame:
+    """Partial-overlap pairs via winnowed rolling-hash fingerprints.
+
+    Detects CONTAINMENT (quotation, boilerplate, copied passages) that
+    whole-document Jaccard misses: any shared substring of length
+    >= WINNOW_K + WINNOW_W - 1 chars is guaranteed a shared fingerprint.
+    Returns (doc1, doc2, shared_fps, overlap) where overlap = shared /
+    |smaller doc's fingerprint set| (containment score).
+
+    Scale design: same inverted-index MapReduce shape as
+    :func:`jaccard_similarity_join`, but over the winnowed minima (~2/(w+1)
+    of the k-gram count), so the index is ~3x smaller than a char-shingle
+    index. ``max_df`` drops fingerprints appearing in more than that many
+    docs BEFORE the self-join — boilerplate fingerprints are the hot keys
+    whose postings lists square in the pair expansion; pruning them is the
+    standard stopword-fingerprint skew guard and caps any posting list's
+    pair fan-out at max_df^2. The doc-frequency pass shuffles on fp, the
+    same key as the pair join, so the partitioning is reused.
+    """
+    from ecommerce_etl_pipeline_spark.llmops import text as text_mod
+
+    k, w = text_mod.WINNOW_K, text_mod.WINNOW_W
+    docs = ensure_parallelism(docs)
+    # two-select shape: materialize the k-gram hash array before windowing
+    # (free variables in HOF lambdas re-evaluate per element — see
+    # text.winnow_fingerprints)
+    kg = docs.filter(F.length(text_col) >= k + w - 1).select(
+        F.col(id_col).alias("doc_id"),
+        text_mod.kgram_rolling_hashes(F.col(text_col), k).alias("kg"),
+    )
+    # cache() is load-bearing, not a speed tweak: the next select needs BOTH
+    # size(fps) and explode(fps). Generate extraction puts those in different
+    # operators (Project vs Generate), each referencing fps once, so without a
+    # materialization barrier Catalyst inlines the whole winnow HOF expression
+    # into each — and the free-variable re-evaluation makes that O(n²·k) per
+    # document (observed: 500 docs hang >9 min uncached vs 4 s cached).
+    fps = kg.select(
+        "doc_id", text_mod.winnow_fingerprints(F.col("kg"), w).alias("fps")
+    ).cache()
+    inv = fps.select(
+        "doc_id", F.size("fps").alias("n_fps"), F.explode("fps").alias("fp")
+    ).cache()  # feeds the doc-frequency pass and both self-join sides
+    rare = inv.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= max_df
+    )
+    kept = inv.join(rare.select("fp"), "fp")
+    l, r = kept.alias("l"), kept.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.fp") == F.col("r.fp")) & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .groupBy(
+            F.col("l.doc_id").alias("doc1"),
+            F.col("r.doc_id").alias("doc2"),
+            F.col("l.n_fps").alias("n1"),
+            F.col("r.n_fps").alias("n2"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
+    return pairs.select(
+        "doc1",
+        "doc2",
+        "shared_fps",
+        (F.col("shared_fps") / F.least("n1", "n2")).alias("overlap"),
+    )
+
+
 def simhash_of_hashes(hashes_sql: str, bits: int = 64) -> Column:
     """SimHash over a precomputed token-hash array column: per bit position,
     sign of the sum of (+1/-1) votes from each hash; sign bits packed into a

@@ -97,8 +97,13 @@ def winnow_fingerprints(kgram_hashes_col: Column, w: int = WINNOW_W) -> Column:
     :func:`kgram_rolling_hashes` expression inline: free variables in
     interpreted HOF lambdas are re-evaluated per element, so an inline
     hash-array expression would be recomputed once per window — O(n²·k).
-    CollapseProject keeps a non-cheap alias referenced twice materialized,
-    so the two-select shape is safe from re-inlining."""
+    The two-select shape protects a SINGLE downstream consumer; it does NOT
+    survive multiple consumers of the result. In particular
+    ``select(size(fps), explode(fps))`` splits into Project + Generate,
+    each referencing the alias once, and Catalyst inlines this expression
+    into both — re-triggering the O(n²·k) blowup. Consumers that fan out
+    (pair joins, size+explode) must ``.cache()`` the fingerprint column
+    first (see dedup.winnow_overlap_pairs)."""
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.size(kgram_hashes_col) - (w - 1)),

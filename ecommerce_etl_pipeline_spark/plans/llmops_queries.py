@@ -282,6 +282,52 @@ def txt_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dd_winnow_overlap_pairs",
+    oracle=f"""
+    WITH g AS (
+        SELECT doc_id,
+               list_transform(range(1, length(text) - {text.WINNOW_K} + 2), i ->
+                   list_reduce(
+                       list_transform(range(0, {text.WINNOW_K}), j ->
+                           CAST(ascii(substring(text, CAST(i + j AS INT), 1)) AS BIGINT)),
+                       (a, b) -> (a * {text.WINNOW_B} + b) % {text.WINNOW_P})) AS kg
+        FROM documents
+        WHERE length(text) >= {text.WINNOW_K + text.WINNOW_W - 1}
+    ),
+    f AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(kg) - {text.WINNOW_W} + 2), s ->
+                   list_min(list_transform(range(0, {text.WINNOW_W}),
+                                           d -> kg[CAST(s + d AS INT)])))) AS fps
+        FROM g
+    ),
+    inv AS (SELECT doc_id, len(fps) AS n_fps, unnest(fps) AS fp FROM f),
+    rare AS (SELECT fp FROM inv GROUP BY fp HAVING COUNT(*) <= 20),
+    kept AS (SELECT inv.* FROM inv JOIN rare USING (fp))
+    SELECT l.doc_id AS doc1, r.doc_id AS doc2,
+           COUNT(*) AS shared_fps,
+           {sql_round("CAST(COUNT(*) AS DOUBLE) / least(l.n_fps, r.n_fps)", 4)}
+               AS overlap
+    FROM kept l JOIN kept r ON l.fp = r.fp AND l.doc_id < r.doc_id
+    GROUP BY l.doc_id, r.doc_id, l.n_fps, r.n_fps
+    HAVING COUNT(*) >= 2
+    """,
+    doc="Partial-overlap near-dup pairs from winnowed rolling-hash "
+    "fingerprints: containment detection (quotes, boilerplate, copied "
+    "passages) that whole-document Jaccard misses. Inverted-index join "
+    "over winnow minima with a doc-frequency cap as the skew guard "
+    "(boilerplate fingerprints are the hot keys); exact oracle because "
+    "the hash is portable arithmetic.",
+)
+def dd_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.winnow_overlap_pairs(docs, min_shared=2, max_df=20)
+    return pairs.select(
+        "doc1", "doc2", "shared_fps", portable_round(F.col("overlap"), 4).alias("overlap")
+    )
+
+
+@register(
     "sim_cosine_topk",
     oracle=f"""
     WITH q AS (

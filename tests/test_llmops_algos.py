@@ -123,3 +123,25 @@ def test_winnow_fingerprints_overlap_guarantee(spark):
     # density: at most one fingerprint per window, far fewer than k-grams
     n_kgrams = len("alpha prefix " + shared) - k + 1
     assert len(by_doc[1]) < n_kgrams / 2
+
+
+def test_winnow_overlap_pairs_containment(spark):
+    from ecommerce_etl_pipeline_spark.llmops import dedup
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha prefix " + shared),
+            (2, shared + " entirely different suffix here"),
+            (3, "zzzz qqqq vvvv xxxx wwww kkkk jjjj yyyy uuuu"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = dedup.winnow_overlap_pairs(docs, min_shared=1, max_df=10).collect()
+    found = {(r.doc1, r.doc2) for r in pairs}
+    # docs 1 and 2 share a long passage -> containment pair; doc 3 pairs
+    # with nothing
+    assert (1, 2) in found
+    assert all(3 not in p for p in found)
+    row = next(r for r in pairs if (r.doc1, r.doc2) == (1, 2))
+    assert 0 < row.overlap <= 1.0 and row.shared_fps >= 1

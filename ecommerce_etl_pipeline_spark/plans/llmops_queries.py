@@ -599,6 +599,60 @@ def txt_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "txt_tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dfq AS (SELECT token, COUNT(*) AS doc_freq FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT doc_id, token, tf, doc_freq,
+           {sql_round("tf * ln(CAST(n_docs AS DOUBLE) / doc_freq)", 4)} AS tfidf
+    FROM tf JOIN dfq USING (token) CROSS JOIN n
+    QUALIFY row_number() OVER (
+        PARTITION BY doc_id ORDER BY tf DESC, doc_freq ASC, token ASC) <= 5
+    """,
+    doc="Per-document top-5 TF-IDF terms (keyword extraction): token "
+    "explode -> (doc, term) tf agg -> doc-frequency agg -> idf join -> "
+    "per-doc row_number top-k. Ranking is integer-only (tf desc, "
+    "doc_freq asc, token asc) so order is float-portable; the tf-idf "
+    "score itself is display output, portably rounded. Scale: shuffles "
+    "on (doc_id, token), then token, then doc_id — all keyed by data "
+    "that shrinks at each step; the N-docs scalar is a broadcast "
+    "single-row cross join, AQE broadcasts the vocab side of the idf "
+    "join when small.",
+)
+def txt_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("doc_freq"), F.asc("token")
+    )
+    return (
+        tf.join(dfq, "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "doc_freq",
+            portable_round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("doc_freq")),
+                4,
+            ).alias("tfidf"),
+        )
+    )
+
+
 _CURATED_BASE_SQL = f"""
     hits AS (
         SELECT doc_id, text,

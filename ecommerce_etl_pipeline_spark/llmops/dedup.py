@@ -238,6 +238,124 @@ def winnow_overlap_pairs(
     )
 
 
+def cross_split_contamination(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    split_col: str = "source",
+    *,
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+    hashed: bool = True,
+) -> DataFrame:
+    """Decontamination sweep: near-duplicate pairs that CROSS a split
+    boundary (train/eval leakage, cross-source duplication). Same exact
+    shingle-Jaccard inverted-index join as :func:`jaccard_similarity_join`,
+    with the split inequality fused into the index self-join so same-split
+    pairs — the overwhelming majority of candidates in a source-skewed
+    corpus — are dropped before the intersection groupBy, not filtered
+    after it. Returns (split1, split2, doc1, doc2, jaccard), doc1 < doc2.
+
+    At 100 TB this is how eval-set contamination checks run: the eval side
+    is tiny, but the index join stays symmetric so one pass covers every
+    split pair; a dedicated two-corpus variant would broadcast the eval
+    side's postings instead (swap when the eval corpus fits in memory).
+    """
+    docs = ensure_parallelism(docs)
+    shingle_col = (
+        shingle_hashes(F.col(text_col), shingle_k)
+        if hashed
+        else shingle_strings(F.col(text_col), shingle_k)
+    )
+    sets = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(split_col).alias("split"),
+        shingle_col.alias("hashes"),
+    ).withColumn("set_size", F.size("hashes"))
+    inv = sets.select("doc_id", "split", "set_size", F.explode("hashes").alias("h"))
+    l, r = inv.alias("l"), inv.alias("r")
+    thr = F.lit(threshold)
+    inter = (
+        l.join(
+            r,
+            (F.col("l.h") == F.col("r.h"))
+            & (F.col("l.doc_id") < F.col("r.doc_id"))
+            & (F.col("l.split") != F.col("r.split"))
+            & (thr * F.col("l.set_size") <= F.col("r.set_size"))
+            & (thr * F.col("r.set_size") <= F.col("l.set_size")),
+        )
+        .groupBy(
+            F.col("l.doc_id").alias("doc1"),
+            F.col("r.doc_id").alias("doc2"),
+            F.col("l.split").alias("split1"),
+            F.col("r.split").alias("split2"),
+            F.col("l.set_size").alias("n1"),
+            F.col("r.set_size").alias("n2"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    jac = F.col("c") / (F.col("n1") + F.col("n2") - F.col("c"))
+    return inter.filter(jac >= thr).select(
+        "split1", "split2", "doc1", "doc2", jac.alias("jaccard")
+    )
+
+
+def contamination_against(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+    hashed: bool = True,
+) -> DataFrame:
+    """Asymmetric decontamination: which TRAIN documents are shingle-Jaccard
+    near-duplicates of ANY eval document. The production shape for eval-set
+    leakage checks at 100 TB: the eval corpus is benchmark-sized (1e3-1e6
+    docs), so its exploded postings BROADCAST — candidate generation is a
+    broadcast hash join probed by the train postings stream, and the train
+    corpus is never shuffled for candidates at all. The only wide stage is
+    the per-pair intersection groupBy, sized by candidate count (near-zero
+    for a clean corpus). Returns (train_id, eval_id, jaccard).
+
+    Complement of :func:`cross_split_contamination` (symmetric, one corpus,
+    all split pairs); this one is two corpora and one direction.
+    """
+    train = ensure_parallelism(train)
+
+    def sets(df: DataFrame, out_id: str, n_col: str) -> DataFrame:
+        shingle_col = (
+            shingle_hashes(F.col(text_col), shingle_k)
+            if hashed
+            else shingle_strings(F.col(text_col), shingle_k)
+        )
+        return df.select(
+            F.col(id_col).alias(out_id), shingle_col.alias("hashes")
+        ).withColumn(n_col, F.size("hashes"))
+
+    tinv = sets(train, "train_id", "n_t").select(
+        "train_id", "n_t", F.explode("hashes").alias("h")
+    )
+    einv = sets(eval_docs, "eval_id", "n_e").select(
+        "eval_id", "n_e", F.explode("hashes").alias("h")
+    )
+    thr = F.lit(threshold)
+    inter = (
+        tinv.join(
+            F.broadcast(einv),
+            (tinv.h == einv.h)
+            # exact length pruning: J >= t forces t*max(n) <= min(n)
+            & (thr * tinv.n_t <= einv.n_e)
+            & (thr * einv.n_e <= tinv.n_t),
+        )
+        .groupBy("train_id", "eval_id", "n_t", "n_e")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    jac = F.col("c") / (F.col("n_t") + F.col("n_e") - F.col("c"))
+    return inter.filter(jac >= thr).select("train_id", "eval_id", jac.alias("jaccard"))
+
+
 def simhash_of_hashes(hashes_sql: str, bits: int = 64) -> Column:
     """SimHash over a precomputed token-hash array column: per bit position,
     sign of the sum of (+1/-1) votes from each hash; sign bits packed into a

@@ -441,6 +441,91 @@ def dd_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dd_contamination_report",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+    ), sh AS (
+        SELECT doc_id, source,
+               CASE WHEN len(t) >= 3 THEN
+                   list_distinct(list_transform(generate_series(1, len(t) - 2),
+                       i -> array_to_string(t[i:i+2], ' ')))
+               ELSE [array_to_string(t, ' ')] END AS shingles
+        FROM toks
+    ), inv AS (
+        SELECT doc_id, source, len(shingles) AS n, unnest(shingles) AS s FROM sh
+    ), inter AS (
+        SELECT l.source AS split1, r.source AS split2,
+               l.doc_id AS doc1, r.doc_id AS doc2, l.n AS n1, r.n AS n2,
+               COUNT(*) AS c
+        FROM inv l JOIN inv r
+          ON l.s = r.s AND l.doc_id < r.doc_id AND l.source <> r.source
+        GROUP BY 1, 2, 3, 4, 5, 6
+    )
+    SELECT split1, split2, doc1, doc2,
+           {sql_round("c / (n1 + n2 - c)", 6)} AS jaccard
+    FROM inter WHERE c / (n1 + n2 - c) >= 0.5
+    """,
+    doc="Decontamination sweep: exact shingle-Jaccard near-dup pairs that "
+    "CROSS the source split (train/eval leakage detection). The split "
+    "inequality is fused into the inverted-index self-join, so same-split "
+    "candidates drop before the intersection aggregate.",
+)
+def dd_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.cross_split_contamination(
+        docs, split_col="source", threshold=0.5, hashed=False
+    )
+    return pairs.select(
+        "split1",
+        "split2",
+        "doc1",
+        "doc2",
+        portable_round(F.col("jaccard"), 6).alias("jaccard"),
+    )
+
+
+@register(
+    "dd_eval_decontam",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, source,
+               CASE WHEN len(t) >= 3 THEN
+                   list_distinct(list_transform(generate_series(1, len(t) - 2),
+                       i -> array_to_string(t[i:i+2], ' ')))
+               ELSE [array_to_string(t, ' ')] END AS shingles
+        FROM (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents)
+    ), tinv AS (
+        SELECT doc_id AS train_id, len(shingles) AS n_t, unnest(shingles) AS h
+        FROM sh WHERE source <> 'src0'
+    ), einv AS (
+        SELECT doc_id AS eval_id, len(shingles) AS n_e, unnest(shingles) AS h
+        FROM sh WHERE source = 'src0'
+    ), inter AS (
+        SELECT train_id, eval_id, n_t, n_e, COUNT(*) AS c
+        FROM tinv JOIN einv USING (h)
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT train_id, eval_id,
+           {sql_round("c / (n_t + n_e - c)", 6)} AS jaccard
+    FROM inter WHERE c / (n_t + n_e - c) >= 0.5
+    """,
+    doc="Asymmetric eval-set decontamination: train docs (source<>src0) "
+    "that are near-dups of any eval doc (source=src0). The eval postings "
+    "broadcast, so the train corpus is never shuffled for candidate "
+    "generation — the production leakage-check shape at 100 TB.",
+)
+def dd_eval_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("source") != "src0")
+    ev = docs.filter(F.col("source") == "src0")
+    pairs = dedup.contamination_against(train, ev, threshold=0.5, hashed=False)
+    return pairs.select(
+        "train_id", "eval_id", portable_round(F.col("jaccard"), 6).alias("jaccard")
+    )
+
+
+@register(
     "dd_jaccard_clusters",
     oracle=f"""
     WITH RECURSIVE pairs AS ({_jaccard_pairs_sql()}),

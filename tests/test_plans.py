@@ -122,3 +122,28 @@ def test_moving_avg_runs_over_daily_rollup(spark):
     # never over raw orders
     plan = plan_of(spark, "w7_moving_avg_7d")
     assert "Window" in plan and plan.count("HashAggregate") >= 2
+
+
+def test_winnow_overlap_caches_fingerprints(spark):
+    # the fps cache is a correctness-of-scale barrier: without it Catalyst
+    # inlines the winnow HOF into both the Project(size) and
+    # Generate(explode) consumers and free-variable re-evaluation makes the
+    # stage O(n^2 k) per document (observed >100x slowdown)
+    plan = plan_of(spark, "dd_winnow_overlap_pairs")
+    assert "InMemoryTableScan" in plan
+
+
+def test_contamination_split_filter_fused_into_index_join(spark):
+    # the split inequality must be a join predicate (pre-aggregation), not a
+    # post-agg filter: same-split candidates never reach the groupBy
+    plan = plan_of(spark, "dd_contamination_report", mode="extended")
+    opt = plan.split("== Optimized Logical Plan ==")[1]
+    join_section = opt.split("Aggregate", 1)[-1]  # below the intersection agg
+    assert "NOT (split" in join_section
+
+
+def test_eval_decontam_broadcasts_eval_postings(spark):
+    # the train corpus must never shuffle for candidate generation: the
+    # (tiny) eval side's postings broadcast into a hash join
+    plan = plan_of(spark, "dd_eval_decontam")
+    assert "BroadcastHashJoin" in plan

@@ -220,3 +220,80 @@ def w7_moving_avg_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("daily_total").over(w).cast("double") / F.count(F.lit(1)).over(w)
         ).alias("moving_avg_7d"),
     )
+
+
+@register(
+    "w8_gapfill_ffill",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
+               COUNT(*) AS day_orders,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS day_sales
+        FROM orders
+        WHERE o_totalprice > 400000
+        GROUP BY 1, 2
+    ),
+    spine AS (
+        SELECT o_orderpriority,
+               CAST(UNNEST(generate_series(MIN(day), MAX(day), INTERVAL 1 DAY)) AS DATE)
+                   AS day
+        FROM daily
+        GROUP BY o_orderpriority
+    )
+    SELECT s.o_orderpriority, s.day,
+           CAST(COALESCE(d.day_orders, 0) AS BIGINT) AS day_orders,
+           FLOOR(CAST(LAST_VALUE(d.day_sales IGNORE NULLS) OVER (
+                     PARTITION BY s.o_orderpriority ORDER BY s.day
+                     ROWS UNBOUNDED PRECEDING) AS DOUBLE) * 100 + 0.5) / 100
+               AS carried_sales,
+           d.day IS NULL AS is_gap
+    FROM spine s LEFT JOIN daily d
+      ON s.o_orderpriority = d.o_orderpriority AND s.day = d.day
+    """,
+    doc="Time-spine gap-fill + forward-fill (resample): per-key daily spine "
+    "via sequence(min,max) explode, left join of the sparse daily rollup, "
+    "last(ignorenulls) running window to carry the previous observation "
+    "across gap days — the standard time-series densification every "
+    "downstream ML feature pipeline needs (the reference's daily rollup A1 "
+    "silently skips empty days). Scale shape: the spine is |keys|x|days| "
+    "rows generated AFTER aggregation (never fact-sized); the fill window "
+    "partitions on the series key so each series fills independently — one "
+    "shuffle on the key serves the join and the window.",
+)
+def w8_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecommerce_etl_pipeline_spark.functions.exact_agg import dec, portable_round
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.filter(F.col("o_totalprice") > 400000)
+        .groupBy(
+            "o_orderpriority", F.to_date("o_orderdate").alias("day")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("day_orders"),
+            F.sum(dec("o_totalprice", 2)).alias("day_sales"),
+        )
+    )
+    spine = (
+        daily.groupBy("o_orderpriority")
+        .agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(
+            "o_orderpriority",
+            F.explode(F.sequence("lo", "hi")).alias("day"),
+        )
+    )
+    joined = spine.join(daily, ["o_orderpriority", "day"], "left")
+    w_fill = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "o_orderpriority",
+        "day",
+        F.coalesce("day_orders", F.lit(0)).cast("bigint").alias("day_orders"),
+        portable_round(
+            F.last("day_sales", ignorenulls=True).over(w_fill).cast("double")
+        ).alias("carried_sales"),
+        F.col("day_sales").isNull().alias("is_gap"),
+    )

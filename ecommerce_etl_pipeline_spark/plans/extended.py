@@ -300,3 +300,37 @@ def a22_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_price",
         )
     )
+
+
+@register(
+    "sql_correlated_exists",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 450000)
+      AND NOT EXISTS (SELECT 1 FROM orders o2
+                      WHERE o2.o_custkey = c.c_custkey
+                        AND o2.o_orderstatus = 'F')
+    """,
+    doc="Correlated EXISTS / NOT EXISTS subqueries through the SQL API — "
+    "Catalyst decorrelates them into a left-semi and a left-anti join on "
+    "o_custkey (no per-row re-execution, unlike the reference's pandas "
+    "isin emulations). Scale shape: two hash joins on the same key; the "
+    "aggregated-filter build sides broadcast when small.",
+)
+def sql_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register_views(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 450000)
+          AND NOT EXISTS (SELECT 1 FROM orders o2
+                          WHERE o2.o_custkey = c.c_custkey
+                            AND o2.o_orderstatus = 'F')
+        """
+    )

@@ -241,3 +241,50 @@ def j8_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.join(
         orders.select("o_custkey"), cust.c_custkey == F.col("o_custkey"), "left_anti"
     ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@register(
+    "j11_bloom_pruned_join",
+    oracle="""
+    SELECT l.l_returnflag,
+           COUNT(*) AS num_lineitems,
+           CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_quantity
+    FROM lineitem l
+    WHERE l.l_orderkey IN (
+        SELECT o_orderkey FROM orders WHERE o_totalprice > 500000
+    )
+    GROUP BY 1
+    """,
+    doc="Runtime Bloom-filter join pruning (operators/bloom.py): the "
+    "high-value order keys are compressed into a broadcast bitmap whose "
+    "membership probe runs inside the lineitem scan's codegen stage, so "
+    "non-matching fact rows die BEFORE the semi-join shuffle; the exact "
+    "semi join afterwards removes the ~4e-4 false positives, so results "
+    "are identical to the plain semi join (the oracle). This is the "
+    "replacement for the reference's driver-side key-list isin filters "
+    "(data_sampling.py:52-64) and the library form of Spark's own "
+    "runtime.bloomFilter rewrite. At 100 TB: bitmap is build-side-sized "
+    "(KBs), probe shuffle shrinks to true-match density.",
+)
+def j11_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecommerce_etl_pipeline_spark.operators.bloom import bloom_prune
+
+    li = load_table(spark, sf_dir, "lineitem")
+    hot = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 500000)
+        .select("o_orderkey")
+    )
+    # expected_items: build-side cardinality bound; at scale pass a known
+    # bound or a cheap count of the (already tiny) filtered build side.
+    pruned = bloom_prune(
+        li, hot, "l_orderkey", "o_orderkey", expected_items=20_000
+    )
+    return (
+        pruned.join(F.broadcast(hot), pruned.l_orderkey == hot.o_orderkey, "left_semi")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("num_lineitems"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("total_quantity"),
+        )
+    )

@@ -78,3 +78,49 @@ def u3_except_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey").alias("p_partkey")
     )
     return part.subtract(sold)  # EXCEPT DISTINCT
+
+
+@register(
+    "u4_unpivot",
+    oracle="""
+    WITH wide AS (
+        SELECT n.n_name,
+               CAST(COUNT(*) AS DOUBLE) AS num_customers,
+               FLOOR(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                     * 100 + 0.5) / 100 AS total_acctbal,
+               CAST(MAX(c.c_acctbal) AS DOUBLE) AS max_acctbal
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1
+    )
+    SELECT n_name, 'num_customers' AS metric, num_customers AS value FROM wide
+    UNION ALL
+    SELECT n_name, 'total_acctbal', total_acctbal FROM wide
+    UNION ALL
+    SELECT n_name, 'max_acctbal', max_acctbal FROM wide
+    """,
+    doc="Unpivot / melt (wide metrics -> long key-value rows), the inverse "
+    "of a20_pivot and the missing half of the reshape surface. Narrow, "
+    "shuffle-free plan node (Expand): each input row fans out to one row "
+    "per metric column in place — at 100 TB the fan-out happens after the "
+    "aggregate, never on fact-sized data.",
+)
+def u4_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecommerce_etl_pipeline_spark.functions.exact_agg import exact_sum
+
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    wide = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("num_customers"),
+            exact_sum("c_acctbal", round_to=2).alias("total_acctbal"),
+            F.max(F.col("c_acctbal").cast("double")).alias("max_acctbal"),
+        )
+    )
+    return wide.unpivot(
+        "n_name",
+        ["num_customers", "total_acctbal", "max_acctbal"],
+        "metric",
+        "value",
+    )

@@ -297,3 +297,45 @@ def w8_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("carried_sales"),
         F.col("day_sales").isNull().alias("is_gap"),
     )
+
+
+@register(
+    "w9_sliding_window",
+    oracle="""
+    WITH contrib AS (
+        SELECT date_trunc('day', ts) AS ws, user_id FROM events
+        UNION ALL
+        SELECT date_trunc('day', ts) - INTERVAL 1 DAY AS ws, user_id FROM events
+    )
+    SELECT ws AS window_start,
+           ws + INTERVAL 2 DAY AS window_end,
+           COUNT(*) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM contrib
+    GROUP BY 1, 2
+    """,
+    doc="Sliding (hopping) event-time window in batch: window(ts, '2 days', "
+    "'1 day') assigns each event to duration/slide = 2 overlapping windows "
+    "— the batch twin of the streaming tumbling/session windows in "
+    "streaming/streams.py, and the aggregation shape behind any "
+    "trailing-48h dashboard. Scale shape: the fan-out factor is "
+    "duration/slide (bounded, here 2x), applied narrowly before the "
+    "partial aggregate, so the shuffle carries (window x group) partials, "
+    "not 2x the raw events. Oracle: each event contributes to exactly the "
+    "day-aligned window starts floor_day(ts) and floor_day(ts)-1d.",
+)
+def w9_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 days", "1 day").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "n_events",
+            "n_users",
+        )
+    )

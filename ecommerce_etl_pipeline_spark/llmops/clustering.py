@@ -77,23 +77,27 @@ def connected_components(
       instead of a changed-rows self-join.
     """
     spark = pairs.sparkSession
-    # Materialize the pair projection ONCE before anything fans out over it.
-    # Without this cache the symmetrize-union (and the strategy-choosing
-    # count) would re-execute the candidate-generation lineage — for an LSH
-    # input that is the band self-join + verify join, easily the most
-    # expensive thing in the whole pipeline — once per consumer.
-    directed = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")).cache()
-    n_pairs = directed.count()
+    # Strategy probe and small-graph collect in ONE execution: take(N+1)
+    # runs the candidate-generation lineage once and hands back every edge
+    # when the graph is small (the common case — candidate graphs are
+    # duplicate-density-sized). Only an over-limit graph pays for a second,
+    # cached materialization on the distributed path. This replaces the
+    # previous cache()+count()+collect() sequence, which materialized the
+    # pair lineage (for an LSH input: the band self-join + verify join, the
+    # most expensive thing in the whole pipeline) one extra time.
+    directed = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    head = directed.take(small_graph_edges // 2 + 1)
 
-    if 2 * n_pairs <= small_graph_edges:
+    if 2 * len(head) <= small_graph_edges:
         # Small-graph fast path needs no symmetrize/distinct shuffle at all:
         # union-find consumes undirected edges as-is (duplicates are no-ops).
-        rows = _union_find_components([(r.a, r.b) for r in directed.collect()])
-        directed.unpersist()
+        rows = _union_find_components([(r.a, r.b) for r in head])
         schema = pairs.select(
             F.col(src).alias("node"), F.col(src).alias("component")
         ).schema
         return spark.createDataFrame(rows, schema)
+
+    directed = directed.cache()
 
     edges = (
         directed.union(directed.select(F.col("b"), F.col("a")))

@@ -5,6 +5,7 @@ from ecommerce_etl_pipeline_spark.streaming.streams import (  # noqa: F401
     deduped_events_stream,
     read_events_stream,
     session_window_stream,
+    sliding_window_stream,
     stream_to_memory,
     stream_to_table,
     user_running_counts_stream,

@@ -86,6 +86,32 @@ def daily_sales_stream(events: DataFrame, watermark: str = "1 day") -> DataFrame
     )
 
 
+def sliding_window_stream(
+    events: DataFrame,
+    duration: str = "2 days",
+    slide: str = "1 day",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """w9 (hopping window) as a streaming aggregate: each event lands in
+    duration/slide overlapping windows; the watermark bounds how long a
+    window's state stays open for late events. State size is
+    (open windows x groups), independent of stream length."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", duration, slide).alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "n_events",
+            "approx_users",
+        )
+    )
+
+
 def session_window_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """w4 sessionization as a native streaming ``session_window`` (state
     merges windows within ``gap`` per user)."""

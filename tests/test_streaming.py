@@ -117,3 +117,22 @@ def test_view_purchase_attribution_stream_matches_batch(spark):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_sliding_window_stream_matches_batch(spark):
+    from ecommerce_etl_pipeline_spark.streaming import sliding_window_stream
+
+    ev = read_events_stream(spark, SF)
+    stream_to_memory(sliding_window_stream(ev), "t_slide")
+    got = {
+        (r.window_start, r.window_end): r.n_events
+        for r in spark.table("t_slide").collect()
+    }
+    batch = (
+        load_table(spark, SF, "events")
+        .groupBy(F.window("ts", "2 days", "1 day").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("s"), F.col("w.end").alias("e"), "n")
+    )
+    want = {(r.s, r.e): r.n for r in batch.collect()}
+    assert got == want and len(got) > 0

@@ -334,3 +334,40 @@ def sql_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
                             AND o2.o_orderstatus = 'F')
         """
     )
+
+
+@register(
+    "sql_grouping_sets",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           COUNT(*) AS num_orders,
+           FLOOR(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 * 100 + 0.5) / 100 AS total_price,
+           CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+           CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                            (o_orderpriority), (o_orderstatus))
+    """,
+    doc="Explicit GROUPING SETS (the third grouping-set form beside "
+    "a16_rollup_hierarchy and a22_cube): three different group-bys in ONE "
+    "scan via the Expand node — each input row is replicated once per set "
+    "before the partial aggregate, so at 100 TB this is one pass over the "
+    "facts instead of |sets| separate jobs; GROUPING() disambiguates "
+    "aggregated-away keys from genuine NULLs.",
+)
+def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register_views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               COUNT(*) AS num_orders,
+               FLOOR(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                     * 100 + 0.5) / 100 AS total_price,
+               CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+               CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                (o_orderpriority), (o_orderstatus))
+        """
+    )

@@ -147,3 +147,28 @@ def test_eval_decontam_broadcasts_eval_postings(spark):
     # (tiny) eval side's postings broadcast into a hash join
     plan = plan_of(spark, "dd_eval_decontam")
     assert "BroadcastHashJoin" in plan
+
+
+def test_bloom_probe_pushed_into_fact_scan(spark):
+    # the bitmap membership test must die at the lineitem scan (DataFilters),
+    # BEFORE the semi join — that's the whole point of runtime pruning
+    plan = explain_str(get("j11_bloom_pruned_join").fn(spark, SF), "simple")
+    scan_side = plan.split("LeftSemi")[1] if "LeftSemi" in plan else plan
+    assert "bit_get" in scan_side
+    assert "LeftSemi" in plan
+
+
+def test_unpivot_expands_after_aggregate(spark):
+    # Expand (the unpivot node) must sit ABOVE the aggregate: reshape happens
+    # on |nations| rows, never on fact-sized data, and adds no exchange
+    plan = explain_str(get("u4_unpivot").fn(spark, SF), "simple")
+    assert plan.index("Expand") < plan.index("HashAggregate")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_sliding_window_fans_out_before_partial_agg(spark):
+    # the duration/slide fan-out (Expand) must feed a partial aggregate so
+    # the exchange carries (window x group) partials, not duplicated events
+    plan = explain_str(get("w9_sliding_window").fn(spark, SF), "simple")
+    assert "Expand" in plan
+    assert plan.index("partial_count") < plan.index("Expand")

@@ -108,13 +108,15 @@ def minhash_candidate_pairs(
         shingle_hashes(F.col(text_col), shingle_k).alias("hashes"),
     )
 
-    # The shingle-hash arrays feed FOUR plan consumers (both sides of the
-    # band self-join via the signatures, both sides of the verify join).
-    # cache() computes them once; without it Spark recomputes the hash+
-    # signature fold per consumer — exchange reuse does NOT apply when the
-    # self-join plans as broadcast (each side gets a distinct exchange).
-    # MEMORY_AND_DISK default spills gracefully at scale.
-    hashes_df = hashes_df.cache()
+    # The shingle-hash arrays feed THREE plan consumers (the signature fold
+    # plus both verify-join sides) and are deliberately NOT cached:
+    # materializing wide array rows into the memory store breaks
+    # whole-stage codegen fusion and pays per-row array serialization —
+    # measured 2.5x SLOWER than recomputing the narrow shingle pass per
+    # consumer (same result as caching the jaccard join's shingle sets; see
+    # SCALING.md "Caching is NOT free"). Only the thin (doc_id, band,
+    # band_hash) rows below are cached — their lineage includes the 64-hash
+    # signature fold, the one genuinely expensive recompute.
 
     # Thin banding rows: (doc_id, band, band_hash) only — the 16x band
     # explode and its shuffle never carry the shingle-hash arrays.

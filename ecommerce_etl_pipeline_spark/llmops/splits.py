@@ -1,0 +1,210 @@
+"""Deterministic corpus partitioning: hash-based train/val/test splits,
+token-budget sequence packing, and exact stratified sampling.
+
+These are the reproducibility primitives of a training-data pipeline: every
+assignment below is a pure function of (id, salt) via md5, so re-running the
+pipeline on a grown corpus never moves an existing document between splits,
+packs re-shuffle only within their shard, and samples are replayable without
+storing any state. md5 (not xxhash64/crc32) because it is the one hash every
+engine computes identically — the same expressions run in DuckDB for the
+oracle gate, and would run in Trino/BigQuery for cross-engine audits.
+
+Scale design (100 TB):
+- ``assign_splits`` is a narrow per-row map — zero shuffles, executes inside
+  the scan's codegen stage, and is immune to corpus growth (membership of an
+  existing doc never changes when new docs arrive — the property that keeps
+  eval sets frozen across dataset versions).
+- ``pack_sequences`` is ONE hash-partition shuffle into ``n_shards`` +
+  a per-shard window sort. Shards are md5-uniform (no skew), and
+  ``n_shards`` scales freely with corpus size, so each sort fits one
+  executor; the cross-shard pack boundary never needs coordination.
+- ``stratified_exact_sample`` sorts per stratum. Strata are few and large,
+  so for huge corpora pre-prune with a hash threshold (keep ~2x the target
+  by ``bucket < 2 * n * n_buckets / stratum_count``) before the exact rank —
+  the same oversample-then-rank trick as distributed top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ecommerce_etl_pipeline_spark.llmops import text
+
+#: 2^32 — the bucket space of the 8-hex-char hash prefix.
+HASH_SPACE = 1 << 32
+
+
+def hash_key(id_col: Column, salt: str) -> Column:
+    """Portable deterministic hash: md5 hex digest of ``salt || id``.
+
+    Lexicographic order on the hex string is the engine-independent "random"
+    order used for shuffling/ranking (hex is ASCII, so binary collation
+    agrees everywhere).
+    """
+    return F.md5(F.concat(F.lit(salt), id_col.cast("string")))
+
+
+def hash_uint32(id_col: Column, salt: str) -> Column:
+    """First 8 hex chars of :func:`hash_key` as a uniform uint32 in a long."""
+    return F.conv(F.substring(hash_key(id_col, salt), 1, 8), 16, 10).cast("bigint")
+
+
+def sql_hash_key(id_expr: str, salt: str) -> str:
+    """DuckDB/ANSI rendering of :func:`hash_key` (oracle side)."""
+    return f"md5('{salt}' || CAST({id_expr} AS VARCHAR))"
+
+
+def sql_hash_uint32(id_expr: str, salt: str) -> str:
+    """DuckDB rendering of :func:`hash_uint32` (oracle side)."""
+    return f"CAST(('0x' || substr({sql_hash_key(id_expr, salt)}, 1, 8)) AS BIGINT)"
+
+
+def assign_splits(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    salt: str = "split:v1",
+) -> DataFrame:
+    """Add a ``split`` column assigning each row to a named split with the
+    given weights (dict order = threshold order), deterministically by
+    ``md5(salt || id)``.
+
+    The standard reproducible split at corpus scale: no sampling state, no
+    global count, no shuffle — and changing ``salt`` is a full re-split
+    while changing weights only migrates rows across the moved thresholds.
+    """
+    weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    total = sum(weights.values())
+    h = hash_uint32(F.col(id_col), salt)
+    expr: Column | None = None
+    cum = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name] / total
+        threshold = int(cum * HASH_SPACE)
+        clause = h < F.lit(threshold)
+        expr = F.when(clause, F.lit(name)) if expr is None else expr.when(clause, F.lit(name))
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    return df.withColumn("split", expr)
+
+
+def split_thresholds_sql(
+    id_expr: str,
+    weights: dict[str, float],
+    salt: str = "split:v1",
+) -> str:
+    """Oracle-side CASE expression matching :func:`assign_splits` exactly."""
+    total = sum(weights.values())
+    h = sql_hash_uint32(id_expr, salt)
+    cases = []
+    cum = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name] / total
+        cases.append(f"WHEN {h} < {int(cum * HASH_SPACE)} THEN '{name}'")
+    return "CASE " + " ".join(cases) + f" ELSE '{names[-1]}' END"
+
+
+def pack_sequences(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    budget: int = 2048,
+    n_shards: int = 8,
+    salt: str = "pack:v1",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: deterministically shuffle the
+    corpus into ``n_shards``, lay documents end-to-end per shard in hash
+    order, and cut the token stream every ``budget`` tokens.
+
+    Returns (doc_id, shard, pack_id, pack_offset, n_tokens): the document's
+    shard, the pack (context window) its first token lands in, and the
+    offset within that pack. Documents span pack boundaries — exactly the
+    GPT-style pretraining batch prep, where packs are dense and a document
+    may be cut. Downstream, ``(shard, pack_id)`` is the batch key.
+
+    One shuffle (hash partition on shard) + one per-shard window sort; the
+    hash order IS the global shuffle, so no separate randomize pass.
+    """
+    n_tok = text.token_count(F.col(text_col)).cast("bigint")
+    h = hash_key(F.col(id_col), salt)
+    sharded = docs.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        h.alias("_h"),
+        F.pmod(hash_uint32(F.col(id_col), salt), F.lit(n_shards)).alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("_h", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        sharded.withColumn("_start", start)
+        .select(
+            id_col,
+            F.col("shard").cast("int").alias("shard"),
+            F.floor(F.col("_start") / budget).cast("int").alias("pack_id"),
+            (F.col("_start") % budget).cast("int").alias("pack_offset"),
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+        )
+    )
+
+
+def pack_sequences_sql(
+    table: str = "documents",
+    id_expr: str = "doc_id",
+    text_expr: str = "text",
+    *,
+    budget: int = 2048,
+    n_shards: int = 8,
+    salt: str = "pack:v1",
+) -> str:
+    """DuckDB oracle for :func:`pack_sequences` (same window, same hash)."""
+    h = sql_hash_key(id_expr, salt)
+    u32 = sql_hash_uint32(id_expr, salt)
+    return f"""
+    WITH sharded AS (
+        SELECT {id_expr} AS doc_id,
+               CAST(len(string_split({text_expr}, ' ')) AS BIGINT) AS n_tokens,
+               {h} AS h,
+               {u32} % {n_shards} AS shard
+        FROM {table}
+    ), laid AS (
+        SELECT doc_id, shard, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+        FROM sharded
+    )
+    SELECT doc_id,
+           CAST(shard AS INTEGER) AS shard,
+           CAST(FLOOR(start / {budget}) AS INTEGER) AS pack_id,
+           CAST(start % {budget} AS INTEGER) AS pack_offset,
+           CAST(n_tokens AS INTEGER) AS n_tokens
+    FROM laid
+    """
+
+
+def stratified_exact_sample(
+    df: DataFrame,
+    strata_col: str,
+    n_per_stratum: int,
+    id_col: str = "doc_id",
+    salt: str = "strat:v1",
+) -> DataFrame:
+    """Exactly ``n_per_stratum`` rows per stratum, chosen deterministically
+    by hash rank — the data-mixing primitive (equalize languages/sources)
+    where `sampleBy` gives only approximate counts and no replayability.
+
+    Adds ``stratum_rank`` (1-based hash rank within the stratum).
+    """
+    w = Window.partitionBy(strata_col).orderBy(hash_key(F.col(id_col), salt), id_col)
+    return (
+        df.withColumn("stratum_rank", F.row_number().over(w))
+        .filter(F.col("stratum_rank") <= n_per_stratum)
+    )

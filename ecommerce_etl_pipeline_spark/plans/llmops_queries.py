@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ecommerce_etl_pipeline_spark.functions.exact_agg import portable_round, sql_round
-from ecommerce_etl_pipeline_spark.llmops import dedup, multimodal, similarity, text
+from ecommerce_etl_pipeline_spark.llmops import dedup, multimodal, similarity, splits, text
 from ecommerce_etl_pipeline_spark.plans.registry import register
 from ecommerce_etl_pipeline_spark.sources.io import load_table
 
@@ -830,4 +830,69 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = multimodal.assets_from_documents(docs)
     return multimodal.sample_frames(assets, frame_bytes=64, every_nth=4).drop(
         "frame_payload"
+    )
+
+
+_SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+@register(
+    "dd_hash_split",
+    oracle="""
+    SELECT doc_id,
+           {case_expr} AS split
+    FROM documents
+    """.format(case_expr=splits.split_thresholds_sql("doc_id", _SPLIT_WEIGHTS, "split:v1")),
+    doc="Deterministic hash-based train/val/test split: md5(salt || id) "
+    "thresholded by cumulative weight. Pure narrow map — zero shuffles, "
+    "runs inside the scan's codegen stage — and stable under corpus "
+    "growth: adding documents never moves an existing one across splits, "
+    "which is what keeps eval sets frozen across dataset versions. md5 so "
+    "the identical expression runs in any engine (oracle-checked).",
+)
+def dd_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return splits.assign_splits(docs, "doc_id", _SPLIT_WEIGHTS).select("doc_id", "split")
+
+
+@register(
+    "txt_sequence_packing",
+    oracle=splits.pack_sequences_sql(budget=256, n_shards=8),
+    doc="GPT-style sequence packing: deterministic md5 shuffle into shards, "
+    "documents laid end-to-end per shard in hash order, token stream cut "
+    "every `budget` tokens; returns each document's (shard, pack_id, "
+    "pack_offset). ONE hash-partition shuffle + a per-shard window sort — "
+    "the hash order IS the global shuffle, so no separate randomize pass; "
+    "shards are md5-uniform (skew-free) and n_shards scales with corpus "
+    "size so each sort fits one executor.",
+)
+def txt_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return splits.pack_sequences(docs, budget=256, n_shards=8)
+
+
+@register(
+    "sm5_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang, stratum_rank
+    FROM (
+        SELECT doc_id, lang,
+               CAST(row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5('strat:v1' || CAST(doc_id AS VARCHAR)), doc_id
+               ) AS INTEGER) AS stratum_rank
+        FROM documents
+    )
+    WHERE stratum_rank <= 50
+    """,
+    doc="Exact-n-per-stratum deterministic sample (data-mixing primitive: "
+    "equalize languages/sources where sampleBy is approximate and "
+    "unreplayable): hash-rank rows within each stratum, keep the first n. "
+    "Window sort per stratum; at 100 TB pre-prune with a hash threshold "
+    "(oversample ~2x, then exact rank) so the sort sees n' << N rows.",
+)
+def sm5_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return splits.stratified_exact_sample(docs, "lang", 50).select(
+        "doc_id", "lang", F.col("stratum_rank").cast("int").alias("stratum_rank")
     )

@@ -371,3 +371,93 @@ def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 (o_orderpriority), (o_orderstatus))
         """
     )
+
+
+@register(
+    "dq_validation_report",
+    oracle=f"""
+    WITH rows_rules AS (
+        SELECT 'lineitem' AS table_name, 'l_quantity_in_1_50' AS rule,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN COALESCE(NOT (l_quantity BETWEEN 1 AND 50), TRUE)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+        FROM lineitem
+        UNION ALL
+        SELECT 'lineitem', 'l_discount_in_0_0.1',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN COALESCE(NOT (l_discount BETWEEN 0 AND 0.1), TRUE)
+                             THEN 1 ELSE 0 END) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'lineitem', 'l_shipdate_not_null',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'orders', 'o_totalprice_positive',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN COALESCE(o_totalprice <= 0, TRUE) THEN 1 ELSE 0 END)
+                    AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'orders', 'o_orderstatus_known',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                             OR o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'lineitem', 'fk_l_orderkey',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_orderkey = l.l_orderkey))
+        UNION ALL
+        SELECT 'orders', 'fk_o_custkey',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                  WHERE c.c_custkey = o.o_custkey))
+    )
+    SELECT table_name, rule, n_rows, n_violations,
+           CAST(n_violations AS DOUBLE) / n_rows AS violation_rate
+    FROM rows_rules
+    """,
+    doc="Declarative data-quality gate (operators/quality.py): range / "
+    "not-null / domain rules compiled into ONE conditional-count aggregate "
+    "scan per table (N rules, zero extra scans) plus one anti-join per "
+    "foreign-key rule (parent side broadcasts). The engine surface for the "
+    "reference's imperative validation (clean_product_v2.py:35-59 int-range "
+    "checks, data_sampling.py referential integrity). NULL in a checked "
+    "column counts as a violation.",
+)
+def dq_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecommerce_etl_pipeline_spark.operators import quality
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    q = F.col
+    parts = [
+        quality.check_rules(
+            li,
+            "lineitem",
+            [
+                quality.Rule("l_quantity_in_1_50", ~q("l_quantity").between(1, 50)),
+                quality.Rule("l_discount_in_0_0.1", ~q("l_discount").between(0, 0.1)),
+                quality.Rule("l_shipdate_not_null", q("l_shipdate").isNull()),
+            ],
+        ),
+        quality.check_rules(
+            orders,
+            "orders",
+            [
+                quality.Rule("o_totalprice_positive", q("o_totalprice") <= 0),
+                quality.Rule(
+                    "o_orderstatus_known", ~q("o_orderstatus").isin("O", "F", "P")
+                ),
+            ],
+        ),
+        quality.check_foreign_key(li, "lineitem", "l_orderkey", orders, "o_orderkey"),
+        quality.check_foreign_key(orders, "orders", "o_custkey", customer, "c_custkey"),
+    ]
+    return quality.validation_report(parts)

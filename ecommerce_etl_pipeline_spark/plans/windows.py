@@ -339,3 +339,72 @@ def w9_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_users",
         )
     )
+
+
+@register(
+    "w10_scd2_intervals",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                    THEN 1 ELSE 0 END AS chg
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), islands AS (
+        SELECT user_id, event_type, ts,
+               SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS island
+        FROM ordered
+    ), collapsed AS (
+        SELECT user_id, event_type, island,
+               MIN(ts) AS valid_from,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM islands
+        GROUP BY 1, 2, 3
+    )
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY island)
+               AS valid_to,
+           n_events,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY island) IS NULL
+               AS is_current
+    FROM collapsed
+    """,
+    doc="SCD Type-2 history build from a change log: collapse each user's "
+    "consecutive runs of the same event_type into validity intervals "
+    "[valid_from, valid_to) with an is_current flag — the gaps-and-islands "
+    "window pattern (change flag -> running-sum island id -> collapse -> "
+    "lead for the closing edge) that turns an event stream into a "
+    "slowly-changing dimension. One shuffle on user_id serves every window "
+    "and the collapse groupBy (same key, partitioning reused); "
+    "high-cardinality user_id keeps partitions bounded at 100 TB.",
+)
+def w10_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = F.when(
+        F.lag("event_type").over(w).isNull()
+        | (F.lag("event_type").over(w) != F.col("event_type")),
+        1,
+    ).otherwise(0)
+    islands = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.sum(chg).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("island"),
+    )
+    collapsed = islands.groupBy("user_id", "event_type", "island").agg(
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w_close = Window.partitionBy("user_id").orderBy("island")
+    valid_to = F.lead("valid_from").over(w_close)
+    return collapsed.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        valid_to.alias("valid_to"),
+        "n_events",
+        valid_to.isNull().alias("is_current"),
+    )

@@ -45,15 +45,19 @@ TESTDATA_TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one testdata parquet table (S1). Lazy; columns prune at the scan.
 
-    ``events.parquet`` stores TIMESTAMP(NANOS), which Spark's vectorized
-    parquet reader rejects; we read nanos as long (legacy conf, runtime-
-    settable) and convert to a micro-precision timestamp with exact integer
-    division — matching how DuckDB truncates TIMESTAMP_NS to TIMESTAMP.
+    ``events.parquet`` has shipped with either TIMESTAMP(NANOS) — which
+    Spark's vectorized parquet reader rejects — or plain TIMESTAMP(MICROS),
+    depending on the generator version. We enable the nanos-as-long legacy
+    conf and convert to a micro-precision timestamp only when the column
+    actually resolves as long (exact integer division, matching how DuckDB
+    truncates TIMESTAMP_NS to TIMESTAMP); a micros file passes through.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

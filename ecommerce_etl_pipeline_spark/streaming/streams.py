@@ -61,8 +61,16 @@ def _replay_dir(sf_dir: str, table: str = "events") -> str:
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source replay of the events table as a stream (micro-batch per
-    file). Same nanos->micros conversion as the batch reader."""
+    file). The stream's declared schema follows whatever the batch reader
+    resolves for this file (nanos-as-long generator versions vs. plain
+    micros), so the nanos->micros conversion applies only when needed."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(raw_batch.dtypes).get("ts") != "bigint":
+        raw = spark.readStream.schema(raw_batch.schema).parquet(_replay_dir(sf_dir))
+        # Watermarks demand TIMESTAMP (LTZ); a micros file resolves as NTZ.
+        # Session TZ is pinned UTC, so the cast is value-preserving.
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
     raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(_replay_dir(sf_dir))
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 

@@ -124,6 +124,48 @@ def content_fingerprint(text: Column) -> Column:
     return F.md5(F.concat_ws(" ", F.sort_array(F.array_distinct(tokens(text)))))
 
 
+#: PII / blocklist scrub patterns, ordered (applied first to last). Each is
+#: valid in BOTH Java regex (Spark) and RE2 (DuckDB): no lookaround, no
+#: backrefs. The corpus is synthetic so the PII classes match zero rows —
+#: the dictionary term provides real positives for the same machinery.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("longnum", r"\b\d{13,19}\b", "<NUM>"),
+    ("blockterm", r"\bcustomer\b", "<TERM>"),
+)
+
+
+def redacted_text(text: Column) -> Column:
+    """Apply every scrub pattern in order (global replace). Pure scan-side
+    regexp work — at 100 TB this composes into ONE codegen stage with the
+    other quality signals; no shuffle, no Python."""
+    out = text
+    for _, pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+#: Sequence-level dedup granularity: non-overlapping token windows.
+SEGMENT_TOKENS = 16
+
+
+def segment_hashes(text: Column, seg: int = SEGMENT_TOKENS) -> Column:
+    """md5 of each complete non-overlapping ``seg``-token window — the unit
+    for sequence-level (sub-document) dedup. Docs shorter than one segment
+    yield an empty array. The trailing partial window is dropped so every
+    hash covers exactly ``seg`` tokens."""
+    toks = tokens(text)
+    n_segs = F.floor(F.size(toks) / seg).cast("int")
+    return F.when(
+        n_segs >= 1,
+        F.transform(
+            F.sequence(F.lit(0), n_segs - 1),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i * seg + 1, seg))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def bigram_pairs(text: Column) -> Column:
     """Adjacent token bigrams as (a, b) structs (empty array below 2
     tokens). zip_with over two slices, NOT transform+element_at: HOF lambdas

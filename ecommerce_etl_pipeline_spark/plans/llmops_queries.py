@@ -896,3 +896,186 @@ def sm5_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return splits.stratified_exact_sample(docs, "lang", 50).select(
         "doc_id", "lang", F.col("stratum_rank").cast("int").alias("stratum_rank")
     )
+
+
+@register(
+    "txt_unigram_logprob",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    vocab AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY 1),
+    tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM vocab)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           {sql_round("AVG(ln(CAST(cnt AS DOUBLE))) - ln(total)", 4)} AS avg_logprob
+    FROM tok JOIN vocab USING (token) CROSS JOIN tot
+    GROUP BY doc_id, total
+    """,
+    doc="Corpus-unigram-LM quality score (the CCNet/C4 perplexity-filter "
+    "shape with a unigram model): token explode -> vocab count agg -> "
+    "broadcast logprob join back -> per-doc mean log-probability. Low "
+    "scores flag gibberish / OOV-heavy docs. Scale: the vocab table after "
+    "aggregation is tiny relative to the corpus (Zipf), so the re-score "
+    "join is a broadcast; the only big shuffles are the vocab count and "
+    "the per-doc regroup, both map-side combinable.",
+)
+def txt_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(text.tokens(F.col("text"))).alias("token"))
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").cast("double").alias("total"))
+    return (
+        tok.join(F.broadcast(vocab), "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id", "total")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.avg(F.log(F.col("cnt").cast("double"))) - F.log(F.col("total").cast("double"))).alias("_lp"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            portable_round(F.col("_lp"), 4).alias("avg_logprob"),
+        )
+    )
+
+
+@register(
+    "txt_pii_redaction",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+               '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS INTEGER) AS n_email,
+           CAST(len(regexp_extract_all(text,
+               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INTEGER) AS n_ipv4,
+           CAST(len(regexp_extract_all(text, '\\b\\d{13,19}\\b')) AS INTEGER) AS n_longnum,
+           CAST(len(regexp_extract_all(text, '\\bcustomer\\b')) AS INTEGER) AS n_blockterm,
+           md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+               '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
+               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+               '\\b\\d{13,19}\\b', '<NUM>', 'g'),
+               '\\bcustomer\\b', '<TERM>', 'g')) AS redacted_hash
+    FROM documents
+    """,
+    doc="PII / dictionary scrub (emails, IPv4, 13-19-digit numbers, plus a "
+    "term blocklist): per-class match counts and the hash of the scrubbed "
+    "text. All patterns are Java-regex/RE2-common (no lookaround). Pure "
+    "scan-side regexp passes in one codegen stage — the cheapest class of "
+    "compliance filter at 100 TB; run it fused with quality scoring.",
+)
+def txt_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    counts = [
+        F.regexp_count(t, F.lit(pat)).cast("int").alias(f"n_{name}")
+        for name, pat, _ in text.PII_PATTERNS
+    ]
+    return docs.select(
+        "doc_id",
+        *counts,
+        F.md5(text.redacted_text(t)).alias("redacted_hash"),
+    )
+
+
+@register(
+    "dd_segment_dup_ratio",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    segs AS (
+        SELECT doc_id,
+               md5(array_to_string(t[gs * {text.SEGMENT_TOKENS} + 1 :
+                                     gs * {text.SEGMENT_TOKENS} + {text.SEGMENT_TOKENS}],
+                                   ' ')) AS seg_hash
+        FROM toks,
+             unnest(generate_series(0,
+                 CAST(floor(len(t) / {text.SEGMENT_TOKENS}) AS INT) - 1)) AS u(gs)
+        WHERE len(t) >= {text.SEGMENT_TOKENS}
+    ),
+    occ AS (SELECT seg_hash, COUNT(*) AS occ FROM segs GROUP BY 1)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segments,
+           {sql_round("CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS DOUBLE)"
+                      " / COUNT(*)", 4)} AS dup_ratio
+    FROM segs JOIN occ USING (seg_hash)
+    GROUP BY doc_id
+    """,
+    doc="Sequence-level (sub-document) dedup signal: hash every complete "
+    "16-token window, count corpus-wide occurrences, report per-doc the "
+    "fraction of windows that repeat anywhere (the train-time 'repeated "
+    "passage' measure behind suffix-array dedup, at window granularity). "
+    "Scale: shuffles 32-byte hashes, never text; the occurrence agg is "
+    "map-side combinable and the join back is hash-partitioned on the "
+    "same key, so it reuses the shuffle under AQE.",
+)
+def dd_segment_dup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    segs = docs.select(
+        "doc_id", F.explode(text.segment_hashes(F.col("text"))).alias("seg_hash")
+    )
+    occ = segs.groupBy("seg_hash").agg(F.count(F.lit(1)).alias("occ"))
+    dup = F.sum((F.col("occ") > 1).cast("long"))
+    return (
+        segs.join(occ, "seg_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            dup.alias("n_dup_segments"),
+            portable_round(dup.cast("double") / F.count(F.lit(1)), 4).alias("dup_ratio"),
+        )
+    )
+
+
+@register(
+    "sim_quantized_topk",
+    oracle=f"""
+    WITH sc AS (
+        SELECT vec_id, embedding,
+               127.0 / CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+                   AS scale
+        FROM embeddings
+    ),
+    qz AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS BIGINT)) AS q
+        FROM sc
+    ),
+    nrm AS (
+        SELECT vec_id, q,
+               CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS nq
+        FROM qz
+    ),
+    scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               CAST(list_sum(list_transform(generate_series(1, len(a.q)),
+                    i -> a.q[i] * b.q[i])) AS BIGINT)
+                   / sqrt(CAST(a.nq * b.nq AS DOUBLE)) AS qcos
+        FROM nrm a, nrm b
+        WHERE a.vec_id < 5 AND b.vec_id != a.vec_id
+    )
+    SELECT query_id, neighbor_id,
+           {sql_round("qcos", 6)} AS qcos,
+           CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY qcos DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= 10
+    """,
+    doc="Int8-quantized cosine top-10 for 5 query vectors: symmetric "
+    "per-vector quantization (127/max|v|, portable half-up rounding), "
+    "exact integer dot products, one final double division — so Spark "
+    "and the oracle agree bit-for-bit. The memory-compression path for "
+    "billion-vector ANN: 4x less index RAM and shuffle than float32, "
+    "re-rank survivors with sim_cosine_topk.",
+)
+def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    res = similarity.quantized_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+    return res.select(
+        "query_id",
+        "neighbor_id",
+        portable_round(F.col("qcos"), 6).alias("qcos"),
+        F.col("rank").cast("int").alias("rank"),
+    )

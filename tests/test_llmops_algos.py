@@ -145,3 +145,81 @@ def test_winnow_overlap_pairs_containment(spark):
     assert all(3 not in p for p in found)
     row = next(r for r in pairs if (r.doc1, r.doc2) == (1, 2))
     assert 0 < row.overlap <= 1.0 and row.shared_fps >= 1
+
+
+def test_pii_redaction_patterns_fire(spark):
+    # the corpus has no PII; prove each pattern matches on crafted rows
+    from ecommerce_etl_pipeline_spark.llmops.text import PII_PATTERNS, redacted_text
+
+    rows = [
+        (1, "contact me at alice.smith+x@example.co.uk for details"),
+        (2, "server at 192.168.1.254 timed out"),
+        (3, "card 4111111111111111 declined"),
+        (4, "the customer asked about customers and customer"),  # word-boundary
+        (5, "clean text with nothing sensitive"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = df.select(
+        "doc_id",
+        *[
+            F.regexp_count(F.col("text"), F.lit(pat)).alias(f"n_{name}")
+            for name, pat, _ in PII_PATTERNS
+        ],
+        redacted_text(F.col("text")).alias("red"),
+    ).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[1].n_email == 1 and "<EMAIL>" in by_id[1].red
+    assert by_id[2].n_ipv4 == 1 and "<IP>" in by_id[2].red
+    assert by_id[3].n_longnum == 1 and "<NUM>" in by_id[3].red
+    # \bcustomer\b must not match inside "customers"
+    assert by_id[4].n_blockterm == 2 and by_id[4].red.count("<TERM>") == 2
+    assert "customers" in by_id[4].red
+    assert by_id[5].red == rows[4][1]
+
+
+def test_int8_quantization_roundtrip(spark):
+    from ecommerce_etl_pipeline_spark.llmops.similarity import (
+        brute_force_topk,
+        quantize_int8,
+        quantized_topk,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.select(quantize_int8(F.col("embedding")).alias("q")).limit(20)
+    rows = q.select(
+        F.array_max("q").alias("hi"), F.array_min("q").alias("lo")
+    ).collect()
+    # codes live in the int8 range and every vector hits +/-127 at its max
+    assert all(-127 <= r.lo and r.hi <= 127 for r in rows)
+    assert all(max(r.hi, -r.lo) == 127 for r in rows)
+
+    # quantized ranking approximates exact cosine: recall@10 vs brute force
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, queries, k=10).collect()
+    approx = quantized_topk(emb, queries, k=10).collect()
+    exact_sets = {}
+    approx_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(exact_sets[q1] & approx_sets[q1]) / 10 for q1 in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.8
+
+
+def test_segment_hashes_windows(spark):
+    from ecommerce_etl_pipeline_spark.llmops.text import segment_hashes
+
+    words40 = " ".join(f"w{i}" for i in range(40))
+    short = "too short"
+    df = spark.createDataFrame([(1, words40), (2, short)], ["doc_id", "text"])
+    rows = {
+        r.doc_id: r.segs
+        for r in df.select(
+            "doc_id", segment_hashes(F.col("text")).alias("segs")
+        ).collect()
+    }
+    assert len(rows[1]) == 2  # 40 tokens -> 2 complete 16-token windows
+    assert rows[2] == []  # below one window -> empty, not null

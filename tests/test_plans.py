@@ -172,3 +172,45 @@ def test_sliding_window_fans_out_before_partial_agg(spark):
     plan = explain_str(get("w9_sliding_window").fn(spark, SF), "simple")
     assert "Expand" in plan
     assert plan.index("partial_count") < plan.index("Expand")
+
+
+def test_quantized_topk_broadcasts_queries(spark):
+    plan = plan_of(spark, "sim_quantized_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_unigram_logprob_broadcasts_vocab(spark):
+    # the vocab rescore join and the scalar total must both broadcast —
+    # the big side (exploded tokens) never shuffles for the join itself
+    plan = plan_of(spark, "txt_unigram_logprob")
+    assert plan.count("BroadcastExchange") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_pii_redaction_is_scan_side_only(spark):
+    # pure per-row regexp work: no exchange anywhere in the plan
+    plan = plan_of(spark, "txt_pii_redaction")
+    assert "Exchange" not in plan
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from ecommerce_etl_pipeline_spark.sources.io import load_table, write_table
+
+    orders = load_table(spark, SF, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    write_table(orders, "wh_orders_part", partition_by=["order_year"])
+    try:
+        t = spark.table("wh_orders_part").filter(F.col("order_year") == 1995)
+        plan = explain_str(t)
+        # the year predicate must prune at the directory level, not post-scan
+        assert "PartitionFilters" in plan and "order_year" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+        files = t.inputFiles()
+        all_files = spark.table("wh_orders_part").inputFiles()
+        assert 0 < len(files) < len(all_files)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS wh_orders_part")

@@ -208,3 +208,48 @@ def stratified_exact_sample(
         df.withColumn("stratum_rank", F.row_number().over(w))
         .filter(F.col("stratum_rank") <= n_per_stratum)
     )
+
+
+def mixture_quotas(weights: dict[str, float], total_n: int) -> dict[str, int]:
+    """Largest-remainder apportionment of ``total_n`` across sources:
+    floor(w*N) each, remainders to the largest fractional parts (ties by
+    source name). Exact, deterministic, sums to ``total_n``."""
+    raw = {s: w * total_n for s, w in weights.items()}
+    quotas = {s: int(raw[s]) for s in raw}
+    short = total_n - sum(quotas.values())
+    by_frac = sorted(raw, key=lambda s: (-(raw[s] - quotas[s]), s))
+    for s in by_frac[:short]:
+        quotas[s] += 1
+    return quotas
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    total_n: int,
+    *,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix:v1",
+) -> DataFrame:
+    """Deterministic data-mixing sample: draw hash-ranked rows per source to
+    hit exact target proportions — the corpus-mixing step of a training
+    run (e.g. 50% web / 30% code / 20% books), replayable because rank
+    order is a pure function of (id, salt).
+
+    Scale shape: one window sort per source partition over only the listed
+    sources (others are filtered before the exchange). For quotas ≪ source
+    size, pre-prune with a hash threshold ~2x the target rate first so the
+    rank sees a sliver of each source (same trick as
+    :func:`stratified_exact_sample`).
+    """
+    quotas = mixture_quotas(weights, total_n)
+    quota_col = F.create_map(
+        *[x for s, q in sorted(quotas.items()) for x in (F.lit(s), F.lit(q))]
+    )[F.col(source_col)]
+    w = Window.partitionBy(source_col).orderBy(hash_key(F.col(id_col), salt), id_col)
+    return (
+        df.filter(F.col(source_col).isin(*quotas))
+        .withColumn("source_rank", F.row_number().over(w))
+        .filter(F.col("source_rank") <= quota_col)
+    )

@@ -1079,3 +1079,36 @@ def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         portable_round(F.col("qcos"), 6).alias("qcos"),
         F.col("rank").cast("int").alias("rank"),
     )
+
+
+@register(
+    "sm6_mixture_sample",
+    oracle="""
+    SELECT doc_id, source, source_rank
+    FROM (
+        SELECT doc_id, source,
+               CAST(row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('mix:v1' || CAST(doc_id AS VARCHAR)), doc_id
+               ) AS INTEGER) AS source_rank
+        FROM documents
+        WHERE source IN ('src0', 'src1', 'src2')
+    )
+    WHERE source_rank <= CASE source
+        WHEN 'src0' THEN 50 WHEN 'src1' THEN 30 WHEN 'src2' THEN 20 END
+    """,
+    doc="Deterministic corpus-mixing sample: exact per-source quotas from "
+    "target weights (50/30/20 over three sources, largest-remainder "
+    "apportionment), rows chosen by salted hash rank so the draw is "
+    "replayable and growth-stable. The mixing step of assembling a "
+    "training corpus from heterogeneous sources. Unlisted sources are "
+    "pruned BEFORE the rank exchange.",
+)
+def sm6_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = splits.mixture_sample(
+        docs, {"src0": 0.5, "src1": 0.3, "src2": 0.2}, total_n=100
+    )
+    return out.select(
+        "doc_id", "source", F.col("source_rank").cast("int").alias("source_rank")
+    )

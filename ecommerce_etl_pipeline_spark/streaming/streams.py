@@ -283,3 +283,18 @@ def stream_to_memory(
         .start()
     )
     q.awaitTermination(timeout_sec)
+
+
+def enriched_events_stream(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment join: every micro-batch of events joins a
+    static dimension snapshot (broadcast — the stream side never shuffles
+    and the join keeps NO state, unlike stream-stream). The streaming face
+    of the batch dim joins (J2/J5): continuous fact enrichment against a
+    slowly-changing dim; swap ``dim`` for a periodically refreshed view to
+    pick up dim updates between triggers.
+
+    ``dim`` must carry a ``user_id`` column; remaining dim columns land on
+    each matching event (left join keeps dimension gaps as nulls rather
+    than dropping facts).
+    """
+    return events.join(F.broadcast(dim), "user_id", "left")

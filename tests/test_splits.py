@@ -84,3 +84,28 @@ def test_stratified_exact_counts_and_determinism(spark, sf_dir):
     assert sorted(r["doc_id"] for r in sample.collect()) == sorted(
         r["doc_id"] for r in again.collect()
     )
+
+
+def test_mixture_quotas_largest_remainder():
+    from ecommerce_etl_pipeline_spark.llmops.splits import mixture_quotas
+
+    q = mixture_quotas({"a": 0.5, "b": 0.3, "c": 0.2}, 100)
+    assert q == {"a": 50, "b": 30, "c": 20}
+    # remainders: 33.4/33.3/33.3 -> one extra seat to the largest fraction
+    q = mixture_quotas({"a": 0.334, "b": 0.333, "c": 0.333}, 100)
+    assert sum(q.values()) == 100 and q["a"] == 34
+
+
+def test_mixture_sample_respects_quotas_and_determinism(spark, sf_dir):
+    from ecommerce_etl_pipeline_spark.llmops.splits import mixture_sample
+    from ecommerce_etl_pipeline_spark.sources.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    weights = {"src0": 0.6, "src1": 0.4}
+    a = mixture_sample(docs, weights, total_n=20)
+    counts = {r.source: r.cnt for r in a.groupBy("source").agg(
+        F.count(F.lit(1)).alias("cnt")).collect()}
+    assert counts == {"src0": 12, "src1": 8}
+    # replayable: identical draw on a second evaluation
+    b = mixture_sample(docs, weights, total_n=20)
+    assert sorted(r.doc_id for r in a.collect()) == sorted(r.doc_id for r in b.collect())

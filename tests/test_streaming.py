@@ -136,3 +136,29 @@ def test_sliding_window_stream_matches_batch(spark):
     )
     want = {(r.s, r.e): r.n for r in batch.collect()}
     assert got == want and len(got) > 0
+
+
+def test_enriched_events_stream_matches_batch(spark):
+    from ecommerce_etl_pipeline_spark.sources.io import load_table
+    from ecommerce_etl_pipeline_spark.streaming.streams import (
+        enriched_events_stream,
+        read_events_stream,
+        stream_to_memory,
+    )
+
+    dim = (
+        load_table(spark, SF, "customer")
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    ev = read_events_stream(spark, SF)
+    stream_to_memory(enriched_events_stream(ev, dim), "enriched_mem", output_mode="append")
+    got = spark.table("enriched_mem")
+    batch_ev = load_table(spark, SF, "events")
+    expect = batch_ev.join(dim, "user_id", "left")
+    assert got.count() == batch_ev.count()  # left join never drops facts
+    g = {r.event_id: r.segment for r in got.select("event_id", "segment").collect()}
+    e = {r.event_id: r.segment for r in expect.select("event_id", "segment").collect()}
+    assert g == e

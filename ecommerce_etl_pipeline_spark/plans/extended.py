@@ -461,3 +461,175 @@ def dq_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality.check_foreign_key(orders, "orders", "o_custkey", customer, "c_custkey"),
     ]
     return quality.validation_report(parts)
+
+
+@register(
+    "a23_zscore_outliers",
+    oracle=f"""
+    SELECT p_partkey, p_brand, p_retailprice,
+           {sql_round("(p_retailprice - avg(p_retailprice) OVER (PARTITION BY p_brand))"
+                      " / stddev_samp(p_retailprice) OVER (PARTITION BY p_brand)", 4)}
+               AS zscore
+    FROM part
+    QUALIFY abs((p_retailprice - avg(p_retailprice) OVER (PARTITION BY p_brand))
+                / stddev_samp(p_retailprice) OVER (PARTITION BY p_brand)) > 2
+    """,
+    doc="Per-group z-score outlier detection (|z| > 2 within brand) — the "
+    "statistical data-quality screen over numeric features. One window "
+    "shuffle on the group key; at 100 TB pre-aggregate (n, sum, sum_sq) "
+    "per group instead (map-side combinable) and broadcast the moments "
+    "back rather than windowing raw rows.",
+)
+def a23_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    part = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand")
+    z = (F.col("p_retailprice") - F.avg("p_retailprice").over(w)) / F.stddev_samp(
+        "p_retailprice"
+    ).over(w)
+    return (
+        part.withColumn("_z", z)
+        .filter(F.abs(F.col("_z")) > 2)
+        .select(
+            "p_partkey",
+            "p_brand",
+            "p_retailprice",
+            portable_round(F.col("_z"), 4).alias("zscore"),
+        )
+    )
+
+
+@register(
+    "a24_winsorized_stats",
+    oracle=f"""
+    WITH caps AS (
+        SELECT FLOOR(CAST(quantile_cont(p_retailprice, 0.05) AS DOUBLE) * 100 + 0.5) / 100
+                   AS lo,
+               FLOOR(CAST(quantile_cont(p_retailprice, 0.95) AS DOUBLE) * 100 + 0.5) / 100
+                   AS hi
+        FROM part
+    )
+    SELECT p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(CASE WHEN p_retailprice < lo OR p_retailprice > hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_capped,
+           {sql_round("CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)"
+                      " / COUNT(*)", 2)} AS avg_raw,
+           {sql_round("CAST(SUM(CAST(GREATEST(LEAST(p_retailprice, hi), lo)"
+                      " AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)", 2)} AS avg_winsorized
+    FROM part CROSS JOIN caps
+    GROUP BY p_brand
+    """,
+    doc="Winsorization: clamp a numeric feature at global p05/p95 before "
+    "aggregating — the outlier-robust normalization step of a feature "
+    "pipeline. Quantile caps are computed once (two scalars, broadcast), "
+    "portably rounded to cents so both engines clamp at identical "
+    "boundaries; averages run in exact decimal (order-independent).",
+)
+def a24_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    caps = part.agg(
+        portable_round(F.expr("percentile(p_retailprice, 0.05)"), 2).alias("lo"),
+        portable_round(F.expr("percentile(p_retailprice, 0.95)"), 2).alias("hi"),
+    )
+    clamped = F.greatest(F.least(F.col("p_retailprice"), F.col("hi")), F.col("lo"))
+    capped = (F.col("p_retailprice") < F.col("lo")) | (
+        F.col("p_retailprice") > F.col("hi")
+    )
+    return (
+        part.crossJoin(F.broadcast(caps))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(capped.cast("long")).alias("n_capped"),
+            portable_round(
+                F.sum(F.col("p_retailprice").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1)),
+                2,
+            ).alias("avg_raw"),
+            portable_round(
+                F.sum(clamped.cast("decimal(18,2)")).cast("double") / F.count(F.lit(1)),
+                2,
+            ).alias("avg_winsorized"),
+        )
+    )
+
+
+@register(
+    "a25_price_histogram",
+    oracle="""
+    WITH bounds AS (
+        SELECT MIN(p_retailprice) AS lo, MAX(p_retailprice) AS hi FROM part
+    ),
+    bucketed AS (
+        SELECT LEAST(CAST(FLOOR((p_retailprice - lo) / (hi - lo) * 10) AS INT), 9)
+                   AS bucket,
+               lo, hi
+        FROM part CROSS JOIN bounds
+    )
+    SELECT bucket,
+           FLOOR((lo + (hi - lo) * bucket / 10) * 100 + 0.5) / 100 AS bucket_lo,
+           FLOOR((lo + (hi - lo) * (bucket + 1) / 10) * 100 + 0.5) / 100 AS bucket_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_parts
+    FROM bucketed
+    GROUP BY bucket, lo, hi
+    """,
+    doc="Fixed-width 10-bucket histogram between global min/max — the "
+    "profiling primitive behind every distribution dashboard. Two scalar "
+    "aggregates broadcast; the bucket expression is deterministic "
+    "arithmetic so counts are exact on both engines. One map-side "
+    "combinable shuffle of 10 groups.",
+)
+def a25_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    bounds = part.agg(
+        F.min("p_retailprice").alias("lo"), F.max("p_retailprice").alias("hi")
+    )
+    span = F.col("hi") - F.col("lo")
+    bucket = F.least(
+        F.floor((F.col("p_retailprice") - F.col("lo")) / span * 10).cast("int"),
+        F.lit(9),
+    )
+    return (
+        part.crossJoin(F.broadcast(bounds))
+        .groupBy(bucket.alias("bucket"), "lo", "hi")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .select(
+            "bucket",
+            portable_round(F.col("lo") + span * F.col("bucket") / 10, 2).alias(
+                "bucket_lo"
+            ),
+            portable_round(F.col("lo") + span * (F.col("bucket") + 1) / 10, 2).alias(
+                "bucket_hi"
+            ),
+            "n_parts",
+        )
+    )
+
+
+@register(
+    "txt_freq_spectrum",
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    vocab AS (SELECT token, COUNT(*) AS freq FROM tok GROUP BY 1)
+    SELECT CAST(freq AS BIGINT) AS freq, CAST(COUNT(*) AS BIGINT) AS n_tokens
+    FROM vocab
+    GROUP BY freq
+    """,
+    doc="Token frequency-of-frequencies spectrum (the Zipf / Good-Turing "
+    "profile): how many distinct tokens occur exactly f times. Two exact "
+    "integer aggregations; the second input is already tiny (one row per "
+    "distinct frequency). The standard corpus-health check before "
+    "vocabulary decisions.",
+)
+def txt_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return vocab.groupBy("freq").agg(F.count(F.lit(1)).alias("n_tokens"))

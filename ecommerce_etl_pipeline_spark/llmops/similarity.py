@@ -79,10 +79,18 @@ def quantize_int8(vec: Column) -> Column:
     The scale-compression step for billion-vector ANN: 4x smaller than
     float32, so 4x more vectors per executor and 4x less shuffle when the
     index is built. Rounding is the engine-portable half-up formula
-    (floor(x+0.5)) so an oracle reproduces the exact codes."""
-    scale = F.lit(127.0) / F.array_max(F.transform(vec, F.abs)).cast("double")
+    (floor(x+0.5)) so an oracle reproduces the exact codes.
+
+    An all-zero vector has max|v| = 0; ``nullif`` keeps that from becoming a
+    DIVIDE_BY_ZERO under ANSI sessions and the codes coalesce to 0."""
+    scale = F.lit(127.0) / F.nullif(
+        F.array_max(F.transform(vec, F.abs)).cast("double"), F.lit(0.0)
+    )
     return F.transform(
-        vec, lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("long")
+        vec,
+        lambda x: F.coalesce(
+            F.floor(x.cast("double") * scale + F.lit(0.5)), F.lit(0)
+        ).cast("long"),
     )
 
 

@@ -214,11 +214,16 @@ def mixture_quotas(weights: dict[str, float], total_n: int) -> dict[str, int]:
     """Largest-remainder apportionment of ``total_n`` across sources:
     floor(w*N) each, remainders to the largest fractional parts (ties by
     source name). Exact, deterministic, sums to ``total_n``."""
+    if any(w < 0 for w in weights.values()):
+        raise ValueError(f"mixture weights must be non-negative: {weights}")
+    wsum = sum(weights.values())
+    if abs(wsum - 1.0) > 1e-9:
+        raise ValueError(f"mixture weights must sum to 1 (got {wsum}): {weights}")
     raw = {s: w * total_n for s, w in weights.items()}
     quotas = {s: int(raw[s]) for s in raw}
     short = total_n - sum(quotas.values())
     by_frac = sorted(raw, key=lambda s: (-(raw[s] - quotas[s]), s))
-    for s in by_frac[:short]:
+    for s in by_frac[:max(0, short)]:
         quotas[s] += 1
     return quotas
 

@@ -107,12 +107,18 @@ def compact(
     """Rewrite ``src_path`` into ``dst_path`` with ~``target_rows_per_file``
     rows per file. Returns the number of output files requested.
 
-    The row count comes from parquet footer metadata (no data scan); the
-    rewrite is one round-robin exchange. For layout-preserving compaction
-    of Z-ordered data, re-run :func:`write_zordered` instead.
+    The row count is a zero-column scan (cheap, not a pure metadata read);
+    the rewrite is one round-robin exchange. For layout-preserving
+    compaction of Z-ordered data, re-run :func:`write_zordered` instead.
+    ``dst_path`` must differ from ``src_path``: mode('overwrite') deletes
+    the destination before the lazy source read completes.
     """
+    import os
+
+    if os.path.abspath(src_path) == os.path.abspath(dst_path):
+        raise ValueError(f"compact() src and dst must differ: {src_path}")
     df = spark.read.parquet(src_path)
-    n_rows = df.count()  # footer-only for a plain parquet scan
+    n_rows = df.count()  # zero-column scan
     n_files = max(1, -(-n_rows // target_rows_per_file))
     df.repartition(n_files).write.mode("overwrite").parquet(dst_path)
     return n_files

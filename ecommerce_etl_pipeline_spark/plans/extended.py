@@ -466,30 +466,53 @@ def dq_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "a23_zscore_outliers",
     oracle=f"""
-    SELECT p_partkey, p_brand, p_retailprice,
-           {sql_round("(p_retailprice - avg(p_retailprice) OVER (PARTITION BY p_brand))"
-                      " / stddev_samp(p_retailprice) OVER (PARTITION BY p_brand)", 4)}
-               AS zscore
-    FROM part
-    QUALIFY abs((p_retailprice - avg(p_retailprice) OVER (PARTITION BY p_brand))
-                / stddev_samp(p_retailprice) OVER (PARTITION BY p_brand)) > 2
+    WITH m AS (
+        SELECT p_brand,
+               COUNT(*) AS n,
+               SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS s,
+               SUM(CAST(p_retailprice AS DECIMAL(18,2))
+                   * CAST(p_retailprice AS DECIMAL(18,2))) AS ss
+        FROM part GROUP BY p_brand
+    ),
+    z AS (
+        SELECT p_partkey, part.p_brand AS p_brand, p_retailprice,
+               (p_retailprice - CAST(s AS DOUBLE) / n)
+                 / NULLIF(SQRT((CAST(ss AS DOUBLE)
+                                - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                               / NULLIF(n - 1, 0)), 0) AS zval
+        FROM part JOIN m ON part.p_brand = m.p_brand
+    )
+    SELECT p_partkey, p_brand, p_retailprice, {sql_round("zval", 4)} AS zscore
+    FROM z WHERE ABS(zval) > 2
     """,
     doc="Per-group z-score outlier detection (|z| > 2 within brand) — the "
-    "statistical data-quality screen over numeric features. One window "
-    "shuffle on the group key; at 100 TB pre-aggregate (n, sum, sum_sq) "
-    "per group instead (map-side combinable) and broadcast the moments "
-    "back rather than windowing raw rows.",
+    "statistical data-quality screen over numeric features. Moments (n, "
+    "decimal sum, decimal sum-of-squares) are pre-aggregated exactly per "
+    "group (map-side combinable, order-independent — FP window aggregates "
+    "would make the |z|>2 boundary partitioning-dependent) and broadcast "
+    "back; the final mean/stddev/z arithmetic runs on group-level scalars "
+    "with identical IEEE ops on both engines.",
 )
 def a23_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     part = load_table(spark, sf_dir, "part")
-    w = Window.partitionBy("p_brand")
-    z = (F.col("p_retailprice") - F.avg("p_retailprice").over(w)) / F.stddev_samp(
-        "p_retailprice"
-    ).over(w)
+    dec = F.col("p_retailprice").cast("decimal(18,2)")
+    m = part.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec).alias("s"),
+        F.sum(dec * dec).alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    sd = F.sqrt(
+        (
+            F.col("ss").cast("double")
+            - F.col("s").cast("double") * F.col("s").cast("double") / F.col("n")
+        )
+        / F.nullif(F.col("n") - F.lit(1), F.lit(0))
+    )
+    z = (F.col("p_retailprice") - mean) / F.nullif(sd, F.lit(0.0))
     return (
-        part.withColumn("_z", z)
+        part.join(F.broadcast(m), "p_brand")
+        .withColumn("_z", z)
         .filter(F.abs(F.col("_z")) > 2)
         .select(
             "p_partkey",

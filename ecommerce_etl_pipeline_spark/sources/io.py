@@ -57,6 +57,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        else:
+            # Micros files read as TIMESTAMP_NTZ; normalize to the same LTZ
+            # type the nanos path (and the streaming reader) produce so the
+            # output schema is generator-version independent. Value-
+            # preserving under the UTC-pinned session.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

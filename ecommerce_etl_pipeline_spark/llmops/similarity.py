@@ -202,3 +202,124 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def lsh_topk_multi(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 6,
+    n_tables: int = 16,
+    k: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """Multi-table LSH top-k: ``n_tables`` independent sign-bit tables of
+    ``n_planes`` bits each; a vector is a candidate if it collides with the
+    query in ANY table — the standard recall amplifier (1-(1-p^b)^L) when a
+    single table's collision probability is too selective. Table ``t`` uses
+    seed ``seed + t``.
+
+    Scale shape: each side computes all table signatures in one narrow
+    pass, then ships thin (id, table, bucket) rows; the candidate join is
+    per-(table, bucket) so shuffle volume tracks collisions, not corpus².
+    Candidate pairs are deduped before the (more expensive) cosine re-rank.
+    """
+    tables = [_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
+
+    def melted(df: DataFrame, out_id: str) -> DataFrame:
+        sigs = F.array(
+            *[lsh_signature(F.col(vec_col), planes) for planes in tables]
+        )
+        return df.select(
+            F.col(id_col).alias(out_id), F.posexplode(sigs).alias("table_id", "bucket")
+        )
+
+    q_vec = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    cand = (
+        melted(ensure_parallelism(corpus), "neighbor_id")
+        .join(F.broadcast(melted(queries, "query_id")), ["table_id", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    scored = (
+        cand.join(
+            corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec")),
+            "neighbor_id",
+        )
+        .join(F.broadcast(q_vec), "query_id")
+        .withColumn("cosine", cosine(F.col("query_vec"), F.col("vec")))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def lsh_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    dim: int = 64,
+    n_planes: int = 12,
+    n_tables: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """Recall@k of the LSH candidate path against the exact brute-force
+    baseline, per query: ``hits`` = |LSH top-k ∩ exact top-k|, ``recall`` =
+    hits / k. Deterministic given the plane seed, so the quality of the
+    approximate index is itself a checkable quantity — the measurement you
+    run before trusting an ANN index at scale (and re-run when n_planes /
+    corpus distribution changes).
+
+    Cost: one brute-force pass over the query set (small by construction)
+    plus the LSH probe — both broadcast-queries × corpus-scan shapes.
+    """
+    exact = brute_force_topk(
+        corpus, queries, id_col=id_col, vec_col=vec_col, k=k
+    ).select("query_id", "neighbor_id")
+    if n_tables > 1:
+        approx = lsh_topk_multi(
+            corpus,
+            queries,
+            id_col=id_col,
+            vec_col=vec_col,
+            dim=dim,
+            n_planes=n_planes,
+            n_tables=n_tables,
+            k=k,
+            seed=seed,
+        )
+    else:
+        approx = lsh_topk(
+            corpus,
+            queries,
+            id_col=id_col,
+            vec_col=vec_col,
+            dim=dim,
+            n_planes=n_planes,
+            k=k,
+            seed=seed,
+        )
+    approx = approx.select("query_id", "neighbor_id", F.lit(1).alias("_hit"))
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("bigint").alias("hits"))
+        .select(
+            "query_id",
+            "hits",
+            (F.col("hits").cast("double") / F.lit(float(k))).alias("recall"),
+        )
+    )

@@ -408,3 +408,45 @@ def w10_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         valid_to.isNull().alias("is_current"),
     )
+
+
+@register(
+    "w11_salted_hot_keys",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="Hot-key aggregation through the explicit salting path "
+    "(operators/skew.py::salted_aggregate): phase 1 groups by "
+    "(user_id, salt) so a pathologically hot user spreads over 16 "
+    "reducers, phase 2 merges the partials by the true key — the manual "
+    "complement to AQE skew-join splitting, which does NOT split "
+    "aggregation groups. The oracle is the plain unsalted GROUP BY: "
+    "salting must be a pure physical rewrite with identical results. "
+    "Aggregates chosen to be salt-decomposable and order-independent "
+    "(count/sum partials re-sum; max re-maxes; cents via FLOOR(value*100) "
+    "keeps both engines in exact integer math).",
+)
+def w11_salted_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecommerce_etl_pipeline_spark.operators.skew import salted_aggregate
+
+    ev = load_table(spark, sf_dir, "events")
+    return salted_aggregate(
+        ev,
+        ["user_id"],
+        aggs={
+            "n_events": F.count(F.lit(1)),
+            "value_cents": F.sum(F.floor(F.col("value") * 100)),
+            "max_value": F.max("value"),
+        },
+        merge={
+            "n_events": F.sum("n_events").cast("bigint"),
+            "value_cents": F.sum("value_cents").cast("bigint"),
+            "max_value": F.max("max_value"),
+        },
+        buckets=16,
+    )

@@ -214,3 +214,11 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
         assert 0 < len(files) < len(all_files)
     finally:
         spark.sql("DROP TABLE IF EXISTS wh_orders_part")
+
+
+def test_salted_aggregate_two_phase_shape(spark):
+    # w11: phase-1 exchange must hash on (user_id, _salt) — the hot key
+    # spreads over 16 reducers — and a second aggregate merges by user_id
+    plan = plan_of(spark, "w11_salted_hot_keys")
+    assert "_salt" in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final for each phase

@@ -670,14 +670,66 @@ def sim_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mm_asset_features",
-    doc="Multimodal plumbing: documents -> binary payload assets -> "
-    "Arrow-batched mapInPandas feature extraction (byte stats standing in "
-    "for stubbed decoders). Rows-only check.",
+    oracle="""
+    WITH img AS (
+        SELECT doc_id, 8 + doc_id % 8 AS w, 6 + doc_id % 6 AS h
+        FROM documents WHERE doc_id % 2 = 0
+    ),
+    img_bytes AS (
+        SELECT doc_id, w, h, unnest(range(0, 3 * w * h)) AS i FROM img
+    ),
+    img_feat AS (
+        SELECT doc_id, w, h,
+               CAST(SUM(CASE WHEN i % 3 = 0 THEN (doc_id * 7 + i * 13) % 256 END)
+                    AS BIGINT) AS sum_r,
+               CAST(SUM(CASE WHEN i % 3 = 1 THEN (doc_id * 7 + i * 13) % 256 END)
+                    AS BIGINT) AS sum_g,
+               CAST(SUM(CASE WHEN i % 3 = 2 THEN (doc_id * 7 + i * 13) % 256 END)
+                    AS BIGINT) AS sum_b
+        FROM img_bytes GROUP BY doc_id, w, h
+    ),
+    aud AS (
+        SELECT doc_id, 64 + doc_id % 64 AS n
+        FROM documents WHERE doc_id % 2 = 1
+    ),
+    aud_samples AS (
+        SELECT doc_id, n, unnest(range(0, n)) AS j FROM aud
+    ),
+    aud_feat AS (
+        SELECT doc_id, n,
+               CAST(SUM((doc_id * 31 + j * 17) % 65536 - 32768) AS BIGINT) AS sum_amp,
+               CAST(SUM(((doc_id * 31 + j * 17) % 65536 - 32768)
+                        * ((doc_id * 31 + j * 17) % 65536 - 32768)) AS BIGINT)
+                   AS sum_sq_amp
+        FROM aud_samples GROUP BY doc_id, n
+    )
+    SELECT doc_id AS asset_id, 'image' AS media_type,
+           CAST(9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR))
+                + 3 * w * h AS BIGINT) AS n_bytes,
+           CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           sum_r, sum_g, sum_b,
+           CAST(NULL AS INTEGER) AS n_samples,
+           CAST(NULL AS BIGINT) AS sum_amp, CAST(NULL AS BIGINT) AS sum_sq_amp
+    FROM img_feat
+    UNION ALL
+    SELECT doc_id, 'audio', CAST(44 + 2 * n AS BIGINT),
+           NULL, NULL, NULL, NULL, NULL,
+           CAST(n AS INTEGER), sum_amp, sum_sq_amp
+    FROM aud_feat
+    """,
+    doc="REAL multimodal decode: documents -> deterministic well-formed "
+    "PPM/WAV containers (encoded in-batch) -> magic-byte sniff -> actual "
+    "header/raster/PCM parsing -> exact integer pixel-channel and "
+    "amplitude statistics (llmops/multimodal.py::decode_features). The "
+    "oracle recomputes every statistic in closed form from the fixture "
+    "contract, so any decoder mis-parse (header offset, endianness, "
+    "channel interleave) hash-mismatches. Arrow-batched mapInPandas is "
+    "the sanctioned Python boundary; scale shape is scan-side only.",
 )
 def mm_asset_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    assets = multimodal.assets_from_documents(docs)
-    return multimodal.extract_features(assets, fake=True)
+    assets = multimodal.synthesize_media_assets(docs)
+    return multimodal.decode_features(assets)
 
 
 _COS_SQL = (
@@ -914,17 +966,37 @@ def dd_curation_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mm_frame_sample",
-    doc="Multimodal frame sampling: 1 video asset row -> N frame rows "
-    "through Arrow-batched mapInPandas (deterministic fake demux standing "
-    "in for the stubbed codec; plumbing — schema, fan-out, partition "
-    "inheritance — is real). Rows-only check.",
+    oracle="""
+    WITH aud AS (
+        SELECT doc_id, 64 + doc_id % 64 AS n
+        FROM documents WHERE doc_id % 2 = 1
+    ),
+    frames AS (
+        SELECT doc_id, n,
+               unnest(range(0, CAST(ceil(n / 16.0) AS INT), 2)) AS f
+        FROM aud
+    ),
+    samp AS (
+        SELECT doc_id, f, unnest(range(f * 16, least((f + 1) * 16, n))) AS j
+        FROM frames
+    )
+    SELECT doc_id AS asset_id, CAST(f AS INTEGER) AS frame_index,
+           CAST(COUNT(*) AS INTEGER) AS n_frame_samples,
+           CAST(SUM((doc_id * 31 + j * 17) % 65536 - 32768) AS BIGINT)
+               AS frame_sum_amp
+    FROM samp GROUP BY doc_id, f
+    """,
+    doc="REAL multimodal frame sampling: WAV payloads are demuxed and "
+    "PCM-decoded (llmops/multimodal.py::sample_audio_frames), the sample "
+    "stream windows into 16-sample frames, and every 2nd frame is kept "
+    "with its exact amplitude sum — the 1→N asset-to-frame fan-out, "
+    "oracle-checked in closed form from the fixture contract. No shuffle; "
+    "fan-out inherits input partitioning.",
 )
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    assets = multimodal.assets_from_documents(docs)
-    return multimodal.sample_frames(assets, frame_bytes=64, every_nth=4).drop(
-        "frame_payload"
-    )
+    assets = multimodal.synthesize_media_assets(docs)
+    return multimodal.sample_audio_frames(assets, frame_samples=16, every_nth=2)
 
 
 _SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}

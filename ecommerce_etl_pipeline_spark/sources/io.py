@@ -169,8 +169,10 @@ def read_jdbc(
     pulling everything — mandatory at scale. Simple predicates on the
     result push down into the remote database.
 
-    Untested here (no database in this environment); the engine-native
-    path for the same query is a plain join — see j1_order_lineitem_join.
+    Exercised live against embedded Derby (tests/test_jdbc.py): pushed
+    aggregate query + partitioned range scan, matching the in-engine
+    equivalent. The engine-native path for the reference's one
+    Postgres-delegated query is a plain join — see j1_order_lineitem_join.
     """
     reader = spark.read.format("jdbc").option("url", url)
     for k, v in (properties or {}).items():

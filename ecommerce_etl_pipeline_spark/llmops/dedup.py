@@ -358,6 +358,62 @@ def contamination_against(
     return inter.filter(jac >= thr).select("train_id", "eval_id", jac.alias("jaccard"))
 
 
+def incremental_dedup(
+    index: DataFrame,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+    hashed: bool = True,
+) -> DataFrame:
+    """Daily-ingestion dedup: classify each INCOMING document against an
+    existing corpus index as ``exact_dup`` (identical content hash),
+    ``near_dup`` (shingle-Jaccard >= threshold), or ``kept`` — with the
+    lowest matching index id as ``match_id`` (exact wins over near).
+
+    The 100 TB shape: the corpus index is petabyte-class but the daily
+    batch is small, so the BATCH side broadcasts everywhere — the content-
+    hash probe is a broadcast join against the index's hash projection, and
+    near-dup candidates come from :func:`contamination_against` (batch
+    postings broadcast, index postings streamed). The index is never
+    re-shuffled; cost is one scan of the index per ingestion cycle, and
+    with a persisted (hash, shingle-postings) index table it drops to an
+    index-only probe.
+    """
+    b_ids = batch.select(F.col(id_col).alias("batch_id"), F.col(text_col).alias("_bt"))
+    exact = (
+        index.select(F.col(id_col).alias("index_id"), F.md5(F.col(text_col)).alias("h"))
+        .join(F.broadcast(b_ids.select("batch_id", F.md5(F.col("_bt")).alias("h"))), "h")
+        .groupBy("batch_id")
+        .agg(F.min("index_id").alias("exact_match"))
+    )
+    near = (
+        contamination_against(
+            index, batch, id_col, text_col,
+            threshold=threshold, shingle_k=shingle_k, hashed=hashed,
+        )
+        .groupBy(F.col("eval_id").alias("batch_id"))
+        .agg(F.min("train_id").alias("near_match"))
+    )
+    status = (
+        F.when(F.col("exact_match").isNotNull(), F.lit("exact_dup"))
+        .when(F.col("near_match").isNotNull(), F.lit("near_dup"))
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        b_ids.select("batch_id")
+        .join(exact, "batch_id", "left")
+        .join(near, "batch_id", "left")
+        .select(
+            F.col("batch_id").alias(id_col),
+            status.alias("status"),
+            F.coalesce("exact_match", "near_match").alias("match_id"),
+        )
+    )
+
+
 def simhash_of_hashes(hashes_sql: str, bits: int = 64) -> Column:
     """SimHash over a precomputed token-hash array column: per bit position,
     sign of the sum of (+1/-1) votes from each hash; sign bits packed into a

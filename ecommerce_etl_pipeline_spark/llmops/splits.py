@@ -228,6 +228,26 @@ def mixture_quotas(weights: dict[str, float], total_n: int) -> dict[str, int]:
     return quotas
 
 
+def temperature_weights(counts: dict[str, int], alpha: float = 0.5) -> dict[str, float]:
+    """Temperature-scaled mixture weights: w_s ∝ count_s^alpha — the
+    multilingual/multi-source rebalancing rule (alpha < 1 up-samples small
+    sources, alpha = 1 is natural proportions). Used with
+    :func:`mixture_quotas` / :func:`mixture_sample` to draw the corpus mix.
+
+    The normalizer is a LEFT FOLD over name-sorted sources — the same
+    sequential association a SQL running-window cumsum produces — so an
+    oracle reproduces bit-identical weights (a different summation order
+    could flip a largest-remainder tie).
+    """
+    if alpha < 0:
+        raise ValueError(f"alpha must be non-negative: {alpha}")
+    powed = {s: float(counts[s]) ** alpha for s in sorted(counts)}
+    total = 0.0
+    for s in sorted(powed):
+        total += powed[s]
+    return {s: powed[s] / total for s in powed}
+
+
 def mixture_sample(
     df: DataFrame,
     weights: dict[str, float],

@@ -58,6 +58,7 @@ _DRIVER_WINDOW = [
     "u1_union_chunks",
     # deduplication / decontamination surface
     "dd_exact_dedup",
+    "dd_incremental_dedup",
     "dd_jaccard_pairs",
     "dd_curation_pipeline",
     "dd_eval_decontam",
@@ -77,8 +78,8 @@ _DRIVER_WINDOW = [
     "txt_tfidf_top_terms",
     "txt_sequence_packing",
     "txt_unigram_logprob",
+    "txt_bigram_logprob",
     "txt_pii_redaction",
-    "txt_freq_spectrum",
     # similarity search
     "sim_cosine_topk",
     "sim_quantized_topk",
@@ -87,7 +88,7 @@ _DRIVER_WINDOW = [
     "mm_asset_features",
     # sampling / splits
     "sm5_stratified_sample",
-    "sm6_mixture_sample",
+    "sm7_temperature_mixture",
     # temporal joins + skew path
     "j9_asof_join",
     "j10_range_band_join",
@@ -99,7 +100,6 @@ _DRIVER_WINDOW = [
     "a22_cube",
     "a23_zscore_outliers",
     "a24_winsorized_stats",
-    "a25_price_histogram",
     # SQL-surface equivalents (S5 stand-ins)
     "sql_top_revenue_orders",
     "sql_nation_revenue",

@@ -1074,35 +1074,49 @@ def sm5_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM vocab)
     SELECT doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           {sql_round("AVG(ln(CAST(cnt AS DOUBLE))) - ln(total)", 4)} AS avg_logprob
+           {sql_round(
+               "CAST(SUM(CAST(FLOOR(ln(CAST(cnt AS DOUBLE)) * 1e9 + 0.5) AS BIGINT))"
+               " AS DOUBLE) / 1e9 / COUNT(*) - ln(total)", 4)} AS avg_logprob
     FROM tok JOIN vocab USING (token) CROSS JOIN tot
     GROUP BY doc_id, total
     """,
     doc="Corpus-unigram-LM quality score (the CCNet/C4 perplexity-filter "
     "shape with a unigram model): token explode -> vocab count agg -> "
     "broadcast logprob join back -> per-doc mean log-probability. Low "
-    "scores flag gibberish / OOV-heavy docs. Scale: the vocab table after "
-    "aggregation is tiny relative to the corpus (Zipf), so the re-score "
-    "join is a broadcast; the only big shuffles are the vocab count and "
-    "the per-doc regroup, both map-side combinable.",
+    "scores flag gibberish / OOV-heavy docs. Per-token log-probs are "
+    "half-up-quantized to nano precision and summed as exact integers, so "
+    "the per-doc mean is independent of partitioning/summation order on "
+    "both engines (a raw FP AVG(ln) drifts at scale). Scale: the vocab "
+    "table after aggregation is tiny relative to the corpus (Zipf), so "
+    "the re-score join is a broadcast; the only big shuffles are the "
+    "vocab count and the per-doc regroup, both map-side combinable.",
 )
 def txt_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(text.tokens(F.col("text"))).alias("token"))
     vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
     total = vocab.agg(F.sum("cnt").cast("double").alias("total"))
+    micro_lp = F.floor(
+        F.log(F.col("cnt").cast("double")) * F.lit(1e9) + F.lit(0.5)
+    ).cast("bigint")
     return (
         tok.join(F.broadcast(vocab), "token")
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id", "total")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            (F.avg(F.log(F.col("cnt").cast("double"))) - F.log(F.col("total").cast("double"))).alias("_lp"),
+            F.sum(micro_lp).alias("_sum_micro"),
         )
         .select(
             "doc_id",
             "n_tokens",
-            portable_round(F.col("_lp"), 4).alias("avg_logprob"),
+            portable_round(
+                F.col("_sum_micro").cast("double")
+                / F.lit(1e9)
+                / F.col("n_tokens")
+                - F.log(F.col("total").cast("double")),
+                4,
+            ).alias("avg_logprob"),
         )
     )
 
@@ -1277,4 +1291,219 @@ def sm6_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "doc_id", "source", F.col("source_rank").cast("int").alias("source_rank")
+    )
+
+
+# Shared cross-corpus shingle-Jaccard SQL: batch (doc_id >= split_id) vs
+# index (doc_id < split_id), raw-shingle mode, mirroring
+# dedup.contamination_against's fused length filter exactly.
+def _incremental_dedup_sql(split_id: int = 400, thr: float = 0.5) -> str:
+    return f"""
+    WITH ix AS (SELECT doc_id, text FROM documents WHERE doc_id < {split_id}),
+    bt AS (SELECT doc_id, text FROM documents WHERE doc_id >= {split_id}),
+    exact AS (
+        SELECT b.doc_id AS batch_id, MIN(i.doc_id) AS exact_match
+        FROM bt b JOIN ix i ON md5(b.text) = md5(i.text)
+        GROUP BY b.doc_id
+    ),
+    sh AS (
+        SELECT doc_id,
+               CASE WHEN len(t) >= 3 THEN
+                   list_distinct(list_transform(generate_series(1, len(t) - 2),
+                       i -> array_to_string(t[i:i+2], ' ')))
+               ELSE [array_to_string(t, ' ')] END AS shingles
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    ),
+    inv AS (
+        SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh
+    ),
+    inter AS (
+        SELECT i.doc_id AS index_id, b.doc_id AS batch_id,
+               i.n AS n_i, b.n AS n_b, COUNT(*) AS c
+        FROM inv i JOIN inv b
+          ON i.s = b.s AND i.doc_id < {split_id} AND b.doc_id >= {split_id}
+         AND {thr} * i.n <= b.n AND {thr} * b.n <= i.n
+        GROUP BY 1, 2, 3, 4
+    ),
+    near AS (
+        SELECT batch_id, MIN(index_id) AS near_match
+        FROM inter WHERE c / (n_i + n_b - c) >= {thr}
+        GROUP BY batch_id
+    )
+    SELECT b.doc_id,
+           CASE WHEN e.exact_match IS NOT NULL THEN 'exact_dup'
+                WHEN n.near_match IS NOT NULL THEN 'near_dup'
+                ELSE 'kept' END AS status,
+           COALESCE(e.exact_match, n.near_match) AS match_id
+    FROM bt b
+    LEFT JOIN exact e ON e.batch_id = b.doc_id
+    LEFT JOIN near n ON n.batch_id = b.doc_id
+    """
+
+
+@register(
+    "dd_incremental_dedup",
+    oracle=_incremental_dedup_sql(),
+    doc="Incremental (daily-ingestion) dedup: classify each incoming "
+    "document (doc_id >= 400 stands in for today's batch) against the "
+    "existing corpus index (doc_id < 400) as exact_dup / near_dup / kept "
+    "with the lowest matching index id. The 100 TB shape "
+    "(llmops/dedup.py::incremental_dedup): the small batch side "
+    "BROADCASTS into both the content-hash probe and the shingle-postings "
+    "candidate join, so the petabyte-class index is scanned once and "
+    "never re-shuffled. Raw-shingle mode for exact oracle parity.",
+)
+def dd_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    index = docs.filter(F.col("doc_id") < 400)
+    batch = docs.filter(F.col("doc_id") >= 400)
+    return dedup.incremental_dedup(index, batch, hashed=False)
+
+
+@register(
+    "sm7_temperature_mixture",
+    oracle="""
+    WITH src AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    sq AS (SELECT source, sqrt(CAST(n AS DOUBLE)) AS sqn FROM src),
+    csum AS (
+        SELECT source, sqn,
+               SUM(sqn) OVER (ORDER BY source
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cs
+        FROM sq
+    ),
+    tot AS (SELECT cs AS s FROM csum ORDER BY source DESC LIMIT 1),
+    fl AS (
+        SELECT source,
+               CAST(FLOOR((sqn / (SELECT s FROM tot)) * 200) AS BIGINT) AS q,
+               (sqn / (SELECT s FROM tot)) * 200
+                   - FLOOR((sqn / (SELECT s FROM tot)) * 200) AS frac
+        FROM sq
+    ),
+    shortfall AS (SELECT 200 - CAST(SUM(q) AS BIGINT) AS s FROM fl),
+    ranked AS (
+        SELECT source, q,
+               ROW_NUMBER() OVER (ORDER BY frac DESC, source) AS rk
+        FROM fl
+    ),
+    quotas AS (
+        SELECT source,
+               q + CASE WHEN rk <= (SELECT s FROM shortfall) THEN 1 ELSE 0 END
+                   AS quota
+        FROM ranked
+    )
+    SELECT doc_id, source, source_rank FROM (
+        SELECT d.doc_id, d.source, qt.quota,
+               CAST(row_number() OVER (
+                   PARTITION BY d.source
+                   ORDER BY md5('tmix:v1' || CAST(d.doc_id AS VARCHAR)), d.doc_id
+               ) AS INTEGER) AS source_rank
+        FROM documents d JOIN quotas qt USING (source)
+    ) WHERE source_rank <= quota
+    """,
+    doc="Temperature-scaled mixture sampling (alpha = 0.5): per-source "
+    "quotas proportional to count^alpha — the multilingual/multi-source "
+    "rebalancing rule that up-samples small sources — apportioned by "
+    "largest remainder to exactly 200 rows, drawn by salted hash rank "
+    "(replayable, growth-stable). Source counts are a tiny aggregate "
+    "collected driver-side (broadcast-sized, like a join plan choice); "
+    "the draw itself is one window shuffle partitioned by source. The "
+    "weight normalizer is a left fold in source order on BOTH engines so "
+    "largest-remainder ties cannot flip (llmops/splits.py::"
+    "temperature_weights).",
+)
+def sm7_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    weights = splits.temperature_weights(counts, alpha=0.5)
+    out = splits.mixture_sample(docs, weights, total_n=200, salt="tmix:v1")
+    return out.select(
+        "doc_id", "source", F.col("source_rank").cast("int").alias("source_rank")
+    )
+
+
+@register(
+    "txt_bigram_logprob",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    pos AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks),
+    bg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2 FROM pos),
+    uni AS (
+        SELECT tok AS w, COUNT(*) AS c1
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(c1) AS DOUBLE) AS total FROM uni),
+    big AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+    scored AS (
+        SELECT bg.doc_id,
+               CAST(0.7 AS DOUBLE) * (CAST(b.c2 AS DOUBLE) / u1.c1)
+                 + CAST(0.3 AS DOUBLE) * (CAST(u2.c1 AS DOUBLE) / total) AS p
+        FROM bg
+        JOIN big b ON b.w1 = bg.w1 AND b.w2 = bg.w2
+        JOIN uni u1 ON u1.w = bg.w1
+        JOIN uni u2 ON u2.w = bg.w2
+        CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           {sql_round(
+               "CAST(SUM(CAST(FLOOR(ln(p) * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)"
+               " / 1e9 / COUNT(*)", 4)} AS avg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+    doc="Interpolated bigram-LM quality score: p(w2|w1) = 0.7*MLE-bigram + "
+    "0.3*unigram backoff, per-doc mean log-probability — one model order "
+    "up from txt_unigram_logprob, the cheap KenLM-style fluency filter. "
+    "Per-bigram log-probs are nano-quantized and summed as exact integers "
+    "(order-independent on both engines). Scale: unigram and bigram count "
+    "tables broadcast here; at web scale the bigram LM outgrows broadcast "
+    "and the rescore becomes a shuffle hash join on w1 — same plan "
+    "otherwise. Bigrams derive from the token array by index (zip with "
+    "next), zero extra tokenization passes.",
+)
+def txt_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", text.tokens(F.col("text")).alias("t"))
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), "
+                "i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    uni = (
+        docs.select(F.explode(text.tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    total = uni.agg(F.sum("c1").cast("double").alias("total"))
+    big = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    p = F.lit(0.7) * (F.col("c2").cast("double") / F.col("c1a")) + F.lit(0.3) * (
+        F.col("c1b").cast("double") / F.col("total")
+    )
+    micro = F.floor(F.log(p) * F.lit(1e9) + F.lit(0.5)).cast("bigint")
+    return (
+        bg.join(F.broadcast(big), ["w1", "w2"])
+        .join(F.broadcast(uni.select(F.col("w").alias("w1"), F.col("c1").alias("c1a"))), "w1")
+        .join(F.broadcast(uni.select(F.col("w").alias("w2"), F.col("c1").alias("c1b"))), "w2")
+        .crossJoin(F.broadcast(total))
+        .withColumn("_micro", micro)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("_micro").alias("_sum_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            portable_round(
+                F.col("_sum_micro").cast("double") / F.lit(1e9) / F.col("n_bigrams"), 4
+            ).alias("avg_logprob"),
+        )
     )

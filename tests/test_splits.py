@@ -109,3 +109,58 @@ def test_mixture_sample_respects_quotas_and_determinism(spark, sf_dir):
     # replayable: identical draw on a second evaluation
     b = mixture_sample(docs, weights, total_n=20)
     assert sorted(r.doc_id for r in a.collect()) == sorted(r.doc_id for r in b.collect())
+
+
+def test_mixture_quotas_validates_weights():
+    import pytest
+
+    from ecommerce_etl_pipeline_spark.llmops.splits import mixture_quotas
+
+    with pytest.raises(ValueError, match="sum to 1"):
+        mixture_quotas({"a": 0.7, "b": 0.7}, 100)
+    with pytest.raises(ValueError, match="non-negative"):
+        mixture_quotas({"a": 1.5, "b": -0.5}, 100)
+
+
+def test_temperature_weights_properties():
+    from ecommerce_etl_pipeline_spark.llmops.splits import (
+        mixture_quotas,
+        temperature_weights,
+    )
+
+    counts = {"big": 900, "mid": 90, "small": 10}
+    w_nat = temperature_weights(counts, alpha=1.0)
+    assert abs(w_nat["big"] - 0.9) < 1e-12  # alpha=1 is natural proportions
+    w_uni = temperature_weights(counts, alpha=0.0)
+    assert abs(w_uni["small"] - 1 / 3) < 1e-12  # alpha=0 is uniform
+    w_half = temperature_weights(counts, alpha=0.5)
+    # 0 < alpha < 1 up-samples small sources relative to natural share
+    assert w_nat["small"] < w_half["small"] < w_uni["small"]
+    # weights feed straight into quotas and sum exactly to total_n
+    assert sum(mixture_quotas(w_half, 200).values()) == 200
+
+
+def test_incremental_dedup_classification(spark):
+    from pyspark.sql import functions as F
+
+    from ecommerce_etl_pipeline_spark.llmops.dedup import incremental_dedup
+
+    index = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"), (2, "one two three four five")],
+        "doc_id LONG, text STRING",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon"),  # exact copy of 1
+            (11, "one two three four six"),          # near-dup of 2 (4/6 shingles? jaccard via 3-shingles)
+            (12, "totally different words here now"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {
+        r["doc_id"]: (r["status"], r["match_id"])
+        for r in incremental_dedup(index, batch, hashed=False, threshold=0.4).collect()
+    }
+    assert out[10] == ("exact_dup", 1)
+    assert out[11] == ("near_dup", 2)
+    assert out[12] == ("kept", None)

@@ -402,10 +402,12 @@ def incremental_dedup(
         .when(F.col("near_match").isNotNull(), F.lit("near_dup"))
         .otherwise(F.lit("kept"))
     )
+    # exact/near are post-aggregation (one row per matched batch doc, i.e.
+    # bounded by the already-small batch) — broadcast the assembly joins
     return (
         b_ids.select("batch_id")
-        .join(exact, "batch_id", "left")
-        .join(near, "batch_id", "left")
+        .join(F.broadcast(exact), "batch_id", "left")
+        .join(F.broadcast(near), "batch_id", "left")
         .select(
             F.col("batch_id").alias(id_col),
             status.alias("status"),

@@ -313,8 +313,9 @@ def lsh_recall(
             seed=seed,
         )
     approx = approx.select("query_id", "neighbor_id", F.lit(1).alias("_hit"))
+    # both sides are |queries| x k rows; broadcast the probe side
     return (
-        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        exact.join(F.broadcast(approx), ["query_id", "neighbor_id"], "left")
         .groupBy("query_id")
         .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("bigint").alias("hits"))
         .select(

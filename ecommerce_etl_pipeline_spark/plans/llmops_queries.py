@@ -1294,10 +1294,13 @@ def sm6_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Shared cross-corpus shingle-Jaccard SQL: batch (doc_id >= split_id) vs
-# index (doc_id < split_id), raw-shingle mode, mirroring
-# dedup.contamination_against's fused length filter exactly.
-def _incremental_dedup_sql(split_id: int = 400, thr: float = 0.5) -> str:
+# Shared cross-corpus shingle-Jaccard SQL: the top 20% of the doc_id space
+# stands in for the incoming batch, the bottom 80% for the corpus index —
+# sf-relative so the batch stays the small side at every scale factor.
+# Raw-shingle mode, mirroring dedup.contamination_against's fused length
+# filter exactly.
+def _incremental_dedup_sql(thr: float = 0.5) -> str:
+    split_id = "(SELECT CAST(FLOOR(0.8 * (MAX(doc_id) + 1)) AS BIGINT) FROM documents)"
     return f"""
     WITH ix AS (SELECT doc_id, text FROM documents WHERE doc_id < {split_id}),
     bt AS (SELECT doc_id, text FROM documents WHERE doc_id >= {split_id}),
@@ -1345,9 +1348,9 @@ def _incremental_dedup_sql(split_id: int = 400, thr: float = 0.5) -> str:
     "dd_incremental_dedup",
     oracle=_incremental_dedup_sql(),
     doc="Incremental (daily-ingestion) dedup: classify each incoming "
-    "document (doc_id >= 400 stands in for today's batch) against the "
-    "existing corpus index (doc_id < 400) as exact_dup / near_dup / kept "
-    "with the lowest matching index id. The 100 TB shape "
+    "document (top 20% of the doc_id space stands in for today's batch) "
+    "against the existing corpus index (bottom 80%) as exact_dup / "
+    "near_dup / kept with the lowest matching index id. The 100 TB shape "
     "(llmops/dedup.py::incremental_dedup): the small batch side "
     "BROADCASTS into both the content-hash probe and the shingle-postings "
     "candidate join, so the petabyte-class index is scanned once and "
@@ -1355,8 +1358,10 @@ def _incremental_dedup_sql(split_id: int = 400, thr: float = 0.5) -> str:
 )
 def dd_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    index = docs.filter(F.col("doc_id") < 400)
-    batch = docs.filter(F.col("doc_id") >= 400)
+    # sf-relative split; the max-id probe is a columnar min/max scan
+    split_id = int(0.8 * (docs.agg(F.max("doc_id")).first()[0] + 1))
+    index = docs.filter(F.col("doc_id") < split_id)
+    batch = docs.filter(F.col("doc_id") >= split_id)
     return dedup.incremental_dedup(index, batch, hashed=False)
 
 

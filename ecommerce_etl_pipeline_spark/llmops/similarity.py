@@ -149,7 +149,14 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
 
 
 def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit signature against fixed hyperplanes, packed into a long."""
+    """Sign-bit signature against fixed hyperplanes, packed into a long.
+
+    The plane matrix is inlined as array literals — right for test-scale
+    dims (64x12 ≈ 800 literals). At production embedding dims the plan
+    bloats (1536-dim x 96 planes ≈ 150k literals); use
+    :func:`signatures_via_join` there, which ships the planes as a
+    broadcast table instead of plan text.
+    """
     bits = [
         F.when(dot(vec, F.array(*[F.lit(w) for w in plane])) >= 0, F.lit(1 << i))
         .otherwise(F.lit(0))
@@ -160,6 +167,47 @@ def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
     for b in bits[1:]:
         out = out + b
     return out
+
+
+def signatures_via_join(
+    df: DataFrame,
+    tables: list[list[list[float]]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Plan-bloat-free signature computation: the plane matrix rides as a
+    BROADCAST table of (table_id, plane_id, weights) rows instead of plan
+    literals, so plan size is O(1) in dim x planes. One broadcast
+    nested-loop fan-out of |df| x n_planes thin rows, one partial-agg
+    groupBy packing sign bits per (id, table). Bit-identical to
+    :func:`lsh_signature` (same left-to-right dot fold).
+
+    Returns (id_col, table_id, bucket) — the melted layout
+    :func:`lsh_topk_multi` joins on.
+    """
+    spark = df.sparkSession
+    plane_rows = [
+        (t, i, plane)
+        for t, planes in enumerate(tables)
+        for i, plane in enumerate(planes)
+    ]
+    planes_df = spark.createDataFrame(
+        plane_rows, "table_id INT, plane_id INT, w ARRAY<DOUBLE>"
+    )
+    # the SQL shiftleft accepts a column shift; the Python wrapper does not
+    bit = F.expr(
+        "CASE WHEN _sign THEN shiftleft(CAST(1 AS BIGINT), plane_id) "
+        "ELSE CAST(0 AS BIGINT) END"
+    )
+    return (
+        df.select(id_col, vec_col)
+        .join(F.broadcast(planes_df))
+        .withColumn("_sign", dot(F.col(vec_col), F.col("w")) >= 0)
+        .select(id_col, "table_id", bit.alias("_bit"))
+        .groupBy(id_col, "table_id")
+        .agg(F.sum("_bit").cast("bigint").alias("bucket"))
+    )
 
 
 def lsh_topk(

@@ -179,3 +179,27 @@ def sk_hll_user_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("exact_users").alias("exact_users"),  # upper bound, not exact
     ).select(F.lit("ALL").alias("event_type"), "approx_users", "exact_users")
     return typed.unionByName(overall)
+
+
+@register(
+    "sk_approx_quantiles",
+    oracle=None,  # sketch estimates are merge-order dependent: rows-only check
+    doc="Approximate quantiles per group via percentile_approx "
+    "(Greenwald-Khanna summaries, accuracy=10000 => rank error <= n/10000) "
+    "with the exact interpolated percentiles alongside to document the "
+    "estimate error. The sketch is the 100 TB path: partial summaries are "
+    "KB-sized, merge map-side, and the exchange never carries raw values — "
+    "exact percentile needs the whole group materialized per key. "
+    "Rows-only check (summary merge order is partitioning-dependent); the "
+    "rank-error bound is asserted in tests/test_sketches.py.",
+)
+def sk_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.percentile_approx(price, 0.5, 10000).alias("approx_p50"),
+        F.percentile_approx(price, 0.95, 10000).alias("approx_p95"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_p50"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("exact_p95"),
+    )

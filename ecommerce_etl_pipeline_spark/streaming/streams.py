@@ -298,3 +298,25 @@ def enriched_events_stream(events: DataFrame, dim: DataFrame) -> DataFrame:
     than dropping facts).
     """
     return events.join(F.broadcast(dim), "user_id", "left")
+
+
+def ingest_dedup_stream(
+    events: DataFrame, seen_index: DataFrame, *, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming incremental-ingestion dedup — the streaming face of
+    llmops/dedup.py::incremental_dedup: (1) a stream-static LEFT ANTI join
+    drops events whose ``event_id`` is already in the persisted ingestion
+    index (broadcast snapshot, zero state, stream never shuffles); (2)
+    ``dropDuplicatesWithinWatermark`` removes in-flight duplicates within
+    the watermark horizon — the arrivals the static snapshot cannot know
+    about yet. State holds one key per NEW event inside the horizon;
+    the historical corpus lives in the index table, not in stream state —
+    that split is what keeps this viable when the index is petabyte-class
+    and the horizon is an hour.
+    """
+    fresh = events.join(
+        F.broadcast(seen_index.select("event_id")), "event_id", "left_anti"
+    )
+    return fresh.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )

@@ -101,3 +101,25 @@ def test_single_table_recall_increases_with_tables(spark, clustered_embeddings):
         similarity.lsh_recall(emb, queries, k=10, n_planes=6, n_tables=16, seed=42)
     )
     assert r16 >= r4
+
+
+def test_signatures_via_join_matches_literal_path(spark, clustered_embeddings):
+    """The broadcast-plane-table signature path (production dims) must be
+    bit-identical to the inlined-literal path used at test dims."""
+    emb = clustered_embeddings.limit(100)
+    n_tables, n_planes = 3, 6
+    tables = [similarity._hyperplanes(DIM, n_planes, 42 + t) for t in range(n_tables)]
+    via_join = {
+        (r["vec_id"], r["table_id"]): r["bucket"]
+        for r in similarity.signatures_via_join(emb, tables).collect()
+    }
+    literal = emb.select(
+        "vec_id",
+        *[
+            similarity.lsh_signature(F.col("embedding"), tables[t]).alias(f"b{t}")
+            for t in range(n_tables)
+        ],
+    )
+    for r in literal.collect():
+        for t in range(n_tables):
+            assert via_join[(r["vec_id"], t)] == r[f"b{t}"]

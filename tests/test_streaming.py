@@ -162,3 +162,26 @@ def test_enriched_events_stream_matches_batch(spark):
     g = {r.event_id: r.segment for r in got.select("event_id", "segment").collect()}
     e = {r.event_id: r.segment for r in expect.select("event_id", "segment").collect()}
     assert g == e
+
+
+def test_ingest_dedup_stream_matches_batch(spark):
+    """Stream-static anti-join against the persisted ingestion index plus
+    in-flight watermark dedup must equal the batch incremental dedup."""
+    from ecommerce_etl_pipeline_spark.streaming import ingest_dedup_stream
+
+    events = load_table(spark, SF, "events")
+    # pretend events with event_id % 3 == 0 were ingested on a prior day
+    seen = events.filter(F.col("event_id") % 3 == 0).select("event_id")
+    ev = read_events_stream(spark, SF)
+    stream_to_memory(
+        ingest_dedup_stream(ev, seen), "t_ingest_dedup", output_mode="append"
+    )
+    got = sorted(r.event_id for r in spark.table("t_ingest_dedup").collect())
+    want = sorted(
+        r.event_id
+        for r in events.join(seen, "event_id", "left_anti")
+        .select("event_id")
+        .distinct()
+        .collect()
+    )
+    assert got == want and len(got) > 0

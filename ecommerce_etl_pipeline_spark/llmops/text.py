@@ -197,3 +197,51 @@ def bigram_repetition(text: Column) -> Column:
     n_tokens - 1 (arithmetic, no array build)."""
     total = token_count(text) - 1
     return F.lit(1.0) - distinct_bigram_count(text) / total
+
+
+def compression_ratio(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document zlib-deflate compression ratio (compressed / raw bytes)
+    — the Gopher/RefinedWeb quality heuristic: highly repetitive or
+    templated text compresses far below natural prose, near-random noise
+    barely compresses at all, so both tails flag removal candidates.
+
+    Not expressible in the DataFrame expression language, so this rides the
+    sanctioned Arrow boundary (mapInPandas, level-6 deflate, deterministic):
+    scan-side only, no shuffle, parallelism = input partitions. Returns
+    (id, n_bytes, n_compressed, ratio).
+    """
+    import zlib
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("n_bytes", LongType()),
+            StructField("n_compressed", LongType()),
+            StructField("ratio", DoubleType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            raw = pdf[text_col].map(lambda t: t.encode("utf-8"))
+            nb = raw.map(len).astype("int64")
+            nc = raw.map(lambda b: len(zlib.compress(b, 6))).astype("int64")
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_bytes": nb,
+                    "n_compressed": nc,
+                    "ratio": (nc / nb.clip(lower=1)).astype("float64"),
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(batches, schema)

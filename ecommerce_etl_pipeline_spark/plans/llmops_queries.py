@@ -1512,3 +1512,83 @@ def txt_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+@register(
+    "txt_compression_ratio",
+    doc="Per-doc zlib-deflate compression ratio — the Gopher/RefinedWeb "
+    "repetition/noise quality heuristic (templated text compresses far "
+    "below prose; noise barely compresses). Arrow-batched mapInPandas, "
+    "scan-side only. Rows-only check (deflate output is not "
+    "SQL-expressible); determinism + ordering properties gated in "
+    "tests/test_llmops_algos.py.",
+)
+def txt_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.compression_ratio(docs)
+
+
+@register(
+    "txt_char_entropy",
+    oracle=f"""
+    WITH chars AS (
+        SELECT doc_id, substring(text, i, 1) AS ch
+        FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+              FROM documents)
+    ),
+    freq AS (
+        SELECT doc_id, ch, COUNT(*) AS k FROM chars GROUP BY doc_id, ch
+    ),
+    tot AS (
+        SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n FROM freq GROUP BY doc_id
+    )
+    SELECT freq.doc_id,
+           n AS n_chars,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           {sql_round(
+               "CAST(SUM(CAST(FLOOR((CAST(k AS DOUBLE) / n)"
+               " * ln(CAST(n AS DOUBLE) / k) * 1e9 + 0.5) AS BIGINT))"
+               " AS DOUBLE) / 1e9", 4)} AS entropy
+    FROM freq JOIN tot ON tot.doc_id = freq.doc_id
+    GROUP BY freq.doc_id, n
+    """,
+    doc="Per-doc character Shannon entropy (nats) + distinct-char count — "
+    "the mojibake/gibberish screen: encoding damage and random noise push "
+    "entropy high, boilerplate pushes it low. Per-char terms "
+    "(k/n)*ln(n/k) are nano-quantized to exact integers before summation "
+    "(order-independent on both engines). Two shuffles — (doc_id, char) "
+    "counts then per-doc regroup — both map-side combinable; char "
+    "explosion never leaves the scan stage.",
+)
+def txt_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    chars = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, length(text)), i -> substring(text, i, 1))")
+        ).alias("ch"),
+    )
+    freq = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("k"))
+    tot = freq.groupBy("doc_id").agg(F.sum("k").cast("bigint").alias("n"))
+    term_micro = F.floor(
+        (F.col("k").cast("double") / F.col("n"))
+        * F.log(F.col("n").cast("double") / F.col("k"))
+        * F.lit(1e9)
+        + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        freq.join(tot, "doc_id")
+        .groupBy("doc_id", "n")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(term_micro).alias("_sum_micro"),
+        )
+        .select(
+            "doc_id",
+            F.col("n").alias("n_chars"),
+            "n_distinct",
+            portable_round(F.col("_sum_micro").cast("double") / F.lit(1e9), 4).alias(
+                "entropy"
+            ),
+        )
+    )

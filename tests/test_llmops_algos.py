@@ -223,3 +223,21 @@ def test_segment_hashes_windows(spark):
     }
     assert len(rows[1]) == 2  # 40 tokens -> 2 complete 16-token windows
     assert rows[2] == []  # below one window -> empty, not null
+
+
+def test_compression_ratio_orders_repetition_vs_noise(spark):
+    from ecommerce_etl_pipeline_spark.llmops.text import compression_ratio
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam " * 200),                                   # templated
+            (2, "the quick brown fox jumps over the lazy dog " * 20),
+            (3, "kq8#bZ!w9@Lm2^vX7&cR4*pT6%nJ1$hG5)yD3(fS0codes"),  # noise-ish
+        ],
+        "doc_id LONG, text STRING",
+    )
+    r = {x["doc_id"]: x["ratio"] for x in compression_ratio(docs).collect()}
+    assert r[1] < r[2] < r[3]  # more repetition => better compression
+    # deterministic across runs (fixed deflate level)
+    r2 = {x["doc_id"]: x["ratio"] for x in compression_ratio(docs).collect()}
+    assert r == r2

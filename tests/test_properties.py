@@ -1,0 +1,142 @@
+"""Property-based tests (hypothesis) for the engine's portability-critical
+pure functions: apportionment invariants, weight normalization, codec
+round-trips and fuzz-safety, and Spark↔DuckDB rounding parity."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ecommerce_etl_pipeline_spark.llmops import multimodal as mm
+from ecommerce_etl_pipeline_spark.llmops.splits import (
+    mixture_quotas,
+    temperature_weights,
+)
+
+# ---------------------------------------------------------------------------
+# apportionment / weights (pure python — wide example budgets)
+# ---------------------------------------------------------------------------
+
+weight_dicts = st.dictionaries(
+    st.text(st.characters(min_codepoint=97, max_codepoint=122), min_size=1, max_size=6),
+    st.floats(min_value=0.01, max_value=1.0, allow_nan=False),
+    min_size=1,
+    max_size=8,
+).map(lambda d: {k: v / sum(d.values()) for k, v in d.items()})
+
+
+@given(weights=weight_dicts, total=st.integers(min_value=0, max_value=100_000))
+def test_mixture_quotas_invariants(weights, total):
+    q = mixture_quotas(weights, total)
+    assert sum(q.values()) == total  # exact apportionment, always
+    for s, w in weights.items():
+        # largest-remainder quotas never stray beyond floor/ceil of the share
+        assert int(w * total) <= q[s] <= int(w * total) + 1
+
+
+@given(
+    counts=st.dictionaries(
+        st.text(st.characters(min_codepoint=97, max_codepoint=122), min_size=1, max_size=6),
+        st.integers(min_value=1, max_value=10**9),
+        min_size=1,
+        max_size=8,
+    ),
+    alpha=st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+)
+def test_temperature_weights_invariants(counts, alpha):
+    w = temperature_weights(counts, alpha)
+    assert abs(sum(w.values()) - 1.0) < 1e-9
+    # order-preserving: a strictly larger source never gets a smaller weight
+    items = sorted(counts.items(), key=lambda kv: kv[1])
+    for (s1, c1), (s2, c2) in zip(items, items[1:]):
+        if c1 < c2:
+            assert w[s1] <= w[s2] + 1e-12
+
+
+# ---------------------------------------------------------------------------
+# codecs: round-trip identity and fuzz-safety (ValueError, never worse)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=24),
+    data=st.data(),
+)
+@settings(max_examples=50)
+def test_ppm_round_trip_property(w, h, data):
+    px = bytes(
+        data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=255),
+                min_size=3 * w * h,
+                max_size=3 * w * h,
+            )
+        )
+    )
+    assert mm.decode_ppm(mm.encode_ppm(w, h, px)) == (w, h, px)
+
+
+@given(
+    samples=st.lists(
+        st.integers(min_value=-32768, max_value=32767), min_size=0, max_size=300
+    ),
+    rate=st.integers(min_value=1, max_value=192_000),
+)
+@settings(max_examples=50)
+def test_wav_round_trip_property(samples, rate):
+    got_rate, got = mm.decode_wav(mm.encode_wav(samples, sample_rate=rate))
+    assert got_rate == rate and list(got) == samples
+
+
+@given(junk=st.binary(min_size=0, max_size=200))
+@settings(max_examples=200)
+def test_codec_fuzz_raises_cleanly(junk):
+    """Arbitrary bytes must either decode or raise ValueError — no hangs,
+    no IndexError/struct.error leaking out of the parsers."""
+    for decoder in (mm.decode_ppm, mm.decode_wav):
+        try:
+            decoder(junk)
+        except ValueError:
+            pass
+
+
+# ---------------------------------------------------------------------------
+# Spark <-> DuckDB portable rounding parity (one Spark job, many values)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("ndigits", [2, 4, 6])
+def test_portable_round_parity_with_duckdb(spark, ndigits):
+    from pyspark.sql import functions as F
+
+    from ecommerce_etl_pipeline_spark.functions.exact_agg import (
+        portable_round,
+        sql_round,
+    )
+
+    # adversarial values: half-way reprs, shortest-repr traps, extremes
+    vals = [4201.315, 0.125, 2.675, 1.0049999, -0.0, 123456.789015, 1e-7]
+    import random
+
+    rng = random.Random(0)
+    vals += [rng.uniform(-1e6, 1e6) for _ in range(500)]
+    df = spark.createDataFrame([(v,) for v in vals], "x DOUBLE")
+    got = [
+        r["r"]
+        for r in df.select(portable_round(F.col("x"), ndigits).alias("r"))
+        .orderBy("r")
+        .collect()
+    ]
+    want = [
+        r[0]
+        for r in duckdb.connect()
+        .execute(
+            f"SELECT {sql_round('x', ndigits)} AS r FROM (SELECT unnest(?) AS x) ORDER BY r",
+            [vals],
+        )
+        .fetchall()
+    ]
+    assert got == want

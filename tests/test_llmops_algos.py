@@ -241,3 +241,35 @@ def test_compression_ratio_orders_repetition_vs_noise(spark):
     # deterministic across runs (fixed deflate level)
     r2 = {x["doc_id"]: x["ratio"] for x in compression_ratio(docs).collect()}
     assert r == r2
+
+
+def test_minhash_candidate_recall_vs_exact_jaccard(spark, sf_dir):
+    """The banded MinHash index must recover (nearly) every true pair the
+    exact shingle-Jaccard join finds at threshold 0.5. With 64 hashes in 16
+    bands of 4, P(candidate | J=0.5) = 1-(1-0.5^4)^16 ~ 0.645 per pair —
+    but true pairs here are near-identical (J >~ 0.8 => P > 0.999), so on
+    the fixture corpus recall should be essentially total; assert >= 0.9.
+    """
+    from pyspark.sql import functions as F
+
+    from ecommerce_etl_pipeline_spark.llmops import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r["doc1"], r["doc2"])
+        for r in dedup.jaccard_similarity_join(docs, threshold=0.5, hashed=True)
+        .select("doc1", "doc2")
+        .collect()
+    }
+    assert exact, "fixture corpus should contain true near-dup pairs"
+    cand = {
+        (r["doc1"], r["doc2"])
+        for r in dedup.minhash_candidate_pairs(docs)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc1", "doc2")
+        .collect()
+    }
+    recall = len(exact & cand) / len(exact)
+    assert recall >= 0.9, (recall, len(exact))
+    # the verify step computes exact J per candidate, so precision is 1.0
+    assert cand <= exact

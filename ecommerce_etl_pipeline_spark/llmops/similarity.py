@@ -48,11 +48,24 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
+    kernel: str = "jvm",
 ) -> DataFrame:
     """Exact cosine top-k per query vector.
 
     ``queries`` (small) broadcasts; the corpus is scanned once per batch of
     queries — the optimal exact plan when |queries| ≪ |corpus|.
+
+    ``kernel`` picks the dot-product implementation:
+    - ``"jvm"`` — HOF fold (zip_with + aggregate). Sequential left-to-right
+      summation, bit-identical to the DuckDB oracle: the correctness path,
+      and the fastest at full parallelism.
+    - ``"arrow"`` — numpy over a scalar pandas UDF. Measured 6x faster
+      PER-CORE at 64-dim (HOF lambdas run interpreted, outside codegen;
+      numpy is SIMD over Arrow batches), but ~2x slower at 16-way
+      parallelism (Arrow IPC + worker overhead) — the pick when cores are
+      contended or batches are huge. Summation is pairwise, so final ulps
+      can differ from the oracle; ranking ties still break
+      deterministically by neighbor_id. See SCALING.md "Python boundary".
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
@@ -60,9 +73,17 @@ def brute_force_topk(
     c = ensure_parallelism(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec"))
     )
+    if kernel == "arrow":
+        from ecommerce_etl_pipeline_spark.functions.udfs import cosine_arrow
+
+        cos_col = cosine_arrow(F.col("query_vec"), F.col("vec"))
+    elif kernel == "jvm":
+        cos_col = cosine(F.col("query_vec"), F.col("vec"))
+    else:
+        raise ValueError(f"unknown kernel: {kernel!r} (use 'jvm' or 'arrow')")
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", cosine(F.col("query_vec"), F.col("vec")))
+        .withColumn("cosine", cos_col)
         .select("query_id", "neighbor_id", "cosine")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))

@@ -123,3 +123,18 @@ def test_signatures_via_join_matches_literal_path(spark, clustered_embeddings):
     for r in literal.collect():
         for t in range(n_tables):
             assert via_join[(r["vec_id"], t)] == r[f"b{t}"]
+
+
+def test_arrow_kernel_agrees_with_jvm_kernel(spark):
+    """The Arrow/numpy cosine kernel must produce the same top-k neighbor
+    sets as the oracle-exact JVM fold (values equal to ~1e-9; pairwise vs
+    sequential summation may differ in final ulps)."""
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    jvm = similarity.brute_force_topk(emb, q, k=10, kernel="jvm").collect()
+    arrow = similarity.brute_force_topk(emb, q, k=10, kernel="arrow").collect()
+    jvm_m = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in jvm}
+    arrow_m = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in arrow}
+    assert set(jvm_m) == set(arrow_m)
+    for key, v in jvm_m.items():
+        assert abs(v - arrow_m[key]) < 1e-9

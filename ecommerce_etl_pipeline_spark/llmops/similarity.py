@@ -333,6 +333,26 @@ def lsh_topk_multi(
     )
 
 
+def topk_recall(exact: DataFrame, approx: DataFrame, k: int) -> DataFrame:
+    """Per-query recall@k of ``approx`` against ``exact`` — both are
+    (query_id, neighbor_id, ...) top-k frames. The generic quality probe
+    for ANY approximate index (LSH, IVF, quantized): hits = |approx ∩
+    exact|, recall = hits/k. Both sides are |queries| x k rows; the probe
+    side broadcasts."""
+    a = approx.select("query_id", "neighbor_id", F.lit(1).alias("_hit"))
+    return (
+        exact.select("query_id", "neighbor_id")
+        .join(F.broadcast(a), ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("bigint").alias("hits"))
+        .select(
+            "query_id",
+            "hits",
+            (F.col("hits").cast("double") / F.lit(float(k))).alias("recall"),
+        )
+    )
+
+
 def lsh_recall(
     corpus: DataFrame,
     queries: DataFrame,
@@ -381,15 +401,4 @@ def lsh_recall(
             k=k,
             seed=seed,
         )
-    approx = approx.select("query_id", "neighbor_id", F.lit(1).alias("_hit"))
-    # both sides are |queries| x k rows; broadcast the probe side
-    return (
-        exact.join(F.broadcast(approx), ["query_id", "neighbor_id"], "left")
-        .groupBy("query_id")
-        .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("bigint").alias("hits"))
-        .select(
-            "query_id",
-            "hits",
-            (F.col("hits").cast("double") / F.lit(float(k))).alias("recall"),
-        )
-    )
+    return topk_recall(exact, approx, k)

@@ -1617,3 +1617,24 @@ def sim_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         portable_round(F.col("cosine"), 6).alias("cosine"),
         F.col("rank").cast("int").alias("rank"),
     )
+
+
+@register(
+    "sim_ivf_recall",
+    doc="Recall@10 of the IVF index (16 KMeans cells, 2 probes) vs the "
+    "exact brute-force ranking, per query — the same measured-quality "
+    "stance as sim_lsh_recall applied to the coarse-quantizer path. "
+    "Rows-only check (the trained quantizer is not SQL-reproducible); "
+    "the clustered-data quality gate lives in "
+    "tests/test_similarity_recall.py.",
+)
+def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecommerce_etl_pipeline_spark.llmops.clustering import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return similarity.topk_recall(
+        similarity.brute_force_topk(emb, q, k=10),
+        ivf_topk(emb, q, k=10),
+        k=10,
+    )

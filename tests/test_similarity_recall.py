@@ -138,3 +138,19 @@ def test_arrow_kernel_agrees_with_jvm_kernel(spark):
     assert set(jvm_m) == set(arrow_m)
     for key, v in jvm_m.items():
         assert abs(v - arrow_m[key]) < 1e-9
+
+
+def test_ivf_recall_on_clustered_data(spark, clustered_embeddings):
+    """IVF with 16 cells over 10 true clusters, probing 2 cells, must
+    recover nearly all exact neighbors — cluster structure is exactly what
+    a coarse quantizer exploits."""
+    from ecommerce_etl_pipeline_spark.llmops.clustering import ivf_topk
+
+    emb = clustered_embeddings
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    rec = similarity.topk_recall(
+        similarity.brute_force_topk(emb, queries, k=10),
+        ivf_topk(emb, queries, k=10),
+        k=10,
+    )
+    assert _mean_recall(rec) >= 0.9

@@ -1,13 +1,17 @@
 #!/usr/bin/env python
 """Local mirror of the driver's correctness gate: run every registered query
 at sf0.01 (or $1) with a VANILLA SparkSession and compare to its DuckDB
-oracle. Usage: python scripts/check_correctness.py [sf_dir]
+oracle. Queries run on a small thread pool (Spark job submission is
+thread-safe; each worker opens its own DuckDB connection), cutting the
+sweep from ~7 min to ~2-3 min without changing any result.
+Usage: python scripts/check_correctness.py [sf_dir] [n_threads]
 """
 
 from __future__ import annotations
 
 import os
 import sys
+from concurrent.futures import ThreadPoolExecutor
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -20,19 +24,29 @@ from tests.oracle import assert_oracle_match  # noqa: E402
 
 def main() -> int:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    n_threads = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     spark = SparkSession.builder.master("local[16]").appName("correctness").getOrCreate()
-    fails: list[str] = []
-    for name, spec in sorted(_REGISTRY.items()):
+
+    def check(item):
+        name, spec = item
         try:
             if spec.oracle:
                 assert_oracle_match(spec.fn(spark, sf), spec.oracle, sf, name=name)
-                print(f"OK   {name}")
-            else:
-                n = spec.fn(spark, sf).count()
-                print(f"ROWS {name}: {n}")
+                return name, "OK", None
+            return name, "ROWS", spec.fn(spark, sf).count()
         except Exception as e:  # noqa: BLE001
-            fails.append(name)
-            print(f"FAIL {name}: {str(e)[:300]}")
+            return name, "FAIL", str(e)[:300]
+
+    fails: list[str] = []
+    with ThreadPoolExecutor(max_workers=n_threads) as pool:
+        for name, status, extra in pool.map(check, sorted(_REGISTRY.items())):
+            if status == "FAIL":
+                fails.append(name)
+                print(f"FAIL {name}: {extra}")
+            elif status == "ROWS":
+                print(f"ROWS {name}: {extra}")
+            else:
+                print(f"OK   {name}")
     print(f"\n{len(_REGISTRY) - len(fails)}/{len(_REGISTRY)} ok; fails: {fails}")
     return 1 if fails else 0
 

@@ -41,3 +41,45 @@ def fetch_external_rows(
         yield from fetch(part)
 
     return seeds.rdd.mapPartitions(run).toDF(schema)
+
+
+def with_retries(
+    fetch: FetchFn,
+    *,
+    max_attempts: int = 3,
+    base_delay_s: float = 0.5,
+    sleep: Callable[[float], None] | None = None,
+) -> FetchFn:
+    """Wrap a fetch function with bounded exponential-backoff retries —
+    the flake-tolerance the reference's scrape loop needed around its live
+    browser (web_scraping_dag.py:63-135), expressed once as an adapter.
+
+    Retries whole PARTITIONS (the fetch contract is per-partition): on the
+    last attempt the exception propagates so Spark's own task retry/
+    blacklisting takes over — two independent layers, app-level for
+    transient remote flakes, scheduler-level for bad executors. ``sleep``
+    is injectable so tests assert the backoff schedule deterministically.
+    """
+    import time as _time
+
+    do_sleep = sleep if sleep is not None else _time.sleep
+
+    def wrapped(part: Iterable[Row]) -> Iterator[dict]:
+        rows = list(part)  # fetch may be a generator; retries need a replay
+        attempt = 0
+        while True:
+            try:
+                # materialize the attempt before emitting anything: a fetch
+                # that fails mid-stream must not leave half its rows behind
+                # for the retry to duplicate (buffer is bounded by partition
+                # size, which max_concurrency already controls)
+                results = list(fetch(iter(rows)))
+                break
+            except Exception:
+                attempt += 1
+                if attempt >= max_attempts:
+                    raise
+                do_sleep(base_delay_s * (2 ** (attempt - 1)))
+        yield from results
+
+    return wrapped

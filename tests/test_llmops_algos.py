@@ -273,3 +273,44 @@ def test_minhash_candidate_recall_vs_exact_jaccard(spark, sf_dir):
     assert recall >= 0.9, (recall, len(exact))
     # the verify step computes exact J per candidate, so precision is 1.0
     assert cand <= exact
+
+
+def test_simhash_pairs_are_genuinely_similar(spark, sf_dir):
+    """SimHash (here: over unigram token-hash sets) pairs within hamming
+    distance 3 of 64 bits must have token-SET Jaccard far above the corpus
+    background — hamming distance is a proxy for feature-set similarity,
+    and the gate checks the proxy tracks the real quantity."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_etl_pipeline_spark.llmops import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.simhash_near_pairs(docs)
+    n_pairs = pairs.count()
+    assert n_pairs > 0, "fixture corpus should contain simhash near-dups"
+
+    toks = docs.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("tk")
+    )
+    jac = (
+        F.size(F.array_intersect(F.col("a.tk"), F.col("b.tk")))
+        / F.size(F.array_union(F.col("a.tk"), F.col("b.tk")))
+    ).alias("j")
+
+    pair_j = (
+        pairs.join(toks.alias("a"), F.col("doc1") == F.col("a.doc_id"))
+        .join(toks.alias("b"), F.col("doc2") == F.col("b.doc_id"))
+        .select(jac)
+        .agg(F.avg("j"))
+        .first()[0]
+    )
+    background_j = (
+        toks.alias("a")
+        .join(toks.alias("b"), F.col("a.doc_id") < F.col("b.doc_id"))
+        .sample(0.05, seed=7)
+        .select(jac)
+        .agg(F.avg("j"))
+        .first()[0]
+    )
+    # reported pairs must be dramatically more similar than random pairs
+    assert pair_j > background_j + 0.2, (pair_j, background_j)

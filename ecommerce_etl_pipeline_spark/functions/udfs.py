@@ -46,10 +46,20 @@ def cosine_arrow(a: pd.Series, b: pd.Series) -> pd.Series:
     SCALING.md "Python boundary"."""
     import numpy as np
 
-    # float64 up-cast mirrors the JVM path's per-element double cast —
-    # float32 accumulation would drift ~1e-7 from the exact kernel
-    av = np.stack(a.to_numpy()).astype(np.float64)
-    bv = np.stack(b.to_numpy()).astype(np.float64)
-    num = (av * bv).sum(axis=1)
-    den = np.sqrt((av * av).sum(axis=1)) * np.sqrt((bv * bv).sum(axis=1))
-    return pd.Series(num / den)
+    # NULL or width-mismatched pairs emit NULL (the JVM zip_with fold
+    # returns NULL there too) instead of crashing np.stack on ragged input.
+    # Zero-norm vectors still produce NaN (0/0), matching the JVM division.
+    n = len(a)
+    ok = np.empty(n, dtype=bool)
+    for i, (x, y) in enumerate(zip(a, b)):
+        ok[i] = x is not None and y is not None and len(x) == len(y)
+    out = np.full(n, np.nan)
+    if ok.any():
+        # float64 up-cast mirrors the JVM path's per-element double cast —
+        # float32 accumulation would drift ~1e-7 from the exact kernel
+        av = np.stack(a[ok].to_numpy()).astype(np.float64)
+        bv = np.stack(b[ok].to_numpy()).astype(np.float64)
+        num = (av * bv).sum(axis=1)
+        den = np.sqrt((av * av).sum(axis=1)) * np.sqrt((bv * bv).sum(axis=1))
+        out[ok] = num / den
+    return pd.Series(pd.arrays.FloatingArray(out, mask=~ok))

@@ -148,6 +148,8 @@ def decode_wav(b: bytes) -> tuple[int, tuple[int, ...]]:
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
+    if len(fmt) < 16:
+        raise ValueError(f"fmt chunk too short: {len(fmt)} bytes")
     audio_format, channels, rate = struct.unpack("<HHI", fmt[:8])
     (bits,) = struct.unpack("<H", fmt[14:16])
     if (audio_format, channels, bits) != (1, 1, 16):

@@ -103,15 +103,17 @@ def quantize_int8(vec: Column) -> Column:
     (floor(x+0.5)) so an oracle reproduces the exact codes.
 
     An all-zero vector has max|v| = 0; ``nullif`` keeps that from becoming a
-    DIVIDE_BY_ZERO under ANSI sessions and the codes coalesce to 0."""
+    DIVIDE_BY_ZERO under ANSI sessions and those codes map to 0. Element-level
+    NULLs in a non-zero vector still propagate as NULL (the zero-fill applies
+    only when the *scale* is NULL, not when the element is)."""
     scale = F.lit(127.0) / F.nullif(
         F.array_max(F.transform(vec, F.abs)).cast("double"), F.lit(0.0)
     )
     return F.transform(
         vec,
-        lambda x: F.coalesce(
-            F.floor(x.cast("double") * scale + F.lit(0.5)), F.lit(0)
-        ).cast("long"),
+        lambda x: F.when(scale.isNull(), F.lit(0))
+        .otherwise(F.floor(x.cast("double") * scale + F.lit(0.5)))
+        .cast("long"),
     )
 
 
@@ -177,9 +179,23 @@ def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
     bloats (1536-dim x 96 planes ≈ 150k literals); use
     :func:`signatures_via_join` there, which ships the planes as a
     broadcast table instead of plan text.
+
+    A vector whose width differs from the plane dim would zip_with-pad
+    with NULLs, every sign test would fall to 0, and ALL vectors would
+    silently collapse into bucket 0 (a quadratic join, no error) — so the
+    width is asserted lazily per row via ``raise_error``.
     """
+    dim = len(planes[0])
+    checked = F.when(F.size(vec) == F.lit(dim), vec).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"lsh_signature: expected {dim}-dim vector, got "),
+                F.size(vec).cast("string"),
+            )
+        )
+    )
     bits = [
-        F.when(dot(vec, F.array(*[F.lit(w) for w in plane])) >= 0, F.lit(1 << i))
+        F.when(dot(checked, F.array(*[F.lit(w) for w in plane])) >= 0, F.lit(1 << i))
         .otherwise(F.lit(0))
         .cast("bigint")
         for i, plane in enumerate(planes)
@@ -224,7 +240,22 @@ def signatures_via_join(
     return (
         df.select(id_col, vec_col)
         .join(F.broadcast(planes_df))
-        .withColumn("_sign", dot(F.col(vec_col), F.col("w")) >= 0)
+        .withColumn(
+            "_sign",
+            F.when(
+                F.size(F.col(vec_col)) == F.size(F.col("w")),
+                dot(F.col(vec_col), F.col("w")) >= 0,
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("signatures_via_join: vector width "),
+                        F.size(F.col(vec_col)).cast("string"),
+                        F.lit(" != plane dim "),
+                        F.size(F.col("w")).cast("string"),
+                    )
+                )
+            ),
+        )
         .select(id_col, "table_id", bit.alias("_bit"))
         .groupBy(id_col, "table_id")
         .agg(F.sum("_bit").cast("bigint").alias("bucket"))

@@ -232,15 +232,31 @@ def compression_ratio(docs, id_col: str = "doc_id", text_col: str = "text"):
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            raw = pdf[text_col].map(lambda t: t.encode("utf-8"))
-            nb = raw.map(len).astype("int64")
-            nc = raw.map(lambda b: len(zlib.compress(b, 6))).astype("int64")
+            # NULL text emits NULL stats (matching JVM-path semantics, where
+            # builtin functions propagate NULL) instead of crashing the batch.
+            raw = pdf[text_col].map(
+                lambda t: None if t is None else t.encode("utf-8")
+            )
+            nb = pd.array(
+                [None if b is None else len(b) for b in raw], dtype="Int64"
+            )
+            nc = pd.array(
+                [None if b is None else len(zlib.compress(b, 6)) for b in raw],
+                dtype="Int64",
+            )
+            ratio = pd.array(
+                [
+                    None if b is None else c / max(n, 1)
+                    for b, n, c in zip(raw, nb, nc)
+                ],
+                dtype="Float64",
+            )
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
                     "n_bytes": nb,
                     "n_compressed": nc,
-                    "ratio": (nc / nb.clip(lower=1)).astype("float64"),
+                    "ratio": ratio,
                 }
             )
 

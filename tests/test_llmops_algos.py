@@ -209,6 +209,88 @@ def test_int8_quantization_roundtrip(spark):
     assert sum(recalls) / len(recalls) >= 0.8
 
 
+def test_quantize_int8_null_semantics(spark):
+    """All-zero vector -> all-zero codes; a NULL *element* of a non-zero
+    vector propagates as NULL (not silently coerced to code 0)."""
+    from ecommerce_etl_pipeline_spark.llmops.similarity import quantize_int8
+
+    df = spark.createDataFrame(
+        [
+            (1, [0.0, 0.0, 0.0]),
+            (2, [1.0, None, -2.0]),
+        ],
+        "id LONG, v ARRAY<DOUBLE>",
+    )
+    rows = {
+        r["id"]: r["q"]
+        for r in df.select("id", quantize_int8(F.col("v")).alias("q")).collect()
+    }
+    assert rows[1] == [0, 0, 0]
+    assert rows[2][0] == 64 and rows[2][1] is None and rows[2][2] == -127
+
+
+def test_lsh_dim_mismatch_raises(spark):
+    """A vector narrower than the plane dim must raise, not collapse every
+    vector into bucket 0 (which would silently turn the index quadratic)."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    from ecommerce_etl_pipeline_spark.llmops.similarity import (
+        _hyperplanes,
+        lsh_signature,
+        signatures_via_join,
+    )
+
+    df = spark.createDataFrame([(1, [1.0] * 8)], "vec_id LONG, embedding ARRAY<DOUBLE>")
+    with pytest.raises((PySparkException, Py4JJavaError)):
+        df.select(
+            lsh_signature(F.col("embedding"), _hyperplanes(16, 4)).alias("b")
+        ).collect()
+    with pytest.raises((PySparkException, Py4JJavaError)):
+        signatures_via_join(df, [_hyperplanes(16, 4)]).collect()
+    # matching width still works (and is deterministic)
+    ok = df.select(
+        lsh_signature(F.col("embedding"), _hyperplanes(8, 4)).alias("b")
+    ).collect()
+    assert len(ok) == 1 and ok[0]["b"] is not None
+
+
+def test_compression_ratio_null_text(spark):
+    from ecommerce_etl_pipeline_spark.llmops.text import compression_ratio
+
+    docs = spark.createDataFrame(
+        [(1, "hello world " * 10), (2, None)], "doc_id LONG, text STRING"
+    )
+    rows = {r["doc_id"]: r for r in compression_ratio(docs).collect()}
+    assert rows[1]["ratio"] is not None
+    assert rows[2]["n_bytes"] is None
+    assert rows[2]["n_compressed"] is None
+    assert rows[2]["ratio"] is None
+
+
+def test_cosine_arrow_null_and_ragged(spark):
+    import math
+
+    from ecommerce_etl_pipeline_spark.functions.udfs import cosine_arrow
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], [1.0, 0.0]),   # aligned -> 1.0
+            (2, None, [1.0, 0.0]),          # NULL side -> NULL
+            (3, [1.0, 0.0], [1.0]),         # ragged -> NULL
+            (4, [0.0, 0.0], [1.0, 0.0]),    # zero norm -> NaN (JVM parity)
+        ],
+        "id LONG, a ARRAY<FLOAT>, b ARRAY<FLOAT>",
+    )
+    rows = {
+        r["id"]: r["c"]
+        for r in df.select("id", cosine_arrow("a", "b").alias("c")).collect()
+    }
+    assert rows[1] == pytest.approx(1.0)
+    assert rows[2] is None and rows[3] is None
+    assert rows[4] is not None and math.isnan(rows[4])
+
+
 def test_segment_hashes_windows(spark):
     from ecommerce_etl_pipeline_spark.llmops.text import segment_hashes
 

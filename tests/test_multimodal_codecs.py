@@ -49,6 +49,23 @@ def test_wav_malformed_and_unsupported():
         mm.decode_wav(bytes(stereo))
 
 
+def test_wav_short_fmt_chunk_raises_value_error_not_struct_error():
+    # A fmt chunk of declared size 8-13 passes the truncation check but is
+    # too short for the bits-per-sample unpack at fmt[14:16]; must surface
+    # as the documented ValueError, not struct.error.
+    for fmt_size in (0, 4, 8, 12, 13):
+        fmt_body = bytes(fmt_size)
+        data_body = b"\x00\x00"
+        chunks = (
+            b"fmt " + fmt_size.to_bytes(4, "little") + fmt_body
+            + (b"\x00" if fmt_size % 2 else b"")
+            + b"data" + len(data_body).to_bytes(4, "little") + data_body
+        )
+        wav = b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+        with pytest.raises(ValueError):
+            mm.decode_wav(wav)
+
+
 def test_decode_features_matches_local_decode(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
     assets = mm.synthesize_media_assets(docs)

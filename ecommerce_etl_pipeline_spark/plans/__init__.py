@@ -41,71 +41,68 @@ for _optional in (
 # ---------------------------------------------------------------------------
 # Driver-window curation. The correctness driver verifies the FIRST 50
 # registered queries (in dict insertion order). Round 1 proved the classic
-# §2 families green; round 2 promotes the LLM-data-pipeline surface into the
-# window while keeping one green representative per §2 family. Names listed
-# here but not (yet) registered are skipped harmlessly; everything not listed
+# §2 families; round 2 promoted the LLM-data-pipeline surface. Round 3
+# retires the never-verified tail: the 10 oracle-backed and 15 rows-only
+# queries that never had a driver CORRECTNESS row across r1/r2, plus 25
+# rotated-back r1/r2 greens spanning every family (including the two
+# similarity queries whose quantize/LSH expressions changed this round).
+# After r3, every registered query has >=1 driver row. Names listed here
+# but not (yet) registered are skipped harmlessly; everything not listed
 # keeps its original relative order after the curated block.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW = [
-    # one representative per classic §2 family (A/P/SC/O/J/N/W/U)
+    # -- 10 oracle-backed queries never driver-checked in r1/r2
+    "dd_dedup_summary",
+    "sm6_mixture_sample",
+    "txt_char_entropy",
+    "txt_fingerprints",
+    "txt_freq_spectrum",
+    "mm_frame_sample",
+    "a19_collect_sorted",
+    "a25_price_histogram",
+    "sc_string_functions",
+    "sc_date_arithmetic",
+    # -- 15 rows-only queries never driver-checked in r1/r2
+    "dd_curation_minhash",
+    "dd_dup_clusters",
+    "dd_minhash_pairs",
+    "dd_simhash_pairs",
+    "sim_cosine_topk_arrow",
+    "sim_ivf_recall",
+    "sim_ivf_topk",
+    "sim_lsh_topk",
+    "sk_approx_quantiles",
+    "sk_hll_user_reach",
+    "sm1_seeded_sample",
+    "sm2_exact_n_sample",
+    "sm3_ri_cascade_sample",
+    "sm4_generated_transactions",
+    "txt_compression_ratio",
+    # -- 25 rotated-back r1/r2 greens spanning every family
     "a1_daily_sales",
+    "a16_rollup_hierarchy",
+    "a17_percentiles",
     "p1_projection_filter",
+    "p7_lossy_cast",
     "sc_temporal_features",
+    "sc_currency_roundtrip",
     "o1_global_topk",
     "j1_order_lineitem_join",
-    "n4_pair_expansion_hof",
+    "j2_customer_geo_broadcast",
+    "j9_asof_join",
+    "n3_build_explode_roundtrip",
     "w3_top_orders_per_customer",
+    "w4_sessionize",
+    "w11_salted_hot_keys",
     "u1_union_chunks",
-    # deduplication / decontamination surface
-    "dd_exact_dedup",
-    "dd_incremental_dedup",
-    "dd_jaccard_pairs",
     "dd_curation_pipeline",
     "dd_eval_decontam",
-    "dd_contamination_report",
-    "dd_jaccard_clusters",
-    "dd_winnow_overlap_pairs",
-    "dd_embedding_neardup",
-    "dd_hash_split",
-    "dd_segment_dup_ratio",
-    # text analysis surface
     "txt_token_stats",
-    "txt_quality_scores",
-    "txt_repetition",
-    "txt_lang_id_confusion",
-    "txt_winnow_fingerprints",
-    "txt_vocabulary",
-    "txt_tfidf_top_terms",
-    "txt_sequence_packing",
-    "txt_unigram_logprob",
-    "txt_bigram_logprob",
-    "txt_pii_redaction",
-    # similarity search
     "sim_cosine_topk",
     "sim_quantized_topk",
     "sim_lsh_recall",
-    # multimodal (real decode, oracle-backed as of round 2)
     "mm_asset_features",
-    # sampling / splits
-    "sm5_stratified_sample",
-    "sm7_temperature_mixture",
-    # temporal joins + skew path
-    "j9_asof_join",
-    "j10_range_band_join",
-    "w11_salted_hot_keys",
-    # extended aggregates
-    "a17_percentiles",
-    "a18_argmax",
-    "a20_pivot",
-    "a22_cube",
-    "a23_zscore_outliers",
-    "a24_winsorized_stats",
-    # SQL-surface equivalents (S5 stand-ins)
-    "sql_top_revenue_orders",
     "sql_nation_revenue",
-    "sql_correlated_exists",
-    "sql_grouping_sets",
-    # data-quality report
     "dq_validation_report",
 ]
 

@@ -64,6 +64,10 @@ def main() -> None:
         t0 = time.perf_counter()
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         times[name] = round(time.perf_counter() - t0, 3)
+        # isolate queries: a query that retains a cache (see curate's CACHE
+        # CONTRACT) must not donate warm blocks to — or steal memory from —
+        # the queries timed after it
+        spark.catalog.clearCache()
 
     print(
         json.dumps(

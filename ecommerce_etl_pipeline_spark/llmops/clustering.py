@@ -75,6 +75,12 @@ def connected_components(
       invariant — labels only ever decrease, so sum(component) is
       stationary exactly at the fixpoint — one cheap aggregate per round
       instead of a changed-rows self-join.
+
+    CACHE CONTRACT: the large-graph branch returns a CACHED frame (already
+    materialized by the convergence aggregate — unpersisting it before the
+    caller reads would replay the whole iteration). It is listed on the
+    returned DataFrame as ``df.retained_caches``; unpersist when done. The
+    small-graph branch retains nothing (empty list).
     """
     spark = pairs.sparkSession
     # Strategy probe and small-graph collect in ONE execution: take(N+1)
@@ -95,7 +101,9 @@ def connected_components(
         schema = pairs.select(
             F.col(src).alias("node"), F.col(src).alias("component")
         ).schema
-        return spark.createDataFrame(rows, schema)
+        out = spark.createDataFrame(rows, schema)
+        out.retained_caches = []
+        return out
 
     directed = directed.cache()
 
@@ -142,6 +150,7 @@ def connected_components(
             break
         total = new_total
     edges.unpersist()
+    labels.retained_caches = [labels]
     return labels
 
 

@@ -46,3 +46,49 @@ def test_pricing_pipeline(spark):
     pos = {r.market_position for r in out["fact_market_position"].collect()}
     assert pos <= {"Above Market", "Below Market", "At Market"}
     assert out["fact_competitor_stats"].count() > 0
+
+
+def test_curate_cache_contract_releases_everything(spark):
+    """CACHE CONTRACT (curation.py / clustering.py): every frame a curate()
+    call retains is listed in result.retained_caches, and unpersisting them
+    leaves ZERO persistent RDDs — the storage-tab hygiene a 50-query shared
+    session depends on."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_etl_pipeline_spark.llmops import curation
+    from ecommerce_etl_pipeline_spark.llmops.clustering import connected_components
+
+    spark.catalog.clearCache()
+    sc = spark.sparkContext
+
+    docs = load_table(spark, SF, "documents")
+    curated = curation.curate(docs, use_minhash=False)
+    assert curated.count() > 0
+    assert len(curated.retained_caches) == 1  # the exact-dedup intermediate
+    for df in curated.retained_caches:
+        df.unpersist(blocking=True)
+    assert sc._jsc.getPersistentRDDs().size() == 0
+
+    # cache_exact=False retains nothing even before release
+    curated2 = curation.curate(docs, use_minhash=False, cache_exact=False)
+    assert curated2.count() > 0
+    assert curated2.retained_caches == []
+    assert sc._jsc.getPersistentRDDs().size() == 0
+
+    # distributed CC branch (forced): returns a cached frame, listed on the
+    # contract, and releasable to a clean storage tab
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc1 LONG, doc2 LONG"
+    )
+    comp = connected_components(pairs, small_graph_edges=0)
+    got = {(r.node, r.component) for r in comp.collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+    assert comp.retained_caches == [comp]
+    comp.unpersist(blocking=True)
+    assert sc._jsc.getPersistentRDDs().size() == 0
+
+    # small-graph branch retains nothing
+    comp_small = connected_components(pairs)
+    assert comp_small.retained_caches == []
+    assert comp_small.count() == 5
+    assert sc._jsc.getPersistentRDDs().size() == 0

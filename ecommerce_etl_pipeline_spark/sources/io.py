@@ -42,19 +42,35 @@ TESTDATA_TABLES = (
 )
 
 
+def _parquet_ts_unit(path: str, col: str = "ts") -> str | None:
+    """Footer-only peek at a parquet column's timestamp unit ('ns'/'us'),
+    or None if the file/column can't be inspected (directory datasets,
+    non-timestamp columns). Driver-side metadata read — no data scanned."""
+    try:
+        import pyarrow.parquet as pq
+
+        return getattr(pq.read_schema(path).field(col).type, "unit", None)
+    except Exception:
+        return None
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one testdata parquet table (S1). Lazy; columns prune at the scan.
 
     ``events.parquet`` has shipped with either TIMESTAMP(NANOS) — which
     Spark's vectorized parquet reader rejects — or plain TIMESTAMP(MICROS),
-    depending on the generator version. We enable the nanos-as-long legacy
-    conf and convert to a micro-precision timestamp only when the column
-    actually resolves as long (exact integer division, matching how DuckDB
-    truncates TIMESTAMP_NS to TIMESTAMP); a micros file passes through.
+    depending on the generator version. The footer is sniffed first and the
+    session-wide ``nanosAsLong`` legacy conf is enabled ONLY for a genuine
+    nanos file (Spark has no per-read switch for it — the unavoidable case);
+    a micros read never mutates session state. The long column converts with
+    exact integer division (matching how DuckDB truncates TIMESTAMP_NS to
+    TIMESTAMP); a micros file passes through.
     """
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        path = f"{sf_dir}/{name}.parquet"
+        if _parquet_ts_unit(path) == "ns":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
         else:

@@ -43,6 +43,45 @@ def fetch_external_rows(
     return seeds.rdd.mapPartitions(run).toDF(schema)
 
 
+def http_json_fetch(
+    host: str,
+    port: int,
+    path_for: Callable[[Row], str],
+    parse: Callable[[Row, object], Iterator[dict]],
+    *,
+    timeout_s: float = 5.0,
+) -> FetchFn:
+    """REAL-socket fetch function for :func:`fetch_external_rows`: one
+    ``http.client.HTTPConnection`` per PARTITION (honoring the
+    one-connection-per-partition contract), a GET per seed row, JSON body
+    handed to ``parse``. Non-200 responses and socket timeouts raise, so
+    :func:`with_retries` (app-level) and Spark task retry (scheduler-level)
+    both see genuine I/O failures — the live-server path the reference's
+    scrape loop exercised with a browser (web_scraping_dag.py:63-135).
+
+    Everything here is serialized by value into the executor: keep ``parse``
+    and ``path_for`` self-contained closures.
+    """
+
+    def fetch(part: Iterable[Row]) -> Iterator[dict]:
+        import http.client
+        import json as _json
+
+        conn = http.client.HTTPConnection(host, port, timeout=timeout_s)
+        try:
+            for r in part:
+                conn.request("GET", path_for(r), headers={"Connection": "keep-alive"})
+                resp = conn.getresponse()
+                body = resp.read()  # must drain before reusing the connection
+                if resp.status != 200:
+                    raise RuntimeError(f"HTTP {resp.status} for {path_for(r)}")
+                yield from parse(r, _json.loads(body))
+        finally:
+            conn.close()
+
+    return fetch
+
+
 def with_retries(
     fetch: FetchFn,
     *,

@@ -133,13 +133,14 @@ def curate(
     # 4: near-dup — candidate pairs -> clusters -> keep each cluster's
     # representative (min id). Non-clustered docs pass through untouched.
     if use_minhash:
-        pairs = dedup.minhash_candidate_pairs(exact, id_col, text_col).filter(
-            F.col("jaccard") >= jaccard_threshold
-        )
+        cand = dedup.minhash_candidate_pairs(exact, id_col, text_col)
+        pairs = cand.filter(F.col("jaccard") >= jaccard_threshold)
+        pair_caches = getattr(cand, "retained_caches", [])
     else:
         pairs = dedup.jaccard_similarity_join(
             exact, id_col, text_col, threshold=jaccard_threshold, hashed=False
         )
+        pair_caches = getattr(pairs, "retained_caches", [])
     components = connected_components(pairs)
     drop = components.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias(id_col)
@@ -147,7 +148,9 @@ def curate(
     out = exact.join(drop, id_col, "left_anti").select(
         id_col, text_col, text.token_count(t).alias("n_tokens")
     )
-    out.retained_caches = ([exact] if cache_exact else []) + getattr(
-        components, "retained_caches", []
+    out.retained_caches = (
+        ([exact] if cache_exact else [])
+        + pair_caches
+        + getattr(components, "retained_caches", [])
     )
     return out

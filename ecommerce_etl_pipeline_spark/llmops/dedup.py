@@ -141,8 +141,10 @@ def minhash_candidate_pairs(
     # banded is read by both join sides; caching stops the 64-hash
     # signature fold from running twice.
     banded = banded.cache()
+    # corpus-sized self-join: force a shuffle join (see
+    # jaccard_similarity_join for the broadcast anti-pattern this avoids)
     left = banded.alias("l")
-    right = banded.alias("r")
+    right = banded.hint("shuffle_hash").alias("r")
     cand = (
         left.join(
             right,
@@ -156,12 +158,23 @@ def minhash_candidate_pairs(
 
     # Verify only the candidates: join the hash sets back per side (the
     # candidate set is duplicate-density-sized, not corpus-sized).
-    h1 = hashes_df.select(F.col("doc_id").alias("doc1"), F.col("hashes").alias("h1"))
-    h2 = hashes_df.select(F.col("doc_id").alias("doc2"), F.col("hashes").alias("h2"))
+    # corpus-sized array tables: shuffle-join them against the (duplicate-
+    # density-sized) candidate set — broadcasting h1/h2 would ship every
+    # document's shingle array to every task (same anti-pattern as above)
+    h1 = hashes_df.select(
+        F.col("doc_id").alias("doc1"), F.col("hashes").alias("h1")
+    ).hint("shuffle_hash")
+    h2 = hashes_df.select(
+        F.col("doc_id").alias("doc2"), F.col("hashes").alias("h2")
+    ).hint("shuffle_hash")
     verified = cand.join(h1, "doc1").join(h2, "doc2")
     inter = F.size(F.array_intersect("h1", "h2")).cast("double")
     union = (F.size("h1") + F.size("h2") - inter).cast("double")
-    return verified.select("doc1", "doc2", (inter / union).alias("jaccard"))
+    out = verified.select("doc1", "doc2", (inter / union).alias("jaccard"))
+    # CACHE CONTRACT (see curation.curate): the banded rows stay resident
+    # after the result materializes; listed for the caller to release.
+    out.retained_caches = [banded]
+    return out
 
 
 def winnow_overlap_pairs(
@@ -216,8 +229,13 @@ def winnow_overlap_pairs(
     rare = inv.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") <= max_df
     )
-    kept = inv.join(rare.select("fp"), "fp")
-    l, r = kept.alias("l"), kept.alias("r")
+    # rare is fingerprint-vocabulary-sized (corpus-scaled, not dim-sized):
+    # shuffle-join it on fp so the df-pass partitioning is genuinely reused
+    # instead of broadcasting the vocabulary to every task
+    kept = inv.join(rare.select("fp").hint("shuffle_hash"), "fp")
+    # corpus-sized self-join: force a shuffle join (see
+    # jaccard_similarity_join for the broadcast anti-pattern this avoids)
+    l, r = kept.alias("l"), kept.hint("shuffle_hash").alias("r")
     pairs = (
         l.join(
             r,
@@ -232,12 +250,16 @@ def winnow_overlap_pairs(
         .agg(F.count(F.lit(1)).alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
     )
-    return pairs.select(
+    out = pairs.select(
         "doc1",
         "doc2",
         "shared_fps",
         (F.col("shared_fps") / F.least("n1", "n2")).alias("overlap"),
     )
+    # CACHE CONTRACT (see curation.curate): both load-bearing caches are
+    # listed for the caller to release after materializing.
+    out.retained_caches = [fps, inv]
+    return out
 
 
 def cross_split_contamination(
@@ -275,7 +297,9 @@ def cross_split_contamination(
         shingle_col.alias("hashes"),
     ).withColumn("set_size", F.size("hashes"))
     inv = sets.select("doc_id", "split", "set_size", F.explode("hashes").alias("h"))
-    l, r = inv.alias("l"), inv.alias("r")
+    # corpus-sized self-join: force a shuffle join (see
+    # jaccard_similarity_join for the broadcast anti-pattern this avoids)
+    l, r = inv.alias("l"), inv.hint("shuffle_hash").alias("r")
     thr = F.lit(threshold)
     inter = (
         l.join(
@@ -466,7 +490,9 @@ def simhash_near_pairs(
             )
         ).alias("cv"),
     ).select("doc_id", "sh", "cv.chunk", "cv.chunk_val")
-    l, r = chunks.alias("l"), chunks.alias("r")
+    # corpus-sized self-join: force a shuffle join (see
+    # jaccard_similarity_join for the broadcast anti-pattern this avoids)
+    l, r = chunks.alias("l"), chunks.hint("shuffle_hash").alias("r")
     cand = (
         l.join(
             r,
@@ -534,7 +560,14 @@ def jaccard_similarity_join(
         shingle_col.alias("hashes"),
     ).withColumn("set_size", F.size("hashes"))
     inv = sets.select("doc_id", "set_size", F.explode("hashes").alias("h"))
-    l, r = inv.alias("l"), inv.alias("r")
+    # shuffle_hash hint: BOTH sides of this self-join are corpus-sized, so a
+    # size-estimate-driven broadcast (which the optimizer picks at small SF —
+    # observed BuildRight of the whole exploded index) is the anti-scale
+    # plan: it ships the corpus to every task AND runs the shingle lineage
+    # twice. A shuffle join partitions on h and reuses ONE Exchange for both
+    # sides (identical lineage -> ReusedExchange). Measured equal-or-faster
+    # at sf0.1 and plan-shape-safe at any SF.
+    l, r = inv.alias("l"), inv.hint("shuffle_hash").alias("r")
     thr = F.lit(threshold)
     inter = (
         l.join(

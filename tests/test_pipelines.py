@@ -92,3 +92,21 @@ def test_curate_cache_contract_releases_everything(spark):
     assert comp_small.retained_caches == []
     assert comp_small.count() == 5
     assert sc._jsc.getPersistentRDDs().size() == 0
+
+    # minhash path: the banded-rows cache is listed too (alongside exact)
+    curated3 = curation.curate(docs, use_minhash=True)
+    assert curated3.count() > 0
+    assert len(curated3.retained_caches) == 2
+    for df in curated3.retained_caches:
+        df.unpersist(blocking=True)
+    assert sc._jsc.getPersistentRDDs().size() == 0
+
+    # winnow_overlap_pairs lists its two load-bearing caches
+    from ecommerce_etl_pipeline_spark.llmops.dedup import winnow_overlap_pairs
+
+    wp = winnow_overlap_pairs(docs.limit(50))
+    wp.count()
+    assert len(wp.retained_caches) == 2
+    for df in wp.retained_caches:
+        df.unpersist(blocking=True)
+    assert sc._jsc.getPersistentRDDs().size() == 0

@@ -222,3 +222,21 @@ def test_salted_aggregate_two_phase_shape(spark):
     plan = plan_of(spark, "w11_salted_hot_keys")
     assert "_salt" in plan
     assert plan.count("HashAggregate") >= 4  # partial+final for each phase
+
+
+def test_corpus_self_joins_never_broadcast(spark):
+    """The candidate self-joins in every dedup modality have CORPUS-sized
+    sides; a size-estimate-driven broadcast (observed at small SF before the
+    shuffle_hash hints) ships the corpus to every task — the plan that dies
+    first at 100 TB. Gate: shuffle join, no BroadcastHashJoin anywhere in
+    the candidate-pair plans."""
+    for name in (
+        "dd_jaccard_pairs",
+        "dd_minhash_pairs",
+        "dd_simhash_pairs",
+        "dd_winnow_overlap_pairs",
+        "dd_contamination_report",
+    ):
+        plan = plan_of(spark, name)
+        assert "BroadcastHashJoin" not in plan, name
+        assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan, name

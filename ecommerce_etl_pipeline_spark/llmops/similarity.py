@@ -349,7 +349,12 @@ def lsh_topk_multi(
     )
     scored = (
         cand.join(
-            corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec")),
+            # corpus-sized vector table: shuffle-join against the (bounded)
+            # candidate set — a size-estimate broadcast here would ship every
+            # corpus vector to every task
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec")
+            ).hint("shuffle_hash"),
             "neighbor_id",
         )
         .join(F.broadcast(q_vec), "query_id")

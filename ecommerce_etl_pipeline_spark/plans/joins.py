@@ -40,7 +40,11 @@ from ecommerce_etl_pipeline_spark.sources.io import load_table
 )
 def j1_order_lineitem_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
+    # merge hint: BOTH sides are facts that scale with the data; at small SF
+    # the optimizer's size estimate puts orders under the broadcast threshold
+    # and silently broadcasts a fact table — fine locally, dead at 100 TB.
+    # The hint pins the partition-honest SMJ the docstring promises.
+    orders = load_table(spark, sf_dir, "orders").hint("merge")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey, "inner")
         .groupBy("o_orderstatus")
@@ -216,8 +220,13 @@ def j6_semi_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders_b = orders.join(
         F.broadcast(cust.select("c_custkey")), orders.o_custkey == F.col("c_custkey"), "left_semi"
     )
+    # the surviving-orders key set is FACT-scaled (a segment's share of all
+    # orders), not dim-sized — broadcasting it dies at scale; shuffle semi
+    # join, with j11's bloom prune as the scan-side accelerator when needed
     li_b = li.join(
-        F.broadcast(orders_b.select("o_orderkey")), li.l_orderkey == F.col("o_orderkey"), "left_semi"
+        orders_b.select("o_orderkey").hint("merge"),
+        li.l_orderkey == F.col("o_orderkey"),
+        "left_semi",
     )
     return li_b.agg(
         F.count(F.lit(1)).alias("num_lineitems"),
@@ -238,8 +247,12 @@ def j6_semi_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
 def j8_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
+    # the anti side is the full fact key column — shuffle it (a small-SF
+    # size estimate would otherwise broadcast a fact table)
     return cust.join(
-        orders.select("o_custkey"), cust.c_custkey == F.col("o_custkey"), "left_anti"
+        orders.select("o_custkey").hint("merge"),
+        cust.c_custkey == F.col("o_custkey"),
+        "left_anti",
     ).select("c_custkey", "c_name", "c_mktsegment")
 
 

@@ -121,7 +121,9 @@ def n2_hof_array_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "path; the oracle states the equivalent relational answer.",
 )
 def n3_build_explode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
+    # fact-fact join: hint merge so a small-SF size estimate can't broadcast
+    # the orders fact (see j1)
+    orders = load_table(spark, sf_dir, "orders").hint("merge")
     li = load_table(spark, sf_dir, "lineitem")
     nested = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)

@@ -49,7 +49,12 @@ def u1_union_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
     """,
     doc="INTERSECT DISTINCT (engine built-in; absent from the reference, "
-    "SURVEY §2.7): customers with both open and fulfilled orders.",
+    "SURVEY §2.7): customers with both open and fulfilled orders. Known "
+    "caveat: join-strategy hints do NOT survive Spark's "
+    "ReplaceIntersectWithSemiJoin rewrite (the hint is resolved before the "
+    "semi join exists), so the leg join follows size estimates; at scale, "
+    "write fact-fact set ops as explicit semi/anti joins (j6/j8 shapes) "
+    "when the plan must be pinned.",
 )
 def u2_intersect_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
@@ -77,6 +82,8 @@ def u3_except_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     sold = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_partkey").alias("p_partkey")
     )
+    # same hint caveat as u2_intersect_keys: set-op rewrites drop join
+    # hints; the pinned-plan form of this query is j3/j8's anti join
     return part.subtract(sold)  # EXCEPT DISTINCT
 
 

@@ -240,3 +240,24 @@ def test_corpus_self_joins_never_broadcast(spark):
         plan = plan_of(spark, name)
         assert "BroadcastHashJoin" not in plan, name
         assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan, name
+
+
+def test_fact_joins_never_broadcast(spark):
+    """Fact-fact joins (both sides scale with the data) must shuffle, not
+    broadcast: at small SF the optimizer's estimates sit under the broadcast
+    threshold and silently broadcast orders/lineitem — fine locally, dead at
+    100 TB. merge hints pin the partition-honest plan; dims (region/nation/
+    customer/part) still broadcast where present."""
+    for name, n_smj in (
+        ("j1_order_lineitem_join", 1),
+        ("j6_semi_cascade", 1),       # lineitem ⋉ surviving-orders keys
+        ("j8_customers_without_orders", 1),
+        ("n3_build_explode_roundtrip", 1),
+        ("sql_top_revenue_orders", 2),  # orders⋈customer-side, lineitem
+        ("sql_nation_revenue", 2),
+        ("sql_correlated_exists", 2),   # EXISTS + NOT EXISTS legs
+    ):
+        plan = plan_of(spark, name)
+        assert plan.count("SortMergeJoin") >= n_smj, name
+    # and the pure fact-fact join has no broadcast at all
+    assert "BroadcastHashJoin" not in plan_of(spark, "j1_order_lineitem_join")

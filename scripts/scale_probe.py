@@ -1,0 +1,140 @@
+#!/usr/bin/env python
+"""Empirical scaling probe: replicate the sf0.1 corpus/facts 10x (id
+offsets + token perturbation so duplicate density stays realistic, not
+10x'd) and time the scale-critical operators at 1x vs 10x on local[32].
+
+What good looks like: dedup growth well under 10x (wide stages track
+duplicate density, not corpus size), fact-join growth ~linear in rows.
+This is the committed form of the round-2 ad-hoc measurement behind
+SCALING.md "Measured scale behavior"; re-run after any join-shape change.
+
+Usage: python scripts/scale_probe.py [replication]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+# must be set BEFORE the JVM launches: the 10x self-joins need real heap
+# (local-mode default is 1g and builder-time driver-memory confs arrive
+# too late to size the already-running JVM)
+os.environ.setdefault("PYSPARK_SUBMIT_ARGS", "--driver-memory 16g pyspark-shell")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+from ecommerce_etl_pipeline_spark.session import get_spark  # noqa: E402
+from ecommerce_etl_pipeline_spark.sources.io import load_table  # noqa: E402
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def replicate_docs(docs: DataFrame, copies: int) -> DataFrame:
+    """Union `copies` shifted copies. Every non-first copy gets a marker
+    token injected every 4 tokens, which rewrites its shingle set — so
+    copies are NOT near-duplicates of each other and true-pair density
+    grows ~linearly with the corpus (the realistic web-corpus shape)
+    instead of every document becoming a `copies`-member duplicate family
+    (which would inflate true pairs ~copies² and measure output growth,
+    not scaling)."""
+    n = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    parts = [docs.select("doc_id", "text")]
+    for i in range(1, copies):
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(i * n)).alias("doc_id"),
+                F.regexp_replace(
+                    F.col("text"), r"((\S+\s+){4})", f"$1u{i} "
+                ).alias("text"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def replicate_facts(df: DataFrame, key_cols: list[str], copies: int) -> DataFrame:
+    maxes = df.agg(*[F.max(c).alias(c) for c in key_cols]).collect()[0]
+    parts = [df]
+    for i in range(1, copies):
+        shifted = df
+        for c in key_cols:
+            shifted = shifted.withColumn(c, F.col(c) + F.lit(i * (maxes[c] + 1)))
+        parts.append(shifted)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def timed(label: str, thunk) -> float:
+    """Times plan BUILD + execution: curate() launches an eager job
+    (component resolution) during the build, which a build-then-time
+    harness would silently exclude."""
+    t0 = time.perf_counter()
+    thunk().write.format("noop").mode("overwrite").save()
+    dt = time.perf_counter() - t0
+    print(f"  {label}: {dt:.2f}s", flush=True)
+    return dt
+
+
+def main() -> None:
+    copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = get_spark(app_name="scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from ecommerce_etl_pipeline_spark.llmops import curation, dedup
+
+    docs1 = load_table(spark, SF, "documents").select("doc_id", "text")
+    docs10 = replicate_docs(docs1, copies)
+    li1 = load_table(spark, SF, "lineitem")
+    or1 = load_table(spark, SF, "orders")
+    li10 = replicate_facts(li1, ["l_orderkey"], copies)
+    or10 = replicate_facts(or1, ["o_orderkey"], copies)
+
+    # materialize the replicated inputs to parquet so probe timings measure
+    # the operator, not the union fan-in
+    base = "/tmp/scale_probe"
+    docs10.write.mode("overwrite").parquet(f"{base}/documents.parquet")
+    li10.write.mode("overwrite").parquet(f"{base}/lineitem.parquet")
+    or10.write.mode("overwrite").parquet(f"{base}/orders.parquet")
+    docs10 = spark.read.parquet(f"{base}/documents.parquet")
+    li10 = spark.read.parquet(f"{base}/lineitem.parquet")
+    or10 = spark.read.parquet(f"{base}/orders.parquet")
+
+    def fact_join(li: DataFrame, orders: DataFrame) -> DataFrame:
+        return (
+            li.join(orders.hint("merge"), li["l_orderkey"] == orders["o_orderkey"])
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("q"))
+        )
+
+    probes = {
+        "jaccard_pairs": lambda d: dedup.jaccard_similarity_join(d, threshold=0.5),
+        "minhash_pairs": lambda d: dedup.minhash_candidate_pairs(d),
+        "curation_minhash": lambda d: curation.curate(d, cache_exact=True),
+    }
+    results: dict[str, tuple[float, float]] = {}
+    for name, fn in probes.items():
+        print(f"== {name}")
+        t1 = timed("1x", lambda: fn(docs1))
+        spark.catalog.clearCache()
+        t10 = timed(f"{copies}x", lambda: fn(docs10))
+        spark.catalog.clearCache()
+        results[name] = (t1, t10)
+    print("== fact_join (j1 shape)")
+    t1 = timed("1x", lambda: fact_join(li1, or1))
+    t10 = timed(f"{copies}x", lambda: fact_join(li10, or10))
+    results["fact_join"] = (t1, t10)
+
+    print(f"\n{'probe':20s} {'1x':>7s} {copies:>5d}x  growth")
+    for name, (a, b) in results.items():
+        print(f"{name:20s} {a:7.2f} {b:6.2f}  {b / a:.1f}x")
+
+
+if __name__ == "__main__":
+    main()

@@ -140,3 +140,36 @@ def test_portable_round_parity_with_duckdb(spark, ndigits):
         .fetchall()
     ]
     assert got == want
+
+
+@given(
+    chunks=st.lists(
+        st.tuples(
+            st.sampled_from([b"fmt ", b"data", b"LIST", b"junk"]),
+            st.binary(min_size=0, max_size=24),
+        ),
+        min_size=0,
+        max_size=5,
+    ),
+    truncate=st.integers(min_value=0, max_value=8),
+)
+@settings(max_examples=300)
+def test_wav_structured_container_fuzz(chunks, truncate):
+    """Random-junk fuzz almost never reaches the chunk walker (it dies on
+    the RIFF magic), which is exactly where a short fmt body leaked
+    struct.error (round-2 ADVICE). This fuzzer always builds a valid
+    RIFF/WAVE shell around arbitrary word-aligned chunks, then optionally
+    truncates — decode must return or raise ValueError, nothing else."""
+    body = b""
+    for cid, payload in chunks:
+        body += cid + len(payload).to_bytes(4, "little") + payload
+        if len(payload) % 2:
+            body += b"\x00"
+    wav = b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WAVE" + body
+    if truncate:
+        wav = wav[: max(12, len(wav) - truncate)]
+    try:
+        rate, samples = mm.decode_wav(wav)
+        assert rate >= 0 and isinstance(samples, tuple)
+    except ValueError:
+        pass

@@ -49,17 +49,23 @@ def cosine_arrow(a: pd.Series, b: pd.Series) -> pd.Series:
     # NULL or width-mismatched pairs emit NULL (the JVM zip_with fold
     # returns NULL there too) instead of crashing np.stack on ragged input.
     # Zero-norm vectors still produce NaN (0/0), matching the JVM division.
+    # Rows are stacked PER WIDTH: a batch mixing embedding dims (each pair
+    # internally consistent) is valid input and np.stack requires uniform
+    # shape, so each width group vectorizes independently.
     n = len(a)
-    ok = np.empty(n, dtype=bool)
+    widths = np.full(n, -1, dtype=np.int64)
     for i, (x, y) in enumerate(zip(a, b)):
-        ok[i] = x is not None and y is not None and len(x) == len(y)
+        if x is not None and y is not None and len(x) == len(y):
+            widths[i] = len(x)
+    ok = widths >= 0
     out = np.full(n, np.nan)
-    if ok.any():
+    for w in np.unique(widths[ok]):
+        sel = widths == w
         # float64 up-cast mirrors the JVM path's per-element double cast —
         # float32 accumulation would drift ~1e-7 from the exact kernel
-        av = np.stack(a[ok].to_numpy()).astype(np.float64)
-        bv = np.stack(b[ok].to_numpy()).astype(np.float64)
+        av = np.stack(a[sel].to_numpy()).astype(np.float64)
+        bv = np.stack(b[sel].to_numpy()).astype(np.float64)
         num = (av * bv).sum(axis=1)
         den = np.sqrt((av * av).sum(axis=1)) * np.sqrt((bv * bv).sum(axis=1))
-        out[ok] = num / den
+        out[sel] = num / den
     return pd.Series(pd.arrays.FloatingArray(out, mask=~ok))

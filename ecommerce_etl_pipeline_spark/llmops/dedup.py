@@ -144,7 +144,7 @@ def minhash_candidate_pairs(
     # corpus-sized self-join: force a shuffle join (see
     # jaccard_similarity_join for the broadcast anti-pattern this avoids)
     left = banded.alias("l")
-    right = banded.hint("shuffle_hash").alias("r")
+    right = banded.hint("merge").alias("r")
     cand = (
         left.join(
             right,
@@ -163,10 +163,10 @@ def minhash_candidate_pairs(
     # document's shingle array to every task (same anti-pattern as above)
     h1 = hashes_df.select(
         F.col("doc_id").alias("doc1"), F.col("hashes").alias("h1")
-    ).hint("shuffle_hash")
+    ).hint("merge")
     h2 = hashes_df.select(
         F.col("doc_id").alias("doc2"), F.col("hashes").alias("h2")
-    ).hint("shuffle_hash")
+    ).hint("merge")
     verified = cand.join(h1, "doc1").join(h2, "doc2")
     inter = F.size(F.array_intersect("h1", "h2")).cast("double")
     union = (F.size("h1") + F.size("h2") - inter).cast("double")
@@ -232,10 +232,10 @@ def winnow_overlap_pairs(
     # rare is fingerprint-vocabulary-sized (corpus-scaled, not dim-sized):
     # shuffle-join it on fp so the df-pass partitioning is genuinely reused
     # instead of broadcasting the vocabulary to every task
-    kept = inv.join(rare.select("fp").hint("shuffle_hash"), "fp")
+    kept = inv.join(rare.select("fp").hint("merge"), "fp")
     # corpus-sized self-join: force a shuffle join (see
     # jaccard_similarity_join for the broadcast anti-pattern this avoids)
-    l, r = kept.alias("l"), kept.hint("shuffle_hash").alias("r")
+    l, r = kept.alias("l"), kept.hint("merge").alias("r")
     pairs = (
         l.join(
             r,
@@ -299,7 +299,7 @@ def cross_split_contamination(
     inv = sets.select("doc_id", "split", "set_size", F.explode("hashes").alias("h"))
     # corpus-sized self-join: force a shuffle join (see
     # jaccard_similarity_join for the broadcast anti-pattern this avoids)
-    l, r = inv.alias("l"), inv.hint("shuffle_hash").alias("r")
+    l, r = inv.alias("l"), inv.hint("merge").alias("r")
     thr = F.lit(threshold)
     inter = (
         l.join(
@@ -492,7 +492,7 @@ def simhash_near_pairs(
     ).select("doc_id", "sh", "cv.chunk", "cv.chunk_val")
     # corpus-sized self-join: force a shuffle join (see
     # jaccard_similarity_join for the broadcast anti-pattern this avoids)
-    l, r = chunks.alias("l"), chunks.hint("shuffle_hash").alias("r")
+    l, r = chunks.alias("l"), chunks.hint("merge").alias("r")
     cand = (
         l.join(
             r,
@@ -560,14 +560,16 @@ def jaccard_similarity_join(
         shingle_col.alias("hashes"),
     ).withColumn("set_size", F.size("hashes"))
     inv = sets.select("doc_id", "set_size", F.explode("hashes").alias("h"))
-    # shuffle_hash hint: BOTH sides of this self-join are corpus-sized, so a
+    # merge hint: BOTH sides of this self-join are corpus-sized, so a
     # size-estimate-driven broadcast (which the optimizer picks at small SF —
     # observed BuildRight of the whole exploded index) is the anti-scale
     # plan: it ships the corpus to every task AND runs the shingle lineage
-    # twice. A shuffle join partitions on h and reuses ONE Exchange for both
-    # sides (identical lineage -> ReusedExchange). Measured equal-or-faster
-    # at sf0.1 and plan-shape-safe at any SF.
-    l, r = inv.alias("l"), inv.hint("shuffle_hash").alias("r")
+    # twice. SMJ partitions both sides on h with no per-task hash build
+    # (a shuffled-hash join would build an in-memory map over corpus/N
+    # rows per task — the executor-OOM shape at 100 TB; SMJ sorts and
+    # streams, and AQE skew-split still applies). Measured equal at sf0.1
+    # and plan-shape-safe at any SF.
+    l, r = inv.alias("l"), inv.hint("merge").alias("r")
     thr = F.lit(threshold)
     inter = (
         l.join(

@@ -104,16 +104,25 @@ def quantize_int8(vec: Column) -> Column:
 
     An all-zero vector has max|v| = 0; ``nullif`` keeps that from becoming a
     DIVIDE_BY_ZERO under ANSI sessions and those codes map to 0. Element-level
-    NULLs in a non-zero vector still propagate as NULL (the zero-fill applies
-    only when the *scale* is NULL, not when the element is)."""
+    NULLs propagate as NULL in BOTH branches (the zero-fill applies only to
+    non-NULL elements of a zero vector). The scale-NULL test is hoisted OUT
+    of the per-element lambda: HOF lambdas evaluate interpreted with no CSE,
+    so a per-element ``scale`` reference would re-run the O(d) array_max
+    fold once per element (2x the whole quantization cost)."""
     scale = F.lit(127.0) / F.nullif(
         F.array_max(F.transform(vec, F.abs)).cast("double"), F.lit(0.0)
     )
-    return F.transform(
-        vec,
-        lambda x: F.when(scale.isNull(), F.lit(0))
-        .otherwise(F.floor(x.cast("double") * scale + F.lit(0.5)))
-        .cast("long"),
+    return F.when(
+        scale.isNull(),
+        F.transform(
+            vec,
+            lambda x: F.when(x.isNotNull(), F.lit(0)).cast("long"),
+        ),
+    ).otherwise(
+        F.transform(
+            vec,
+            lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("long"),
+        )
     )
 
 
@@ -183,7 +192,9 @@ def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
     A vector whose width differs from the plane dim would zip_with-pad
     with NULLs, every sign test would fall to 0, and ALL vectors would
     silently collapse into bucket 0 (a quadratic join, no error) — so the
-    width is asserted lazily per row via ``raise_error``.
+    width is asserted lazily per row via ``raise_error``. A NULL vector is
+    not a width mismatch: it yields a NULL signature (joins drop it), the
+    same propagate-don't-crash semantics as every other NULL input here.
     """
     dim = len(planes[0])
     checked = F.when(F.size(vec) == F.lit(dim), vec).otherwise(
@@ -203,7 +214,7 @@ def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
     out = bits[0]
     for b in bits[1:]:
         out = out + b
-    return out
+    return F.when(vec.isNull(), F.lit(None).cast("bigint")).otherwise(out)
 
 
 def signatures_via_join(
@@ -232,9 +243,12 @@ def signatures_via_join(
     planes_df = spark.createDataFrame(
         plane_rows, "table_id INT, plane_id INT, w ARRAY<DOUBLE>"
     )
-    # the SQL shiftleft accepts a column shift; the Python wrapper does not
+    # the SQL shiftleft accepts a column shift; the Python wrapper does not.
+    # NULL _sign (NULL vector) keeps the bit NULL so the SUM below returns a
+    # NULL bucket — matching lsh_signature's NULL-in-NULL-out.
     bit = F.expr(
-        "CASE WHEN _sign THEN shiftleft(CAST(1 AS BIGINT), plane_id) "
+        "CASE WHEN _sign IS NULL THEN CAST(NULL AS BIGINT) "
+        "WHEN _sign THEN shiftleft(CAST(1 AS BIGINT), plane_id) "
         "ELSE CAST(0 AS BIGINT) END"
     )
     return (
@@ -242,10 +256,14 @@ def signatures_via_join(
         .join(F.broadcast(planes_df))
         .withColumn(
             "_sign",
-            F.when(
+            # NULL vector -> NULL sign (not a width mismatch; see
+            # lsh_signature); genuine width mismatch raises
+            F.when(F.col(vec_col).isNull(), F.lit(None).cast("boolean"))
+            .when(
                 F.size(F.col(vec_col)) == F.size(F.col("w")),
                 dot(F.col(vec_col), F.col("w")) >= 0,
-            ).otherwise(
+            )
+            .otherwise(
                 F.raise_error(
                     F.concat(
                         F.lit("signatures_via_join: vector width "),
@@ -349,12 +367,13 @@ def lsh_topk_multi(
     )
     scored = (
         cand.join(
-            # corpus-sized vector table: shuffle-join against the (bounded)
+            # corpus-sized vector table: merge-join against the (bounded)
             # candidate set — a size-estimate broadcast here would ship every
-            # corpus vector to every task
+            # corpus vector to every task, and a shuffled-hash build over
+            # the corpus side risks per-task OOM; SMJ streams both sides
             corpus.select(
                 F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec")
-            ).hint("shuffle_hash"),
+            ).hint("merge"),
             "neighbor_id",
         )
         .join(F.broadcast(q_vec), "query_id")

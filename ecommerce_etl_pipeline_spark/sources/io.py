@@ -60,15 +60,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``events.parquet`` has shipped with either TIMESTAMP(NANOS) — which
     Spark's vectorized parquet reader rejects — or plain TIMESTAMP(MICROS),
     depending on the generator version. The footer is sniffed first and the
-    session-wide ``nanosAsLong`` legacy conf is enabled ONLY for a genuine
-    nanos file (Spark has no per-read switch for it — the unavoidable case);
-    a micros read never mutates session state. The long column converts with
-    exact integer division (matching how DuckDB truncates TIMESTAMP_NS to
-    TIMESTAMP); a micros file passes through.
+    session-wide ``nanosAsLong`` legacy conf is enabled ONLY when the file
+    is a genuine nanos file — or when the sniff cannot tell (directory
+    datasets, filesystems pyarrow can't open by bare path): an unknown file
+    might be nanos, and failing to set the conf would crash that read, so
+    only a POSITIVE micros identification skips the conf. Spark has no
+    per-read switch for it — the unavoidable case. The long column converts
+    with exact integer division (matching how DuckDB truncates TIMESTAMP_NS
+    to TIMESTAMP); a micros file passes through.
     """
     if name == "events":
         path = f"{sf_dir}/{name}.parquet"
-        if _parquet_ts_unit(path) == "ns":
+        if _parquet_ts_unit(path) != "us":
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":

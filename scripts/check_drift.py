@@ -35,20 +35,27 @@ def main() -> int:
                 continue
             n = f.metadata.num_rows
             notes = []
-            schema = f.schema_arrow
-            if t == "events":
-                unit = getattr(schema.field("ts").type, "unit", None)
-                notes.append(f"ts_unit={unit or schema.field('ts').type}")
-            if t in ("documents", "embeddings"):
-                idc = "doc_id" if t == "documents" else "vec_id"
-                first = f.read_row_group(0, columns=[idc])[idc]
-                lo = first[0].as_py()
-                last = f.read_row_group(f.metadata.num_row_groups - 1, columns=[idc])[idc]
-                hi = last[-1].as_py()
-                notes.append(f"{idc}=[{lo}..{hi}]")
-            if t == "embeddings":
-                dim_probe = f.read_row_group(0, columns=["embedding"])["embedding"][0]
-                notes.append(f"dim={len(dim_probe)}")
+            try:
+                schema = f.schema_arrow
+                if t == "events":
+                    unit = getattr(schema.field("ts").type, "unit", None)
+                    notes.append(f"ts_unit={unit or schema.field('ts').type}")
+                if t in ("documents", "embeddings"):
+                    idc = "doc_id" if t == "documents" else "vec_id"
+                    first = f.read_row_group(0, columns=[idc])[idc]
+                    lo = first[0].as_py()
+                    last = f.read_row_group(
+                        f.metadata.num_row_groups - 1, columns=[idc]
+                    )[idc]
+                    hi = last[-1].as_py()
+                    notes.append(f"{idc}=[{lo}..{hi}]")
+                if t == "embeddings":
+                    dim_probe = f.read_row_group(0, columns=["embedding"])["embedding"][0]
+                    notes.append(f"dim={len(dim_probe)}")
+            except Exception as e:  # noqa: BLE001 — a drift checker must REPORT
+                # surprises (0 rows, missing column, empty row groups), not die
+                problems.append(f"{path}: probe failed: {e}")
+                notes.append(f"PROBE-FAILED ({e})")
             print(f"  {t}: {n} rows  {' '.join(notes)}")
     if problems:
         print(f"\nDRIFT PROBLEMS: {problems}")

@@ -57,13 +57,18 @@ def replicate_docs(docs: DataFrame, copies: int) -> DataFrame:
     return out
 
 
-def replicate_facts(df: DataFrame, key_cols: list[str], copies: int) -> DataFrame:
-    maxes = df.agg(*[F.max(c).alias(c) for c in key_cols]).collect()[0]
+def replicate_facts(
+    df: DataFrame, key_cols: list[str], copies: int, offset: int
+) -> DataFrame:
+    """Shift join keys by a SHARED per-copy offset. The offset must be the
+    same across every table sharing the key domain (orders+lineitem on
+    orderkey) — independent per-table maxima would misalign every replica's
+    keys and the joined measurement would silently join almost nothing."""
     parts = [df]
     for i in range(1, copies):
         shifted = df
         for c in key_cols:
-            shifted = shifted.withColumn(c, F.col(c) + F.lit(i * (maxes[c] + 1)))
+            shifted = shifted.withColumn(c, F.col(c) + F.lit(i * offset))
         parts.append(shifted)
     out = parts[0]
     for p in parts[1:]:
@@ -93,8 +98,11 @@ def main() -> None:
     docs10 = replicate_docs(docs1, copies)
     li1 = load_table(spark, SF, "lineitem")
     or1 = load_table(spark, SF, "orders")
-    li10 = replicate_facts(li1, ["l_orderkey"], copies)
-    or10 = replicate_facts(or1, ["o_orderkey"], copies)
+    # orders holds the full orderkey domain (lineitem references it), so its
+    # max bounds both tables' keys
+    key_span = or1.agg(F.max("o_orderkey")).collect()[0][0] + 1
+    li10 = replicate_facts(li1, ["l_orderkey"], copies, key_span)
+    or10 = replicate_facts(or1, ["o_orderkey"], copies, key_span)
 
     # materialize the replicated inputs to parquet so probe timings measure
     # the operator, not the union fan-in

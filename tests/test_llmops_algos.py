@@ -228,6 +228,12 @@ def test_quantize_int8_null_semantics(spark):
     assert rows[1] == [0, 0, 0]
     assert rows[2][0] == 64 and rows[2][1] is None and rows[2][2] == -127
 
+    # degenerate: a zero vector WITH a NULL element — the NULL element
+    # stays NULL even in the zero-fill branch
+    df2 = spark.createDataFrame([(3, [0.0, None])], "id LONG, v ARRAY<DOUBLE>")
+    q3 = df2.select(quantize_int8(F.col("v")).alias("q")).collect()[0]["q"]
+    assert q3 == [0, None]
+
 
 def test_lsh_dim_mismatch_raises(spark):
     """A vector narrower than the plane dim must raise, not collapse every
@@ -254,6 +260,24 @@ def test_lsh_dim_mismatch_raises(spark):
     ).collect()
     assert len(ok) == 1 and ok[0]["b"] is not None
 
+    # a NULL vector is NOT a width mismatch: NULL signature, no crash,
+    # in both the inline-literal and broadcast-planes paths
+    dfn = spark.createDataFrame(
+        [(1, [1.0] * 8), (2, None)], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    sigs = {
+        r["vec_id"]: r["b"]
+        for r in dfn.select(
+            "vec_id", lsh_signature(F.col("embedding"), _hyperplanes(8, 4)).alias("b")
+        ).collect()
+    }
+    assert sigs[1] is not None and sigs[2] is None
+    via_join = {
+        r["vec_id"]: r["bucket"]
+        for r in signatures_via_join(dfn, [_hyperplanes(8, 4)]).collect()
+    }
+    assert via_join[1] == sigs[1] and via_join[2] is None
+
 
 def test_compression_ratio_null_text(spark):
     from ecommerce_etl_pipeline_spark.llmops.text import compression_ratio
@@ -277,11 +301,14 @@ def test_cosine_arrow_null_and_ragged(spark):
         [
             (1, [1.0, 0.0], [1.0, 0.0]),   # aligned -> 1.0
             (2, None, [1.0, 0.0]),          # NULL side -> NULL
-            (3, [1.0, 0.0], [1.0]),         # ragged -> NULL
+            (3, [1.0, 0.0], [1.0]),         # ragged pair -> NULL
             (4, [0.0, 0.0], [1.0, 0.0]),    # zero norm -> NaN (JVM parity)
+            # mixed widths ACROSS rows in one batch (each pair internally
+            # consistent) must vectorize per width group, not crash np.stack
+            (5, [1.0, 2.0, 2.0], [1.0, 2.0, 2.0]),
         ],
         "id LONG, a ARRAY<FLOAT>, b ARRAY<FLOAT>",
-    )
+    ).coalesce(1)  # one batch: forces the mixed-width case through together
     rows = {
         r["id"]: r["c"]
         for r in df.select("id", cosine_arrow("a", "b").alias("c")).collect()
@@ -289,6 +316,7 @@ def test_cosine_arrow_null_and_ragged(spark):
     assert rows[1] == pytest.approx(1.0)
     assert rows[2] is None and rows[3] is None
     assert rows[4] is not None and math.isnan(rows[4])
+    assert rows[5] == pytest.approx(1.0)
 
 
 def test_segment_hashes_windows(spark):

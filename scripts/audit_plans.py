@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Broadcast-safety audit over every registered query plan.
+
+Walks each query's physical plan (sparkPlan stage — BroadcastExchange
+nodes don't exist yet there, so the join nodes' buildSide is inspected
+directly) and flags any *Broadcast*Join whose BUILD subtree contains a
+scan of a fact/corpus-scaled table with no reducing operator (aggregate/
+limit) between scan and join. Each flag is either a scale bug (fix with a
+merge hint — see SCALING.md "Corpus-sized sides must never broadcast") or
+a provably bounded side to be added to the EXPECTED list below with its
+justification.
+
+The two plan-gate tests (tests/test_plans.py::test_corpus_self_joins_
+never_broadcast / test_fact_joins_never_broadcast) pin the known-critical
+plans; this audit is the per-round discovery pass that finds NEW ones.
+
+Usage: python scripts/audit_plans.py [sf_dir]
+Exit 1 if an unexpected flag appears.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from ecommerce_etl_pipeline_spark.session import get_spark  # noqa: E402
+
+BIG = ("lineitem", "orders", "events", "documents", "embeddings")
+REDUCERS = (
+    "HashAggregate",
+    "SortAggregate",
+    "ObjectHashAggregate",
+    "CollectLimit",
+    "TakeOrderedAndProject",
+    "GlobalLimit",
+    "LocalLimit",
+)
+
+#: query -> reason its remaining broadcast(s) are bounded, reviewed round 3.
+EXPECTED = {
+    "dd_embedding_neardup": "oracle-bounded id range (vec_id < 200)",
+    "dd_eval_decontam": "eval split postings — benchmark-sized by design",
+    "dd_incremental_dedup": "daily batch side — small by design",
+    "j11_bloom_pruned_join": "selective bloom build side (documented dynamic filter)",
+    "sim_cosine_topk": "query vectors (vec_id < 5)",
+    "sim_cosine_topk_arrow": "query vectors",
+    "sim_ivf_recall": "query vectors + probe-cell assignments (|q| x n_probe)",
+    "sim_ivf_topk": "probe-cell assignments (|q| x n_probe)",
+    "sim_lsh_recall": "query vectors + top-k outputs (|q| x k)",
+    "sim_lsh_topk": "query signatures",
+    "sim_quantized_topk": "query codes",
+    "sql_correlated_exists": "EXISTS legs merge-hinted; residual broadcasts are the dim side",
+    "u2_intersect_keys": "set-op rewrite drops hints (documented caveat on the query)",
+    "u3_except_keys": "set-op rewrite drops hints (documented caveat on the query)",
+}
+
+
+def children(node):
+    seq = node.children()
+    return [seq.apply(i) for i in range(seq.length())]
+
+
+def walk(node):
+    yield node
+    for c in children(node):
+        yield from walk(c)
+
+
+def big_unreduced_scans(node, reduced=False):
+    name = node.getClass().getSimpleName()
+    if name == "FileSourceScanExec" and not reduced:
+        desc = node.toString().split("\n")[0]
+        t = next((t for t in BIG if f"{t}.parquet" in desc), None)
+        if t:
+            yield t
+    r2 = reduced or any(name.startswith(x) for x in REDUCERS)
+    for c in children(node):
+        yield from big_unreduced_scans(c, r2)
+
+
+def main() -> int:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark(app_name="audit-plans")
+    spark.sparkContext.setLogLevel("ERROR")
+    import ecommerce_etl_pipeline_spark.plans  # noqa: F401
+    from ecommerce_etl_pipeline_spark.plans.registry import _REGISTRY
+
+    unexpected = []
+    for qname, spec in sorted(_REGISTRY.items()):
+        try:
+            plan = spec.fn(spark, sf)._jdf.queryExecution().sparkPlan()
+        except Exception as e:  # noqa: BLE001
+            print(f"ERR  {qname}: {str(e)[:100]}")
+            unexpected.append(qname)
+            continue
+        flags = []
+        for node in walk(plan):
+            nm = node.getClass().getSimpleName()
+            if "BroadcastHashJoin" in nm or "BroadcastNestedLoopJoin" in nm:
+                side = str(node.buildSide())
+                kids = children(node)
+                build = kids[0] if "BuildLeft" in side else kids[1]
+                flags.extend(big_unreduced_scans(build))
+        if flags:
+            status = "ok  " if qname in EXPECTED else "FLAG"
+            why = EXPECTED.get(qname, "NOT IN EXPECTED LIST — scale bug or new bounded side")
+            print(f"{status} {qname}: broadcasts {sorted(set(flags))} — {why}")
+            if qname not in EXPECTED:
+                unexpected.append(qname)
+    print(f"\n{len(unexpected)} unexpected; expected-list size {len(EXPECTED)}")
+    return 1 if unexpected else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -141,10 +141,12 @@ def minhash_candidate_pairs(
     # banded is read by both join sides; caching stops the 64-hash
     # signature fold from running twice.
     banded = banded.cache()
-    # corpus-sized self-join: force a shuffle join (see
-    # jaccard_similarity_join for the broadcast anti-pattern this avoids)
+    # corpus-sized self-join: unhinted — banded is CACHED, so the optimizer
+    # sees its exact materialized size and broadcasts only while the band
+    # table genuinely fits, flipping to a shuffle join as the corpus grows
+    # (see jaccard_similarity_join's JOIN STRATEGY note)
     left = banded.alias("l")
-    right = banded.hint("merge").alias("r")
+    right = banded.alias("r")
     cand = (
         left.join(
             right,
@@ -157,16 +159,16 @@ def minhash_candidate_pairs(
     )
 
     # Verify only the candidates: join the hash sets back per side (the
-    # candidate set is duplicate-density-sized, not corpus-sized).
-    # corpus-sized array tables: shuffle-join them against the (duplicate-
-    # density-sized) candidate set — broadcasting h1/h2 would ship every
-    # document's shingle array to every task (same anti-pattern as above)
+    # candidate set is duplicate-density-sized, not corpus-sized). The
+    # hash-table sides are corpus-sized array rows; unhinted for the same
+    # stats-honesty reason as the band join — at scale these become shuffle
+    # joins whose exchanges carry the candidate set, not the corpus.
     h1 = hashes_df.select(
         F.col("doc_id").alias("doc1"), F.col("hashes").alias("h1")
-    ).hint("merge")
+    )
     h2 = hashes_df.select(
         F.col("doc_id").alias("doc2"), F.col("hashes").alias("h2")
-    ).hint("merge")
+    )
     verified = cand.join(h1, "doc1").join(h2, "doc2")
     inter = F.size(F.array_intersect("h1", "h2")).cast("double")
     union = (F.size("h1") + F.size("h2") - inter).cast("double")
@@ -229,13 +231,13 @@ def winnow_overlap_pairs(
     rare = inv.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") <= max_df
     )
-    # rare is fingerprint-vocabulary-sized (corpus-scaled, not dim-sized):
-    # shuffle-join it on fp so the df-pass partitioning is genuinely reused
-    # instead of broadcasting the vocabulary to every task
-    kept = inv.join(rare.select("fp").hint("merge"), "fp")
-    # corpus-sized self-join: force a shuffle join (see
-    # jaccard_similarity_join for the broadcast anti-pattern this avoids)
-    l, r = kept.alias("l"), kept.hint("merge").alias("r")
+    # rare is fingerprint-vocabulary-sized (corpus-scaled): no join hint —
+    # its size estimate derives from the scan, so the optimizer broadcasts
+    # only while the vocabulary genuinely fits and flips to a shuffle join
+    # (reusing the df-pass fp partitioning) as the corpus grows; see
+    # jaccard_similarity_join for the full strategy note.
+    kept = inv.join(rare.select("fp"), "fp")
+    l, r = kept.alias("l"), kept.alias("r")
     pairs = (
         l.join(
             r,
@@ -297,9 +299,9 @@ def cross_split_contamination(
         shingle_col.alias("hashes"),
     ).withColumn("set_size", F.size("hashes"))
     inv = sets.select("doc_id", "split", "set_size", F.explode("hashes").alias("h"))
-    # corpus-sized self-join: force a shuffle join (see
-    # jaccard_similarity_join for the broadcast anti-pattern this avoids)
-    l, r = inv.alias("l"), inv.hint("merge").alias("r")
+    # corpus-sized self-join: unhinted — see jaccard_similarity_join for
+    # why size statistics pick the scale-correct strategy on their own
+    l, r = inv.alias("l"), inv.alias("r")
     thr = F.lit(threshold)
     inter = (
         l.join(
@@ -490,9 +492,9 @@ def simhash_near_pairs(
             )
         ).alias("cv"),
     ).select("doc_id", "sh", "cv.chunk", "cv.chunk_val")
-    # corpus-sized self-join: force a shuffle join (see
-    # jaccard_similarity_join for the broadcast anti-pattern this avoids)
-    l, r = chunks.alias("l"), chunks.hint("merge").alias("r")
+    # corpus-sized self-join: unhinted — see jaccard_similarity_join for
+    # why size statistics pick the scale-correct strategy on their own
+    l, r = chunks.alias("l"), chunks.alias("r")
     cand = (
         l.join(
             r,
@@ -560,16 +562,24 @@ def jaccard_similarity_join(
         shingle_col.alias("hashes"),
     ).withColumn("set_size", F.size("hashes"))
     inv = sets.select("doc_id", "set_size", F.explode("hashes").alias("h"))
-    # merge hint: BOTH sides of this self-join are corpus-sized, so a
-    # size-estimate-driven broadcast (which the optimizer picks at small SF —
-    # observed BuildRight of the whole exploded index) is the anti-scale
-    # plan: it ships the corpus to every task AND runs the shingle lineage
-    # twice. SMJ partitions both sides on h with no per-task hash build
-    # (a shuffled-hash join would build an in-memory map over corpus/N
-    # rows per task — the executor-OOM shape at 100 TB; SMJ sorts and
-    # streams, and AQE skew-split still applies). Measured equal at sf0.1
-    # and plan-shape-safe at any SF.
-    l, r = inv.alias("l"), inv.hint("merge").alias("r")
+    # JOIN STRATEGY (all dedup self-joins): UNHINTED, on purpose. Both
+    # sides are corpus-sized, and the scale-correct plan differs by scale:
+    # at small corpus sizes a broadcast build genuinely fits and wins; at
+    # 100 TB only a shuffle join survives. Catalyst's size estimate for
+    # this side is scan-proportional (filters/explodes apply multiplicative
+    # factors to the parquet scan size), so it crosses the broadcast
+    # threshold exactly when the data does, and AQE re-checks against
+    # MEASURED shuffle sizes at runtime — the optimizer flips to
+    # SortMergeJoin with skew-split on its own (verified by the 10x plan
+    # flip in scripts/scale_probe.py). Pinning merge here forces the
+    # 100 TB physical plan onto kB-sized local exchanges: measured +10-20%
+    # on the sf0.1 headline with zero scale benefit. What we DO enforce
+    # (tests/test_plans.py, scripts/audit_plans.py): no EXPLICIT
+    # F.broadcast()/hint ever forces a corpus-scaled side — with
+    # autoBroadcastJoinThreshold=-1 these plans contain no broadcast at
+    # all, proving every broadcast that does appear is stats-driven and
+    # therefore scale-honest.
+    l, r = inv.alias("l"), inv.alias("r")
     thr = F.lit(threshold)
     inter = (
         l.join(

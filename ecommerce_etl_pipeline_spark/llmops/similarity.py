@@ -367,13 +367,13 @@ def lsh_topk_multi(
     )
     scored = (
         cand.join(
-            # corpus-sized vector table: merge-join against the (bounded)
-            # candidate set — a size-estimate broadcast here would ship every
-            # corpus vector to every task, and a shuffled-hash build over
-            # the corpus side risks per-task OOM; SMJ streams both sides
+            # corpus-sized vector table, unhinted: its size estimate is
+            # scan-proportional, so the optimizer broadcasts only while the
+            # vectors genuinely fit and flips to a shuffle join at scale
+            # (see dedup.jaccard_similarity_join's JOIN STRATEGY note)
             corpus.select(
                 F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec")
-            ).hint("merge"),
+            ),
             "neighbor_id",
         )
         .join(F.broadcast(q_vec), "query_id")

@@ -48,7 +48,7 @@ def sql_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register_views(spark, sf_dir, "customer", "orders", "lineitem")
     return spark.sql(
         f"""
-        SELECT /*+ MERGE(o), MERGE(l) */
+        SELECT
                l.l_orderkey, CAST(o.o_orderdate AS DATE) AS order_date,
                {sql_round("CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))"
                           " * (1 - CAST(l.l_discount AS DECIMAL(9,2)))) AS DOUBLE)", 2)}
@@ -87,7 +87,7 @@ def sql_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register_views(spark, sf_dir, "region", "nation", "customer", "orders", "lineitem")
     return spark.sql(
         f"""
-        SELECT /*+ MERGE(o), MERGE(l) */
+        SELECT
                n.n_name AS nation_name,
                {sql_round("CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))"
                           " * (1 - CAST(l.l_discount AS DECIMAL(9,2)))) AS DOUBLE)", 2)}
@@ -328,10 +328,10 @@ def sql_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT c.c_custkey, c.c_name
         FROM customer c
-        WHERE EXISTS (SELECT /*+ MERGE(o) */ 1 FROM orders o
+        WHERE EXISTS (SELECT 1 FROM orders o
                       WHERE o.o_custkey = c.c_custkey
                         AND o.o_totalprice > 450000)
-          AND NOT EXISTS (SELECT /*+ MERGE(o2) */ 1 FROM orders o2
+          AND NOT EXISTS (SELECT 1 FROM orders o2
                           WHERE o2.o_custkey = c.c_custkey
                             AND o2.o_orderstatus = 'F')
         """

@@ -40,11 +40,14 @@ from ecommerce_etl_pipeline_spark.sources.io import load_table
 )
 def j1_order_lineitem_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    # merge hint: BOTH sides are facts that scale with the data; at small SF
-    # the optimizer's size estimate puts orders under the broadcast threshold
-    # and silently broadcasts a fact table — fine locally, dead at 100 TB.
-    # The hint pins the partition-honest SMJ the docstring promises.
-    orders = load_table(spark, sf_dir, "orders").hint("merge")
+    # fact-fact join, unhinted: both sides' size estimates are
+    # scan-proportional, so the optimizer broadcasts orders only while it
+    # genuinely fits and flips to the partition-honest SMJ as the data
+    # grows (AQE re-checks against measured shuffle sizes). The enforced
+    # invariant is no EXPLICIT broadcast of a fact side — with
+    # autoBroadcastJoinThreshold=-1 this plan contains no broadcast at all
+    # (tests/test_plans.py::test_no_forced_broadcast_of_scaling_sides).
+    orders = load_table(spark, sf_dir, "orders")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey, "inner")
         .groupBy("o_orderstatus")
@@ -221,10 +224,12 @@ def j6_semi_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(cust.select("c_custkey")), orders.o_custkey == F.col("c_custkey"), "left_semi"
     )
     # the surviving-orders key set is FACT-scaled (a segment's share of all
-    # orders), not dim-sized — broadcasting it dies at scale; shuffle semi
-    # join, with j11's bloom prune as the scan-side accelerator when needed
+    # orders), not dim-sized — never EXPLICITLY broadcast it (that dies at
+    # scale); unhinted, the optimizer broadcasts only while the key set's
+    # scan-proportional estimate fits, with j11's bloom prune as the
+    # scan-side accelerator when needed
     li_b = li.join(
-        orders_b.select("o_orderkey").hint("merge"),
+        orders_b.select("o_orderkey"),
         li.l_orderkey == F.col("o_orderkey"),
         "left_semi",
     )
@@ -247,10 +252,10 @@ def j6_semi_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
 def j8_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
-    # the anti side is the full fact key column — shuffle it (a small-SF
-    # size estimate would otherwise broadcast a fact table)
+    # the anti side is the full fact key column — unhinted (see j1: the
+    # scan-proportional estimate flips it to a shuffle anti join at scale)
     return cust.join(
-        orders.select("o_custkey").hint("merge"),
+        orders.select("o_custkey"),
         cust.c_custkey == F.col("o_custkey"),
         "left_anti",
     ).select("c_custkey", "c_name", "c_mktsegment")

@@ -121,9 +121,9 @@ def n2_hof_array_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "path; the oracle states the equivalent relational answer.",
 )
 def n3_build_explode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # fact-fact join: hint merge so a small-SF size estimate can't broadcast
-    # the orders fact (see j1)
-    orders = load_table(spark, sf_dir, "orders").hint("merge")
+    # fact-fact join, unhinted (see j1: scan-proportional estimates flip
+    # the strategy to SMJ exactly when the data outgrows a broadcast)
+    orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     nested = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)

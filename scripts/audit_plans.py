@@ -1,18 +1,26 @@
 #!/usr/bin/env python
-"""Broadcast-safety audit over every registered query plan.
+"""Forced-broadcast audit over every registered query plan.
 
-Walks each query's physical plan (sparkPlan stage — BroadcastExchange
-nodes don't exist yet there, so the join nodes' buildSide is inspected
-directly) and flags any *Broadcast*Join whose BUILD subtree contains a
-scan of a fact/corpus-scaled table with no reducing operator (aggregate/
-limit) between scan and join. Each flag is either a scale bug (fix with a
-merge hint — see SCALING.md "Corpus-sized sides must never broadcast") or
-a provably bounded side to be added to the EXPECTED list below with its
-justification.
+Doctrine (SCALING.md "Join strategy on scaling sides"): joins whose sides
+scale with the data are left UNHINTED — Catalyst's scan-proportional size
+estimates plus AQE's measured-size re-planning flip them from broadcast to
+shuffle exactly when the data outgrows the threshold. A stats-driven
+broadcast is therefore scale-honest by construction; the only scale bug in
+this class is a broadcast the statistics did NOT choose — an explicit
+F.broadcast()/hint on a side that grows with the corpus, which would
+survive any data size.
 
-The two plan-gate tests (tests/test_plans.py::test_corpus_self_joins_
-never_broadcast / test_fact_joins_never_broadcast) pin the known-critical
-plans; this audit is the per-round discovery pass that finds NEW ones.
+The audit isolates exactly those: it re-plans every registered query with
+``spark.sql.autoBroadcastJoinThreshold=-1`` (disables every stats-driven
+broadcast; only forced ones remain) and flags any surviving *Broadcast*Join
+whose BUILD subtree contains a scan of a fact/corpus-scaled table with no
+reducing operator (aggregate/limit) between scan and join. Each flag is
+either a scale bug (remove the forced broadcast) or a provably bounded
+side to be added to the EXPECTED list below with its justification.
+
+tests/test_plans.py::test_no_forced_broadcast_of_scaling_sides pins the
+known-critical plans; this audit is the per-round discovery pass that
+finds NEW ones.
 
 Usage: python scripts/audit_plans.py [sf_dir]
 Exit 1 if an unexpected flag appears.
@@ -38,7 +46,9 @@ REDUCERS = (
     "LocalLimit",
 )
 
-#: query -> reason its remaining broadcast(s) are bounded, reviewed round 3.
+#: query -> reason its remaining FORCED broadcast(s) are bounded.
+#: Reviewed round 3 under threshold=-1: every entry is an explicit
+#: F.broadcast() of a side that is bounded by construction, not by SF.
 EXPECTED = {
     "dd_embedding_neardup": "oracle-bounded id range (vec_id < 200)",
     "dd_eval_decontam": "eval split postings — benchmark-sized by design",
@@ -51,9 +61,6 @@ EXPECTED = {
     "sim_lsh_recall": "query vectors + top-k outputs (|q| x k)",
     "sim_lsh_topk": "query signatures",
     "sim_quantized_topk": "query codes",
-    "sql_correlated_exists": "EXISTS legs merge-hinted; residual broadcasts are the dim side",
-    "u2_intersect_keys": "set-op rewrite drops hints (documented caveat on the query)",
-    "u3_except_keys": "set-op rewrite drops hints (documented caveat on the query)",
 }
 
 
@@ -84,6 +91,9 @@ def main() -> int:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = get_spark(app_name="audit-plans")
     spark.sparkContext.setLogLevel("ERROR")
+    # kill every stats-driven broadcast so only explicitly forced ones
+    # remain in the static plan — those are what the audit is hunting
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     import ecommerce_etl_pipeline_spark.plans  # noqa: F401
     from ecommerce_etl_pipeline_spark.plans.registry import _REGISTRY
 
@@ -106,7 +116,7 @@ def main() -> int:
         if flags:
             status = "ok  " if qname in EXPECTED else "FLAG"
             why = EXPECTED.get(qname, "NOT IN EXPECTED LIST — scale bug or new bounded side")
-            print(f"{status} {qname}: broadcasts {sorted(set(flags))} — {why}")
+            print(f"{status} {qname}: forced broadcasts {sorted(set(flags))} — {why}")
             if qname not in EXPECTED:
                 unexpected.append(qname)
     print(f"\n{len(unexpected)} unexpected; expected-list size {len(EXPECTED)}")

@@ -224,40 +224,51 @@ def test_salted_aggregate_two_phase_shape(spark):
     assert plan.count("HashAggregate") >= 4  # partial+final for each phase
 
 
-def test_corpus_self_joins_never_broadcast(spark):
-    """The candidate self-joins in every dedup modality have CORPUS-sized
-    sides; a size-estimate-driven broadcast (observed at small SF before the
-    shuffle_hash hints) ships the corpus to every task — the plan that dies
-    first at 100 TB. Gate: shuffle join, no BroadcastHashJoin anywhere in
-    the candidate-pair plans."""
-    for name in (
-        "dd_jaccard_pairs",
-        "dd_minhash_pairs",
-        "dd_simhash_pairs",
-        "dd_winnow_overlap_pairs",
-        "dd_contamination_report",
-    ):
-        plan = plan_of(spark, name)
-        assert "BroadcastHashJoin" not in plan, name
-        assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan, name
+def test_no_forced_broadcast_of_scaling_sides(spark):
+    """Scale-honesty gate for join strategies on corpus/fact-scaled sides.
 
+    Doctrine (see dedup.jaccard_similarity_join's JOIN STRATEGY note): these
+    joins are UNHINTED because Catalyst's size estimates are scan-
+    proportional — stats-driven broadcasts flip to shuffle joins exactly
+    when the data outgrows the threshold, and AQE re-checks against
+    measured shuffle sizes at runtime. What must therefore NEVER appear is
+    a broadcast the statistics didn't choose: an explicit F.broadcast()/
+    hint on a side that scales with the data would survive any corpus size.
 
-def test_fact_joins_never_broadcast(spark):
-    """Fact-fact joins (both sides scale with the data) must shuffle, not
-    broadcast: at small SF the optimizer's estimates sit under the broadcast
-    threshold and silently broadcast orders/lineitem — fine locally, dead at
-    100 TB. merge hints pin the partition-honest plan; dims (region/nation/
-    customer/part) still broadcast where present."""
-    for name, n_smj in (
-        ("j1_order_lineitem_join", 1),
-        ("j6_semi_cascade", 1),       # lineitem ⋉ surviving-orders keys
-        ("j8_customers_without_orders", 1),
-        ("n3_build_explode_roundtrip", 1),
-        ("sql_top_revenue_orders", 2),  # orders⋈customer-side, lineitem
-        ("sql_nation_revenue", 2),
-        ("sql_correlated_exists", 2),   # EXISTS + NOT EXISTS legs
-    ):
-        plan = plan_of(spark, name)
-        assert plan.count("SortMergeJoin") >= n_smj, name
-    # and the pure fact-fact join has no broadcast at all
-    assert "BroadcastHashJoin" not in plan_of(spark, "j1_order_lineitem_join")
+    The check: re-plan with autoBroadcastJoinThreshold=-1 (disables every
+    stats-driven broadcast; only FORCED broadcasts remain) and assert each
+    plan contains exactly its documented count of explicitly-bounded
+    broadcasts — zero for the pure fact/corpus joins, one for j6's
+    dim-sized customer-key set."""
+    expected_forced = {
+        # dedup candidate generation: no forced broadcasts anywhere
+        "dd_jaccard_pairs": 0,
+        "dd_minhash_pairs": 0,
+        "dd_simhash_pairs": 0,
+        "dd_winnow_overlap_pairs": 0,
+        "dd_contamination_report": 0,
+        # classic fact-fact joins
+        "j1_order_lineitem_join": 0,
+        "j8_customers_without_orders": 0,
+        "n3_build_explode_roundtrip": 0,
+        "sql_top_revenue_orders": 0,
+        "sql_nation_revenue": 0,
+        "sql_correlated_exists": 0,
+        # j6 explicitly broadcasts the segment's customer keys (dim-sized)
+        "j6_semi_cascade": 1,
+    }
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name, n_forced in expected_forced.items():
+            # simple mode: one tree line per node (formatted mode repeats
+            # each node name in the detail section, double-counting)
+            plan = plan_of(spark, name, mode="simple")
+            got = plan.count("BroadcastHashJoin") + plan.count(
+                "BroadcastNestedLoopJoin"
+            )
+            assert got == n_forced, (name, got, n_forced)
+            # and with broadcasts off, the join still has a distributed form
+            assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, name
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

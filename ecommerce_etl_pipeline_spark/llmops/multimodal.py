@@ -7,11 +7,13 @@ compute-heavy steps (decode, feature-extract, resize, frame-sample) are
 Arrow-batched pandas functions over ``mapInPandas`` so bytes move
 column-wise, not row-wise.
 
-Decoding is REAL for the two dependency-free containers implemented here
-with the stdlib only: PPM (P6) images and RIFF/WAVE 16-bit PCM audio —
-``decode_ppm`` / ``decode_wav`` parse actual headers and payload bytes, and
-``decode_features`` sniffs the container from magic bytes and emits exact
-integer pixel/sample statistics (byte-checkable against an oracle).
+Decoding is REAL for the three dependency-free containers implemented here
+with the stdlib only: PPM (P6) and PNG (8-bit RGB, zlib-inflated, all five
+scanline filters, CRC-verified) images and RIFF/WAVE 16-bit PCM audio —
+``decode_ppm`` / ``decode_png`` / ``decode_wav`` parse actual headers and
+payload bytes, and ``decode_features`` sniffs the container from magic
+bytes and emits exact integer pixel/sample statistics (byte-checkable
+against an oracle).
 Codec-library formats (JPEG/MP4/...) remain gated behind
 ``require_codecs()``; the deterministic fake extractor is kept for
 plumbing-only tests.
@@ -158,6 +160,165 @@ def decode_wav(b: bytes) -> tuple[int, tuple[int, ...]]:
     return rate, struct.unpack(f"<{n}h", data[: 2 * n])
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor (PNG spec 9.4): pick the neighbor (left, up,
+    up-left) closest to the linear estimate a + b - c."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_chunk(cid: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + cid
+        + body
+        + struct.pack(">I", zlib.crc32(cid + body))
+    )
+
+
+def encode_png(width: int, height: int, pixels: bytes, *, filter_type: int = 0) -> bytes:
+    """Minimal-but-real 8-bit RGB PNG encode: signature + IHDR + one
+    zlib-compressed IDAT + IEND, CRCs included. ``filter_type`` (0=None,
+    1=Sub, 2=Up, 3=Average, 4=Paeth) is applied to EVERY scanline so the
+    decoder's five unfilter paths can all be exercised with real streams.
+    ``pixels`` must be exactly ``3*width*height`` RGB-interleaved bytes."""
+    import zlib
+
+    if len(pixels) != 3 * width * height:
+        raise ValueError(f"expected {3 * width * height} pixel bytes, got {len(pixels)}")
+    if filter_type not in range(5):
+        raise ValueError(f"bad filter type {filter_type}")
+    stride = 3 * width
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        row = pixels[y * stride : (y + 1) * stride]
+        raw.append(filter_type)
+        if filter_type == 0:
+            raw += row
+        elif filter_type == 1:
+            raw += bytes(
+                (row[i] - (row[i - 3] if i >= 3 else 0)) & 0xFF for i in range(stride)
+            )
+        elif filter_type == 2:
+            raw += bytes((row[i] - prev[i]) & 0xFF for i in range(stride))
+        elif filter_type == 3:
+            raw += bytes(
+                (row[i] - ((row[i - 3] if i >= 3 else 0) + prev[i]) // 2) & 0xFF
+                for i in range(stride)
+            )
+        else:
+            raw += bytes(
+                (
+                    row[i]
+                    - _paeth(
+                        row[i - 3] if i >= 3 else 0,
+                        prev[i],
+                        prev[i - 3] if i >= 3 else 0,
+                    )
+                )
+                & 0xFF
+                for i in range(stride)
+            )
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(b: bytes) -> tuple[int, int, bytes]:
+    """Parse an 8-bit RGB PNG: verify signature and per-chunk CRCs, walk
+    the chunk list (IHDR first, IDATs concatenated, IEND terminates),
+    inflate, and reverse the per-scanline filter (all five types).
+    Returns (width, height, RGB raster bytes). Raises ValueError on
+    malformed input — bad signature/CRC, truncation, non-RGB8 or
+    interlaced images, wrong raster size."""
+    import zlib
+
+    if b[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, ihdr, idat, ended = 8, None, bytearray(), False
+    while pos + 8 <= len(b):
+        (length,) = struct.unpack(">I", b[pos : pos + 4])
+        cid = b[pos + 4 : pos + 8]
+        body = b[pos + 8 : pos + 8 + length]
+        if len(body) != length or pos + 12 + length > len(b):
+            raise ValueError(f"truncated {cid!r} chunk")
+        (crc,) = struct.unpack(">I", b[pos + 8 + length : pos + 12 + length])
+        if crc != zlib.crc32(cid + body):
+            raise ValueError(f"CRC mismatch in {cid!r} chunk")
+        if cid == b"IHDR":
+            ihdr = body
+        elif cid == b"IDAT":
+            idat += body
+        elif cid == b"IEND":
+            ended = True
+            break
+        pos += 12 + length
+    if ihdr is None or not idat or not ended:
+        raise ValueError("missing IHDR/IDAT/IEND chunk")
+    if len(ihdr) != 13:
+        raise ValueError(f"bad IHDR length {len(ihdr)}")
+    width, height, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if (depth, color, comp, filt, interlace) != (8, 2, 0, 0, 0):
+        raise ValueError(
+            f"unsupported PNG: depth={depth} color={color} interlace={interlace}"
+        )
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"bad IDAT stream: {e}") from e
+    stride = 3 * width
+    if len(raw) != height * (stride + 1):
+        raise ValueError(f"raster size {len(raw)} != {height * (stride + 1)}")
+    out = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        ft = raw[y * (stride + 1)]
+        line = raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
+        recon = bytearray(stride)
+        if ft == 0:
+            recon[:] = line
+        elif ft == 1:
+            for i in range(stride):
+                recon[i] = (line[i] + (recon[i - 3] if i >= 3 else 0)) & 0xFF
+        elif ft == 2:
+            for i in range(stride):
+                recon[i] = (line[i] + prev[i]) & 0xFF
+        elif ft == 3:
+            for i in range(stride):
+                recon[i] = (line[i] + ((recon[i - 3] if i >= 3 else 0) + prev[i]) // 2) & 0xFF
+        elif ft == 4:
+            for i in range(stride):
+                recon[i] = (
+                    line[i]
+                    + _paeth(
+                        recon[i - 3] if i >= 3 else 0,
+                        prev[i],
+                        prev[i - 3] if i >= 3 else 0,
+                    )
+                ) & 0xFF
+        else:
+            raise ValueError(f"bad scanline filter {ft}")
+        out += recon
+        prev = bytes(recon)
+    return width, height, bytes(out)
+
+
 # Fixture contract for synthesize_media_assets: payloads are pure functions
 # of doc_id so an oracle can recompute the decoded statistics in closed form.
 #   doc_id even -> PPM image, w = 8 + doc_id%8, h = 6 + doc_id%6,
@@ -191,6 +352,40 @@ def synthesize_media_assets(docs: DataFrame) -> DataFrame:
                     payload, mtype = encode_wav(samples), "audio"
                 out["asset_id"].append(did)
                 out["media_type"].append(mtype)
+                out["payload"].append(payload)
+                out["n_bytes"].append(len(payload))
+                out["source"].append(source)
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id", "source").mapInPandas(batches, ASSET_SCHEMA)
+
+
+# Fixture contract for synthesize_png_assets: every doc becomes a PNG with
+# the SAME pixel formula as the PPM contract (w = 8 + doc_id%8,
+# h = 6 + doc_id%6, raster byte i = (doc_id*7 + i*13) % 256) but encoded
+# with scanline filter doc_id % 5 — so one corpus exercises all five
+# filter paths, and decoded pixel statistics stay closed-form computable
+# (n_bytes is NOT: it depends on zlib, so PNG queries must not expose it).
+def synthesize_png_assets(docs: DataFrame) -> DataFrame:
+    """Real PNG asset table: deterministic RGB rasters compressed through
+    zlib with per-doc scanline filters. See the fixture contract above."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "asset_id": [],
+                "media_type": [],
+                "payload": [],
+                "n_bytes": [],
+                "source": [],
+            }
+            for did, source in zip(pdf["doc_id"], pdf["source"]):
+                did = int(did)
+                w, h = 8 + did % 8, 6 + did % 6
+                pixels = bytes((did * 7 + i * 13) % 256 for i in range(3 * w * h))
+                payload = encode_png(w, h, pixels, filter_type=did % 5)
+                out["asset_id"].append(did)
+                out["media_type"].append("image")
                 out["payload"].append(payload)
                 out["n_bytes"].append(len(payload))
                 out["source"].append(source)
@@ -237,8 +432,8 @@ def decode_features(assets: DataFrame) -> DataFrame:
                 b = bytes(payload)
                 r = {f.name: None for f in DECODED_SCHEMA.fields}
                 r.update(asset_id=int(aid), media_type=mtype, n_bytes=len(b))
-                if b[:2] == b"P6":
-                    w, h, data = decode_ppm(b)
+                if b[:2] == b"P6" or b[:8] == _PNG_SIG:
+                    w, h, data = (decode_ppm if b[:2] == b"P6" else decode_png)(b)
                     r.update(
                         width=w,
                         height=h,

@@ -732,6 +732,45 @@ def mm_asset_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_features(assets)
 
 
+@register(
+    "mm_png_decode",
+    oracle="""
+    WITH img AS (
+        SELECT doc_id, 8 + doc_id % 8 AS w, 6 + doc_id % 6 AS h
+        FROM documents
+    ),
+    img_bytes AS (
+        SELECT doc_id, w, h, unnest(range(0, 3 * w * h)) AS i FROM img
+    )
+    SELECT doc_id AS asset_id,
+           CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           CAST(SUM(CASE WHEN i % 3 = 0 THEN (doc_id * 7 + i * 13) % 256 END)
+                AS BIGINT) AS sum_r,
+           CAST(SUM(CASE WHEN i % 3 = 1 THEN (doc_id * 7 + i * 13) % 256 END)
+                AS BIGINT) AS sum_g,
+           CAST(SUM(CASE WHEN i % 3 = 2 THEN (doc_id * 7 + i * 13) % 256 END)
+                AS BIGINT) AS sum_b
+    FROM img_bytes GROUP BY doc_id, w, h
+    """,
+    doc="REAL PNG decode: every document becomes an 8-bit RGB PNG "
+    "(stdlib zlib deflate, scanline filter doc_id % 5 — one corpus "
+    "exercises None/Sub/Up/Average/Paeth), then decode_features sniffs "
+    "the signature, verifies chunk CRCs, inflates, reverses the filters, "
+    "and emits exact per-channel pixel sums "
+    "(llmops/multimodal.py::decode_png). The oracle recomputes the "
+    "statistics in closed form from the fixture contract, so any "
+    "unfilter/inflate mis-step hash-mismatches. n_bytes is deliberately "
+    "not exposed: it depends on zlib's compressed size, which has no "
+    "closed form. Scale shape: scan-side only, no shuffle.",
+)
+def mm_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    assets = multimodal.synthesize_png_assets(docs)
+    return multimodal.decode_features(assets).select(
+        "asset_id", "width", "height", "sum_r", "sum_g", "sum_b"
+    )
+
+
 _COS_SQL = (
     "list_sum(list_transform(generate_series(1, len(a.embedding)), "
     "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) "

@@ -94,3 +94,72 @@ def test_decode_features_raises_on_unknown_container(spark):
     )
     with pytest.raises(Exception, match="unknown container"):
         mm.decode_features(bad).collect()
+
+
+def test_png_round_trip_all_filters():
+    import random
+
+    rng = random.Random(7)
+    for ft in range(5):
+        for w, h in [(1, 1), (8, 6), (15, 11), (3, 7)]:
+            px = bytes(rng.randrange(256) for _ in range(3 * w * h))
+            b = mm.encode_png(w, h, px, filter_type=ft)
+            assert b.startswith(mm._PNG_SIG)
+            assert mm.decode_png(b) == (w, h, px)
+
+
+def test_png_malformed_rejection():
+    good = mm.encode_png(4, 3, bytes(range(36)))
+    with pytest.raises(ValueError):
+        mm.decode_png(b"nope" + good[4:])  # bad signature
+    with pytest.raises(ValueError):
+        mm.decode_png(good[:-5])  # truncated IEND
+    # flip one IHDR body byte: CRC must catch it
+    bad_crc = good[:18] + bytes([good[18] ^ 1]) + good[19:]
+    with pytest.raises(ValueError, match="CRC"):
+        mm.decode_png(bad_crc)
+    # grayscale color type is unsupported (rebuild IHDR with valid CRC)
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", 4, 3, 8, 0, 0, 0, 0)
+    gray = (
+        mm._PNG_SIG
+        + mm._png_chunk(b"IHDR", ihdr)
+        + mm._png_chunk(b"IDAT", zlib.compress(b"\x00" * (3 * (4 + 1))))
+        + mm._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="unsupported"):
+        mm.decode_png(gray)
+
+
+def test_png_fuzz_only_value_error():
+    import random
+
+    rng = random.Random(99)
+    sig = mm._PNG_SIG
+    for _ in range(500):
+        n = rng.randrange(0, 120)
+        blob = bytes(rng.randrange(256) for _ in range(n))
+        if rng.random() < 0.5:
+            blob = sig + blob  # force the chunk walker to engage
+        try:
+            mm.decode_png(blob)
+        except ValueError:
+            pass
+
+
+def test_png_decode_features_matches_local_decode(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    assets = mm.synthesize_png_assets(docs)
+    feats = {r["asset_id"]: r for r in mm.decode_features(assets).collect()}
+    payloads = {r["asset_id"]: bytes(r["payload"]) for r in assets.collect()}
+    assert len(feats) == 20
+    for aid, b in payloads.items():
+        w, h, data = mm.decode_png(b)
+        r = feats[aid]
+        assert (r["width"], r["height"]) == (w, h) == (8 + aid % 8, 6 + aid % 6)
+        assert r["sum_r"] == sum(data[0::3])
+        assert r["sum_g"] == sum(data[1::3])
+        assert r["sum_b"] == sum(data[2::3])
+        assert r["n_samples"] is None

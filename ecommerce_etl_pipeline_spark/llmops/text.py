@@ -40,6 +40,35 @@ def token_length_sum(text: Column) -> Column:
     )
 
 
+def chunk_structs(text: Column, size: int = 32, overlap: int = 8) -> Column:
+    """Fixed-size token chunks with overlap — the RAG/context-window
+    chunking every retrieval and pretraining pipeline needs. Chunk ``i``
+    covers tokens ``[i*stride, i*stride + size)`` with
+    ``stride = size - overlap``; the final chunk may be short, and a
+    document shorter than ``size`` yields exactly one chunk. Returns
+    ``array<struct<chunk_index int, chunk_text string,
+    n_chunk_tokens int>>`` — a narrow per-row transform (explode
+    downstream; no shuffle anywhere), so chunking 100 TB is scan-side
+    work whose output is ~``n/stride`` rows per document.
+    """
+    if not 0 <= overlap < size:
+        raise ValueError(f"need 0 <= overlap < size, got size={size} overlap={overlap}")
+    stride = size - overlap
+    t = tokens(text)
+    n = F.size(t)
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("int")
+    )
+    return F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_index"),
+            F.concat_ws(" ", F.slice(t, i * stride + 1, size)).alias("chunk_text"),
+            F.least(F.lit(size), n - i * stride).cast("int").alias("n_chunk_tokens"),
+        ),
+    )
+
+
 def stopword_hits(text: Column, lang: str) -> Column:
     """Count of tokens in the ``lang`` stopword list."""
     stops = STOPWORDS[lang]

@@ -771,6 +771,80 @@ def mm_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "txt_chunk_overlap",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, toks, n,
+               unnest(range(0, GREATEST(1,
+                   CAST(ceil((n - 8) / 24.0) AS BIGINT)))) AS i
+        FROM t
+    )
+    SELECT doc_id, CAST(i AS INTEGER) AS chunk_index,
+           array_to_string(toks[i * 24 + 1 : i * 24 + 32], ' ') AS chunk_text,
+           CAST(LEAST(32, n - i * 24) AS INTEGER) AS n_chunk_tokens
+    FROM c
+    """,
+    doc="RAG/context-window chunking (llmops/text.py::chunk_structs): "
+    "fixed 32-token chunks with 8-token overlap (stride 24), final chunk "
+    "short, sub-size documents yield one chunk. Narrow transform + "
+    "explode — scan-side only, no shuffle; output is ~n/stride rows per "
+    "document at any corpus size.",
+)
+def txt_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.explode(text.chunk_structs(F.col("text"))).alias("c")
+    ).select("doc_id", "c.chunk_index", "c.chunk_text", "c.n_chunk_tokens")
+
+
+@register(
+    "txt_shard_manifest",
+    oracle=f"""
+    WITH sharded AS (
+        SELECT doc_id, source,
+               len(string_split(text, ' ')) AS n_tokens,
+               {splits.sql_hash_uint32("doc_id", "shard:v1")} % 16 AS shard
+        FROM documents
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           MIN(doc_id) AS min_doc_id,
+           MAX(doc_id) AS max_doc_id,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+    FROM sharded GROUP BY shard
+    """,
+    doc="Deterministic training-shard assignment + manifest "
+    "(llmops/splits.py::hash_uint32): every document lands in one of 16 "
+    "shards by portable md5 hash — reproducible across engines and runs "
+    "with no sampling state — and the manifest aggregates per-shard "
+    "document/token counts and id ranges, the bookkeeping a dataloader "
+    "needs before touching bytes. One map-side-combined shuffle on the "
+    "shard key; md5-uniform shards mean no skew at any corpus size.",
+)
+def txt_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sharded = docs.select(
+        "doc_id",
+        "source",
+        text.token_count(F.col("text")).alias("n_tokens"),
+        F.pmod(splits.hash_uint32(F.col("doc_id"), "shard:v1"), F.lit(16)).alias("shard"),
+    )
+    return sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
 _COS_SQL = (
     "list_sum(list_transform(generate_series(1, len(a.embedding)), "
     "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) "

@@ -424,3 +424,55 @@ def test_simhash_pairs_are_genuinely_similar(spark, sf_dir):
     )
     # reported pairs must be dramatically more similar than random pairs
     assert pair_j > background_j + 0.2, (pair_j, background_j)
+
+
+def test_chunk_structs_edges(spark):
+    """Chunking contract: stride = size - overlap, final chunk short,
+    sub-size docs give exactly one chunk, consecutive chunks share
+    exactly `overlap` tokens when full-length."""
+    from ecommerce_etl_pipeline_spark.llmops.text import chunk_structs
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(80))),   # 80 tokens -> 3 chunks
+            (2, " ".join(f"t{i}" for i in range(32))),   # exactly size -> 1 chunk
+            (3, " ".join(f"t{i}" for i in range(33))),   # one over -> 2 chunks
+            (4, "short doc"),                            # sub-size -> 1 chunk
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        (r.doc_id, r.c.chunk_index): (r.c.chunk_text, r.c.n_chunk_tokens)
+        for r in docs.select(
+            "doc_id", F.explode(chunk_structs(F.col("text"), 32, 8)).alias("c")
+        ).collect()
+    }
+    counts = {d: sum(1 for k in out if k[0] == d) for d in (1, 2, 3, 4)}
+    assert counts == {1: 3, 2: 1, 3: 2, 4: 1}
+    # doc 1: chunk 0 = tokens 0..31, chunk 1 = 24..55, chunk 2 = 48..79
+    t0, n0 = out[(1, 0)]
+    t1, n1 = out[(1, 1)]
+    t2, n2 = out[(1, 2)]
+    assert (n0, n1, n2) == (32, 32, 32)
+    assert t0.split(" ")[-8:] == t1.split(" ")[:8]  # exactly `overlap` shared
+    assert t1.split(" ")[0] == "t24" and t2.split(" ")[0] == "t48"
+    # doc 3: final chunk is short (33 - 24 = 9 tokens)
+    assert out[(3, 1)][1] == 9
+    assert out[(3, 1)][0].split(" ")[0] == "t24"
+    # doc 4: the whole doc in one chunk
+    assert out[(4, 0)] == ("short doc", 2)
+    with pytest.raises(ValueError):
+        chunk_structs(F.col("text"), size=8, overlap=8)
+
+
+def test_shard_manifest_covers_corpus_without_skew(spark, sf_dir):
+    """Shards must partition the corpus exactly (no loss, no dup) and be
+    md5-uniform enough that the largest shard is within 2x of the mean."""
+    from ecommerce_etl_pipeline_spark.plans.registry import get
+
+    docs = load_table(spark, sf_dir, "documents")
+    manifest = get("txt_shard_manifest").fn(spark, sf_dir).collect()
+    assert sum(r.n_docs for r in manifest) == docs.count()
+    assert len(manifest) == 16
+    mean = sum(r.n_docs for r in manifest) / 16
+    assert max(r.n_docs for r in manifest) < 2 * mean

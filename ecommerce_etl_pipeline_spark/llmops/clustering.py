@@ -154,6 +154,156 @@ def connected_components(
     return labels
 
 
+def kmeans_step(
+    points: DataFrame,
+    seeds: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_id_col: str = "cid",
+    seed_vec_col: str = "cvec",
+) -> DataFrame:
+    """One Lloyd iteration as a pure DataFrame plan: assign every point to
+    its nearest seed centroid (squared Euclidean, ties to the lowest
+    centroid id), then aggregate per-cluster statistics — member count,
+    mean assignment distance, and the L2 norm of the RECOMPUTED centroid
+    (derived from per-dimension sums: ||mean|| = sqrt(sum_d sv_d^2)/n, so
+    no second pass over the data).
+
+    The scale shape of every centroid-model trainer: seeds are k rows and
+    BROADCAST (bounded by construction — k is a hyperparameter, not a data
+    size), the corpus is scanned once, the per-dimension aggregation is
+    one map-side-combined shuffle of k*dim cells, and the driver never
+    sees a vector. Iterating = feeding the recomputed centroids back in;
+    pyspark.ml's KMeans (used by :func:`ivf_topk`) is the library form of
+    the same loop.
+
+    Returns (cluster, n_members, avg_dist, centroid_norm) — avg_dist /
+    centroid_norm unrounded; oracle queries round both sides.
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415 (local alias clarity)
+
+    p = points.select(
+        F.col(id_col).alias("_pid"), F.col(vec_col).alias("_pv")
+    )
+    s = seeds.select(
+        F.col(seed_id_col).alias("_cid"), F.col(seed_vec_col).alias("_cv")
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            "_pv", "_cv", lambda a, b: (a.cast("double") - b.cast("double")) ** 2
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = p.join(F.broadcast(s)).withColumn("_dist", dist)
+    assigned = scored.groupBy("_pid").agg(
+        F.min_by(
+            F.struct(
+                F.col("_cid").alias("cluster"),
+                F.col("_dist").alias("dist"),
+                F.col("_pv").alias("vec"),
+            ),
+            F.struct("_dist", "_cid"),
+        ).alias("a")
+    ).select("a.cluster", "a.dist", "a.vec")
+
+    stats = assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members"), F.avg("dist").alias("avg_dist")
+    )
+    dims = (
+        assigned.select("cluster", F.posexplode("vec").alias("d", "val"))
+        .groupBy("cluster", "d")
+        .agg(F.sum(F.col("val").cast("double")).alias("sv"))
+        .groupBy("cluster")
+        .agg(F.sqrt(F.sum(F.col("sv") * F.col("sv"))).alias("s2"))
+    )
+    return stats.join(dims, "cluster").select(
+        "cluster",
+        "n_members",
+        "avg_dist",
+        (F.col("s2") / F.col("n_members")).alias("centroid_norm"),
+    )
+
+
+def kmeans_train(
+    points: DataFrame,
+    *,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iterations: int = 10,
+    tol: float = 1e-6,
+) -> tuple[list[list[float]], int]:
+    """DataFrame-native Lloyd's algorithm: iterate nearest-centroid
+    assignment + centroid recomputation until the max centroid shift falls
+    under ``tol``. Deterministic: seeds are the k lowest-``id_col`` rows
+    (no RNG), ties go to the lowest centroid id, so results are identical
+    across runs and partitionings.
+
+    The driver holds ONLY k*dim floats per round (the centroid matrix —
+    a hyperparameter-sized collect, same bounded class as a join-strategy
+    statistic); each round is one corpus scan + one map-side-combined
+    shuffle of k*dim cells. This is the hand-rolled form of what
+    pyspark.ml's KMeans does with treeAggregate; use that at scale for
+    kmeans|| init and DenseVector kernels — this exists to show the
+    iterative-trainer shape as a plain DataFrame loop (compare
+    connected_components' label-propagation loop).
+
+    Returns (centroids, iterations_run).
+    """
+    pts = points.select(F.col(id_col).alias("_pid"), F.col(vec_col).alias("_pv"))
+    first = pts.orderBy("_pid").limit(k).collect()
+    centroids = [[float(x) for x in r["_pv"]] for r in first]
+    dim = len(centroids[0])
+    iterations = 0
+    for _ in range(max_iterations):
+        iterations += 1
+        # dist to each literal centroid; argmin via least-chain on structs
+        cols = [
+            F.aggregate(
+                F.zip_with(
+                    "_pv",
+                    F.array(*[F.lit(x) for x in c]),
+                    lambda a, b: (a.cast("double") - b) ** 2,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias(f"_d{ci}")
+            for ci, c in enumerate(centroids)
+        ]
+        scored = pts.select("_pid", "_pv", *cols)
+        best = F.least(
+            *[
+                F.struct(F.col(f"_d{ci}").alias("_dist"), F.lit(ci).alias("_c"))
+                for ci in range(k)
+            ]
+        )["_c"]
+        assigned = scored.select(F.col("_pv"), best.alias("_cluster"))
+        sums = (
+            assigned.select("_cluster", F.posexplode("_pv").alias("_d", "_v"))
+            .groupBy("_cluster", "_d")
+            .agg(F.sum(F.col("_v").cast("double")).alias("_sv"), F.count(F.lit(1)).alias("_n"))
+            .collect()
+        )
+        new_centroids = [list(c) for c in centroids]  # empty clusters keep position
+        counts = [0] * k
+        per_dim: dict[int, list[float]] = {}
+        for r in sums:
+            per_dim.setdefault(r["_cluster"], [0.0] * dim)[r["_d"]] = r["_sv"]
+            counts[r["_cluster"]] = r["_n"]
+        for ci, sv in per_dim.items():
+            new_centroids[ci] = [x / counts[ci] for x in sv]
+        shift = max(
+            sum((a - b) ** 2 for a, b in zip(c0, c1)) ** 0.5
+            for c0, c1 in zip(centroids, new_centroids)
+        )
+        centroids = new_centroids
+        if shift < tol:
+            break
+    return centroids, iterations
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

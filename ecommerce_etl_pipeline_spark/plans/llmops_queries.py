@@ -945,6 +945,67 @@ def ml_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the ±1 projection matrix is derived once and rendered into BOTH the Spark
+# plan and the oracle SQL as exact literals (same trick as sim_lsh_recall's
+# re-derived hyperplanes). dim=64 is the testdata embedding width; the
+# Spark side derives it from the data, so a width change hash-mismatches
+# loudly here instead of silently diverging.
+_RP_VALUES = ", ".join(
+    f"({j}, [{', '.join(str(x) for x in row)}])"
+    for j, row in enumerate(similarity._rp_matrix(64, 16, 42))
+)
+
+
+@register(
+    "sim_rp_topk",
+    oracle=f"""
+    WITH m(j, r) AS (VALUES {_RP_VALUES}),
+    pv AS (
+        SELECT e.vec_id,
+               list(list_sum(list_transform(generate_series(1, len(e.embedding)),
+                        i -> CAST(e.embedding[i] AS DOUBLE) * m.r[i]))
+                    ORDER BY m.j) AS p
+        FROM embeddings e CROSS JOIN m
+        GROUP BY e.vec_id
+    ),
+    q AS (SELECT vec_id AS query_id, p AS qp FROM pv WHERE vec_id < 5),
+    scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               list_sum(list_transform(generate_series(1, 16), i -> q.qp[i] * c.p[i]))
+               / (sqrt(list_sum(list_transform(generate_series(1, 16),
+                                i -> q.qp[i] * q.qp[i])))
+                  * sqrt(list_sum(list_transform(generate_series(1, 16),
+                                i -> c.p[i] * c.p[i])))) AS cos
+        FROM q, pv c WHERE c.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id,
+           {{round}} AS cosine,
+           CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= 10
+    """.format(round=sql_round("cos", 6)),
+    doc="Cosine top-10 in a 64->16 random-projection sketch space "
+    "(llmops/similarity.py::rp_topk): seeded ±1 Achlioptas rows rendered "
+    "as exact literals in both engines, so projected scores are "
+    "bit-reproducible and fully oracle-checkable. The "
+    "dimensionality-reduction ANN path: 4x less shuffle/cache/arithmetic "
+    "per pair, JL-preserved angles for candidate generation, exact "
+    "full-dim re-rank of the k survivors as the follow-up stage "
+    "(recall measured in tests/test_llmops_algos.py).",
+)
+def sim_rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    res = similarity.rp_topk(emb, emb.filter(F.col("vec_id") < 5), out_dim=16, k=10)
+    return res.select(
+        "query_id",
+        "neighbor_id",
+        portable_round(F.col("cosine"), 6).alias("cosine"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 _COS_SQL = (
     "list_sum(list_transform(generate_series(1, len(a.embedding)), "
     "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) "

@@ -43,12 +43,14 @@ for _optional in (
 # registered queries (in dict insertion order). Round 1 proved the classic
 # §2 families; round 2 promoted the LLM-data-pipeline surface. Round 3
 # retires the never-verified tail: the 10 oracle-backed and 15 rows-only
-# queries that never had a driver CORRECTNESS row across r1/r2, plus 25
-# rotated-back r1/r2 greens spanning every family (including the two
-# similarity queries whose quantize/LSH expressions changed this round).
-# After r3, every registered query has >=1 driver row. Names listed here
-# but not (yet) registered are skipped harmlessly; everything not listed
-# keeps its original relative order after the curated block.
+# queries that never had a driver CORRECTNESS row across r1/r2, plus the
+# 6 operators NEW this round (PNG decode, chunking, shard manifest,
+# k-means step/train, random projection) and 19 rotated-back r1/r2
+# greens spanning every family (including the two similarity queries
+# whose quantize/LSH expressions changed this round). After r3, every
+# registered query has >=1 driver row. Names listed here but not (yet)
+# registered are skipped harmlessly; everything not listed keeps its
+# original relative order after the curated block.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW = [
     # -- 10 oracle-backed queries never driver-checked in r1/r2
@@ -78,19 +80,21 @@ _DRIVER_WINDOW = [
     "sm3_ri_cascade_sample",
     "sm4_generated_transactions",
     "txt_compression_ratio",
-    # -- 25 rotated-back r1/r2 greens spanning every family
+    # -- 6 new round-3 operators (5 oracle-backed + 1 rows-only trainer)
+    "mm_png_decode",
+    "txt_chunk_overlap",
+    "txt_shard_manifest",
+    "ml_kmeans_step",
+    "ml_kmeans_train",
+    "sim_rp_topk",
+    # -- 19 rotated-back r1/r2 greens spanning every family
     "a1_daily_sales",
     "a16_rollup_hierarchy",
-    "a17_percentiles",
     "p1_projection_filter",
-    "p7_lossy_cast",
     "sc_temporal_features",
-    "sc_currency_roundtrip",
     "o1_global_topk",
     "j1_order_lineitem_join",
-    "j2_customer_geo_broadcast",
     "j9_asof_join",
-    "n3_build_explode_roundtrip",
     "w3_top_orders_per_customer",
     "w4_sessionize",
     "w11_salted_hot_keys",
@@ -99,7 +103,6 @@ _DRIVER_WINDOW = [
     "dd_eval_decontam",
     "txt_token_stats",
     "sim_cosine_topk",
-    "sim_quantized_topk",
     "sim_lsh_recall",
     "mm_asset_features",
     "sql_nation_revenue",

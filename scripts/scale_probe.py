@@ -87,6 +87,45 @@ def timed(label: str, thunk) -> float:
     return dt
 
 
+def join_strategies(df: DataFrame) -> list[str]:
+    """Join operators in the static physical plan, in tree order."""
+    import re
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return re.findall(
+        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin)",
+        plan,
+    )
+
+
+def report_plan_flip(label: str, big_fn) -> None:
+    """Evidence for the unhinted-join doctrine (SCALING.md 'Join strategy
+    on scaling sides'): with NO hints anywhere, join strategy must respond
+    to (build-side size estimate vs autoBroadcastJoinThreshold) alone.
+    The replicated frame's build sides still genuinely fit the local
+    64 MiB session threshold (pruned columns + columnar cache compress
+    hard), so the correct reading is the THRESHOLD LADDER below: as the
+    bar drops — simulating the same absolute sides on ever-bigger data,
+    since estimates are scan-proportional — every broadcast flips to a
+    shuffle join with zero code change. -1 is the end state every join
+    reaches once the corpus truly outgrows memory (and what the
+    forced-broadcast audit plans under)."""
+    from collections import Counter
+
+    spark = get_spark()
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    rungs = [("64MiB", str(64 * 1024 * 1024)), ("10MB", str(10 * 1024 * 1024)),
+             ("1MB", str(1024 * 1024)), ("100KB", str(100 * 1024)), ("-1", "-1")]
+    parts = []
+    try:
+        for name, v in rungs:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+            parts.append(f"@{name}={dict(Counter(join_strategies(big_fn())))}")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    print(f"  plan-flip {label} (replicated frame): " + "  ".join(parts), flush=True)
+
+
 def main() -> None:
     copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     spark = get_spark(app_name="scale-probe")
@@ -115,8 +154,9 @@ def main() -> None:
     or10 = spark.read.parquet(f"{base}/orders.parquet")
 
     def fact_join(li: DataFrame, orders: DataFrame) -> DataFrame:
+        # unhinted, like j1: the strategy must come from size statistics
         return (
-            li.join(orders.hint("merge"), li["l_orderkey"] == orders["o_orderkey"])
+            li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
             .groupBy("o_orderstatus")
             .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("q"))
         )
@@ -134,10 +174,14 @@ def main() -> None:
         t10 = timed(f"{copies}x", lambda: fn(docs10))
         spark.catalog.clearCache()
         results[name] = (t1, t10)
+        if name != "curation_minhash":  # curate launches eager jobs at build
+            report_plan_flip(name, lambda: fn(docs10))
+            spark.catalog.clearCache()
     print("== fact_join (j1 shape)")
     t1 = timed("1x", lambda: fact_join(li1, or1))
     t10 = timed(f"{copies}x", lambda: fact_join(li10, or10))
     results["fact_join"] = (t1, t10)
+    report_plan_flip("fact_join", lambda: fact_join(li10, or10))
 
     print(f"\n{'probe':20s} {'1x':>7s} {copies:>5d}x  growth")
     for name, (a, b) in results.items():

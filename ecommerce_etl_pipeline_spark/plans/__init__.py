@@ -80,16 +80,16 @@ _DRIVER_WINDOW = [
     "sm3_ri_cascade_sample",
     "sm4_generated_transactions",
     "txt_compression_ratio",
-    # -- 6 new round-3 operators (5 oracle-backed + 1 rows-only trainer)
+    # -- 7 new round-3 operators (6 oracle-backed + 1 rows-only trainer)
     "mm_png_decode",
     "txt_chunk_overlap",
     "txt_shard_manifest",
+    "txt_quality_logit",
     "ml_kmeans_step",
     "ml_kmeans_train",
     "sim_rp_topk",
-    # -- 19 rotated-back r1/r2 greens spanning every family
+    # -- 18 rotated-back r1/r2 greens spanning every family
     "a1_daily_sales",
-    "a16_rollup_hierarchy",
     "p1_projection_filter",
     "sc_temporal_features",
     "o1_global_topk",

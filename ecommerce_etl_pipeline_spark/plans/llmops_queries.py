@@ -126,6 +126,65 @@ def txt_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# fixed "deployed model" weights for txt_quality_logit — stand-in for a
+# trained quality classifier's coefficients (FineWeb/DCLM-style logistic
+# filter over heuristic features). Literals on both engines.
+_QL_W = {"bias": -1.2, "log_tokens": 0.35, "punct": -4.0, "stopword": 2.5}
+
+
+@register(
+    "txt_quality_logit",
+    oracle=f"""
+    WITH feats AS (
+        SELECT doc_id,
+               ln(len(string_split(text, ' '))) AS log_tokens,
+               CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+                   / length(text) AS punct_ratio,
+               CAST(len(list_filter(string_split(text, ' '), x -> list_contains(
+                   ['the','a','and','of','to','in','is'], x))) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS stopword_ratio
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id,
+               1.0 / (1.0 + exp(-({_QL_W["bias"]}
+                                  + {_QL_W["log_tokens"]} * log_tokens
+                                  + {_QL_W["punct"]} * punct_ratio
+                                  + {_QL_W["stopword"]} * stopword_ratio))) AS s
+        FROM feats
+    )
+    SELECT doc_id,
+           {sql_round("s", 6)} AS quality_score,
+           {sql_round("s", 6)} >= 0.5 AS keep
+    FROM scored
+    """,
+    doc="Trained-classifier application at scale: a logistic quality model "
+    "with fixed literal coefficients (the deployed form of a FineWeb/"
+    "DCLM-style learned filter) scored entirely JVM-side over the same "
+    "heuristic features as txt_quality_scores — sigmoid(w.x) per document, "
+    "keep-flag thresholded on the ROUNDED score so the boundary decision "
+    "is engine-portable. Narrow scan-side map, no shuffle; at 100 TB this "
+    "is one pass, and swapping in real learned weights is a literal "
+    "change, not a plan change.",
+)
+def txt_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    z = (
+        F.lit(_QL_W["bias"])
+        + F.lit(_QL_W["log_tokens"]) * F.log(text.token_count(t).cast("double"))
+        + F.lit(_QL_W["punct"]) * text.punct_ratio(t)
+        + F.lit(_QL_W["stopword"])
+        * (text.stopword_hits(t, "en").cast("double") / text.token_count(t))
+    )
+    score = portable_round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return docs.select(
+        "doc_id",
+        score.alias("quality_score"),
+        (score >= F.lit(0.5)).alias("keep"),
+    )
+
+
 @register(
     "txt_repetition",
     oracle=f"""

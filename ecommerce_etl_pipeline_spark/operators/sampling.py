@@ -53,3 +53,36 @@ def ri_cascade_sample(
         out.append(child.join(keys, on=fk, how="left_semi"))
         prev = out[-1]
     return out
+
+
+def weighted_sample_exact(
+    df: DataFrame,
+    n: int,
+    id_col: str,
+    weight_col,
+    *,
+    salt: str = "wsample:v1",
+) -> DataFrame:
+    """Exact-n weighted sample without replacement — Efraimidis-Spirakis
+    (2006): each row draws key = ln(u)/w with u uniform in (0,1], and the
+    n largest keys are the sample; inclusion probability is proportional
+    to weight, no replacement, single pass.
+
+    The uniform is md5-PORTABLE (llmops/splits.py::hash_uint32 of
+    salt||id), not a seeded rand: the draw replays identically in any
+    engine and across re-runs/partitionings, which makes this — unlike
+    sm1/sm2's seeded-rand samples — fully oracle-checkable, and re-salting
+    is a fresh draw. At scale this is one TakeOrdered-shaped top-n (no
+    global sort): the canonical quality-weighted document selection for
+    mixture construction.
+    """
+    from ecommerce_etl_pipeline_spark.llmops.splits import hash_uint32
+
+    u = (hash_uint32(F.col(id_col), salt) + F.lit(1)) / F.lit(4294967296.0)
+    w = weight_col if isinstance(weight_col, F.Column) else F.col(weight_col)
+    key = F.log(u) / w.cast("double")
+    ranked = df.withColumn("_wkey", key).withColumn(
+        "_rn",
+        F.row_number().over(Window.orderBy(F.desc("_wkey"), F.col(id_col))),
+    )
+    return ranked.filter(F.col("_rn") <= n).drop("_wkey", "_rn")

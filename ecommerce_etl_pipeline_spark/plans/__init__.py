@@ -80,7 +80,7 @@ _DRIVER_WINDOW = [
     "sm3_ri_cascade_sample",
     "sm4_generated_transactions",
     "txt_compression_ratio",
-    # -- 7 new round-3 operators (6 oracle-backed + 1 rows-only trainer)
+    # -- 8 new round-3 operators (7 oracle-backed + 1 rows-only trainer)
     "mm_png_decode",
     "txt_chunk_overlap",
     "txt_shard_manifest",
@@ -88,7 +88,8 @@ _DRIVER_WINDOW = [
     "ml_kmeans_step",
     "ml_kmeans_train",
     "sim_rp_topk",
-    # -- 18 rotated-back r1/r2 greens spanning every family
+    "sm8_weighted_sample",
+    # -- 17 rotated-back r1/r2 greens spanning every family
     "a1_daily_sales",
     "p1_projection_filter",
     "sc_temporal_features",
@@ -98,7 +99,6 @@ _DRIVER_WINDOW = [
     "w3_top_orders_per_customer",
     "w4_sessionize",
     "w11_salted_hot_keys",
-    "u1_union_chunks",
     "dd_curation_pipeline",
     "dd_eval_decontam",
     "txt_token_stats",

@@ -79,3 +79,39 @@ def sm4_generated_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
             items, F.lit(0).cast("bigint"), lambda acc, x: acc + x["quantity"]
         ).alias("total_items"),
     )
+
+
+@register(
+    "sm8_weighted_sample",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               (CAST(('0x' || substr(md5('wsample:v1' || CAST(doc_id AS VARCHAR)), 1, 8))
+                     AS BIGINT) + 1) / 4294967296.0 AS u
+        FROM documents
+    )
+    SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens
+    FROM (
+        SELECT doc_id, n_tokens,
+               ROW_NUMBER() OVER (ORDER BY ln(u) / n_tokens DESC, doc_id) AS rn
+        FROM w
+    )
+    WHERE rn <= 100
+    """,
+    doc="Exact-n length-WEIGHTED sample of documents (Efraimidis-Spirakis "
+    "key = ln(u)/w, top-100): inclusion probability proportional to token "
+    "count — the quality/length-weighted selection mixtures are built "
+    "from. Unlike the seeded-rand samples (sm1/sm2, rows-only by design), "
+    "the uniform here is the md5-portable hash, so the entire draw "
+    "replays in DuckDB and the sample is fully oracle-checked. Scale "
+    "shape: narrow key computation + one top-n, no global sort.",
+)
+def sm8_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecommerce_etl_pipeline_spark.llmops.text import token_count
+    from ecommerce_etl_pipeline_spark.operators.sampling import weighted_sample_exact
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    return weighted_sample_exact(docs, 100, "doc_id", "n_tokens")

@@ -75,3 +75,32 @@ def test_generator_shapes(spark):
         "x.quantity < 1 OR x.quantity > 3 OR x.item_price < 50000 OR x.item_price >= 500000"
     )
     assert bad_qty.count() == 0
+
+
+def test_weighted_sample_biases_toward_heavy_rows(spark, sf_dir):
+    """Efraimidis-Spirakis property: inclusion probability tracks weight.
+    Across 10 independent draws (re-salts), the mean token count of
+    sampled docs must exceed the corpus mean (length-weighted), and each
+    draw is exactly n rows, deterministic, and duplicate-free."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_etl_pipeline_spark.llmops.text import token_count
+    from ecommerce_etl_pipeline_spark.operators.sampling import weighted_sample_exact
+    from ecommerce_etl_pipeline_spark.sources.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    corpus_mean = docs.agg(F.avg("n_tokens")).collect()[0][0]
+    means = []
+    for i in range(10):
+        s = weighted_sample_exact(docs, 50, "doc_id", "n_tokens", salt=f"t:{i}")
+        rows = s.collect()
+        assert len(rows) == 50
+        assert len({r.doc_id for r in rows}) == 50
+        means.append(sum(r.n_tokens for r in rows) / 50)
+    assert sum(means) / len(means) > corpus_mean, (sum(means) / 10, corpus_mean)
+    # deterministic replay
+    a = {r.doc_id for r in weighted_sample_exact(docs, 50, "doc_id", "n_tokens").collect()}
+    b = {r.doc_id for r in weighted_sample_exact(docs, 50, "doc_id", "n_tokens").collect()}
+    assert a == b

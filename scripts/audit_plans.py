@@ -54,6 +54,7 @@ EXPECTED = {
     "dd_eval_decontam": "eval split postings — benchmark-sized by design",
     "dd_incremental_dedup": "daily batch side — small by design",
     "j11_bloom_pruned_join": "selective bloom build side (documented dynamic filter)",
+    "ml_kmeans_step": "k=4 seed centroids (vec_id < 4) — hyperparameter-sized",
     "sim_cosine_topk": "query vectors (vec_id < 5)",
     "sim_cosine_topk_arrow": "query vectors",
     "sim_ivf_recall": "query vectors + probe-cell assignments (|q| x n_probe)",
@@ -61,6 +62,7 @@ EXPECTED = {
     "sim_lsh_recall": "query vectors + top-k outputs (|q| x k)",
     "sim_lsh_topk": "query signatures",
     "sim_quantized_topk": "query codes",
+    "sim_rp_topk": "projected query vectors (vec_id < 5)",
 }
 
 

@@ -173,3 +173,33 @@ def test_wav_structured_container_fuzz(chunks, truncate):
         assert rate >= 0 and isinstance(samples, tuple)
     except ValueError:
         pass
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=12),
+    h=st.integers(min_value=1, max_value=10),
+    ft=st.integers(min_value=0, max_value=4),
+    data=st.data(),
+)
+def test_png_round_trip_property(w, h, ft, data):
+    px = bytes(
+        data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=255),
+                min_size=3 * w * h,
+                max_size=3 * w * h,
+            )
+        )
+    )
+    assert mm.decode_png(mm.encode_png(w, h, px, filter_type=ft)) == (w, h, px)
+
+
+@settings(max_examples=100, deadline=None)
+@given(junk=st.binary(max_size=120), with_sig=st.booleans())
+def test_png_fuzz_raises_cleanly(junk, with_sig):
+    blob = (mm._PNG_SIG + junk) if with_sig else junk
+    try:
+        mm.decode_png(blob)
+    except ValueError:
+        pass  # the only permitted failure mode

@@ -40,6 +40,32 @@ def token_length_sum(text: Column) -> Column:
     )
 
 
+#: Fixed "deployed model" coefficients for the logistic quality filter —
+#: stand-in for a trained classifier (FineWeb/DCLM-style) applied at scale.
+QUALITY_LOGIT_WEIGHTS = {
+    "bias": -1.2,
+    "log_tokens": 0.35,
+    "punct": -4.0,
+    "stopword": 2.5,
+}
+
+
+def quality_logit_score(text: Column, weights: dict[str, float] | None = None) -> Column:
+    """Unrounded sigmoid(w·x) quality score over the heuristic features
+    (log token count, punctuation ratio, stopword ratio). Shared by the
+    batch query (txt_quality_logit) and the streaming ingest gate so the
+    two faces can never drift. Pure narrow expression — no shuffle, legal
+    in a stateless stream."""
+    w = weights or QUALITY_LOGIT_WEIGHTS
+    z = (
+        F.lit(w["bias"])
+        + F.lit(w["log_tokens"]) * F.log(token_count(text).cast("double"))
+        + F.lit(w["punct"]) * punct_ratio(text)
+        + F.lit(w["stopword"]) * (stopword_hits(text, "en").cast("double") / token_count(text))
+    )
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
 def chunk_structs(text: Column, size: int = 32, overlap: int = 8) -> Column:
     """Fixed-size token chunks with overlap — the RAG/context-window
     chunking every retrieval and pretraining pipeline needs. Chunk ``i``

@@ -126,10 +126,9 @@ def txt_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# fixed "deployed model" weights for txt_quality_logit — stand-in for a
-# trained quality classifier's coefficients (FineWeb/DCLM-style logistic
-# filter over heuristic features). Literals on both engines.
-_QL_W = {"bias": -1.2, "log_tokens": 0.35, "punct": -4.0, "stopword": 2.5}
+# coefficients shared with the streaming ingest gate (llmops/text.py) —
+# rendered as literals into the oracle SQL below.
+_QL_W = text.QUALITY_LOGIT_WEIGHTS
 
 
 @register(
@@ -169,15 +168,7 @@ _QL_W = {"bias": -1.2, "log_tokens": 0.35, "punct": -4.0, "stopword": 2.5}
 )
 def txt_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    t = F.col("text")
-    z = (
-        F.lit(_QL_W["bias"])
-        + F.lit(_QL_W["log_tokens"]) * F.log(text.token_count(t).cast("double"))
-        + F.lit(_QL_W["punct"]) * text.punct_ratio(t)
-        + F.lit(_QL_W["stopword"])
-        * (text.stopword_hits(t, "en").cast("double") / text.token_count(t))
-    )
-    score = portable_round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    score = portable_round(text.quality_logit_score(F.col("text")), 6)
     return docs.select(
         "doc_id",
         score.alias("quality_score"),

@@ -4,6 +4,8 @@ from ecommerce_etl_pipeline_spark.streaming.streams import (  # noqa: F401
     daily_sales_stream,
     deduped_events_stream,
     ingest_dedup_stream,
+    quality_gate_stream,
+    read_documents_stream,
     read_events_stream,
     session_window_stream,
     sliding_window_stream,

@@ -300,6 +300,35 @@ def enriched_events_stream(events: DataFrame, dim: DataFrame) -> DataFrame:
     return events.join(F.broadcast(dim), "user_id", "left")
 
 
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source replay of the documents corpus as a stream — the
+    ingest-time face of the curation operators (one micro-batch per file;
+    at scale this is the object-store drop folder a crawler writes to)."""
+    batch = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return spark.readStream.schema(batch.schema).parquet(
+        _replay_dir(sf_dir, "documents")
+    )
+
+
+def quality_gate_stream(docs: DataFrame, *, threshold: float = 0.5) -> DataFrame:
+    """Streaming learned-quality gate — the ingest-time face of the batch
+    txt_quality_logit query, applying the SAME scoring expression
+    (llmops/text.py::quality_logit_score, shared so the two faces cannot
+    drift) to documents as they arrive. Stateless: a narrow scan-side
+    projection + filter, no watermark, no state store, no shuffle — the
+    shape that keeps a crawler-ingest filter running at line rate however
+    large the corpus behind it grows. Emits (doc_id, quality_score, text)
+    for documents that clear the threshold."""
+    from ecommerce_etl_pipeline_spark.llmops.text import quality_logit_score
+
+    score = quality_logit_score(F.col("text"))
+    return (
+        docs.withColumn("quality_score", score)
+        .filter(F.col("quality_score") >= F.lit(threshold))
+        .select("doc_id", "quality_score", "text")
+    )
+
+
 def ingest_dedup_stream(
     events: DataFrame, seen_index: DataFrame, *, watermark: str = "1 hour"
 ) -> DataFrame:

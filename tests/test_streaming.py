@@ -185,3 +185,26 @@ def test_ingest_dedup_stream_matches_batch(spark):
         .collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_quality_gate_stream_matches_batch(spark):
+    """Streaming ingest quality gate = batch txt_quality_logit on the same
+    corpus: identical surviving doc set and identical scores (shared
+    scoring expression — parity here proves the two faces can't drift)."""
+    from ecommerce_etl_pipeline_spark.plans.registry import get
+    from ecommerce_etl_pipeline_spark.streaming import (
+        quality_gate_stream,
+        read_documents_stream,
+    )
+
+    docs = read_documents_stream(spark, SF)
+    stream_to_memory(quality_gate_stream(docs), "t_quality_gate", output_mode="append")
+    got = {
+        r.doc_id: round(r.quality_score, 6)
+        for r in spark.table("t_quality_gate").collect()
+    }
+    batch = get("txt_quality_logit").fn(spark, SF).filter("keep").collect()
+    want = {r.doc_id: r.quality_score for r in batch}
+    assert len(got) > 0
+    assert set(got) == set(want)
+    assert all(abs(got[d] - want[d]) < 1e-6 for d in got)

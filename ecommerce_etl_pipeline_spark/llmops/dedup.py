@@ -602,3 +602,89 @@ def jaccard_similarity_join(
     return inter.select("doc1", "doc2", jac.alias("jaccard")).filter(
         F.col("jaccard") >= threshold
     )
+
+
+def duplicate_span_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    span_tokens: int = 8,
+) -> DataFrame:
+    """Exact duplicate-SPAN excision — the substring-level dedup of Lee et
+    al. 2021 ("Deduplicating Training Data Makes Language Models Better"),
+    re-expressed for Spark: any token span of length >= ``span_tokens``
+    that occurs more than once in the corpus is detected through its
+    sliding windows (a duplicated span shares a window at EVERY offset, so
+    window coverage is exact, not probabilistic), the globally-first
+    occurrence (min (doc_id, position)) is kept as canonical, and every
+    other occurrence's tokens are masked.
+
+    Returns per document: n_tokens, n_dup_tokens (tokens covered by some
+    non-canonical duplicated window), dup_fraction, and excised_text (the
+    document with masked tokens removed — what the training corpus keeps).
+
+    Scale shape — suffix arrays don't distribute; this does:
+    - one narrow pass explodes each doc into (window_string, doc, pos)
+      rows (~n per doc);
+    - ONE shuffle on the window key computes count + canonical occurrence
+      with map-side-combinable aggregates (count, min_by) — boilerplate
+      hot windows are exactly the skew AQE splits;
+    - non-canonical occurrences shuffle back to their doc (second, dup-
+      density-sized shuffle) and the token mask is a per-doc HOF union —
+      O(n * dup_positions) inside codegen, no Python.
+    Window STRINGS (not hashes) keep the pipeline oracle-exact in any SQL
+    engine; swap the key to xxhash64 at petabyte scale for a fixed-width
+    shuffle (same plan, collision risk 2^-64 per pair).
+    """
+    L = span_tokens
+    docs = ensure_parallelism(docs)
+    toks = F.split(F.col(text_col), " ")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), toks.alias("t"), F.size(toks).alias("n")
+    )
+    # sliding L-token windows with positions (docs shorter than L emit none)
+    occ = base.filter(F.col("n") >= L).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("n") - L),
+                lambda i: F.concat_ws(" ", F.slice("t", i + 1, L)),
+            )
+        ).alias("pos", "win"),
+    )
+    stats = occ.groupBy("win").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min_by(F.struct("doc_id", "pos"), F.struct("doc_id", "pos")).alias("first"),
+    )
+    dup_occ = (
+        occ.join(stats.filter(F.col("cnt") > 1), "win")
+        .filter(
+            (F.col("doc_id") != F.col("first.doc_id"))
+            | (F.col("pos") != F.col("first.pos"))
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("pos").alias("dup_pos"))
+    )
+    joined = base.join(dup_occ, "doc_id", "left").withColumn(
+        "dup_pos", F.coalesce(F.col("dup_pos"), F.array().cast("array<int>"))
+    )
+    # token k is masked iff some non-canonical duplicated window covers it:
+    # exists p in dup_pos with p <= k < p + L
+    covered = lambda k: F.exists(  # noqa: E731
+        "dup_pos", lambda p: (p <= k) & (k < p + F.lit(L))
+    )
+    kept = F.filter(
+        F.transform("t", lambda x, k: F.struct(x.alias("tok"), covered(k).alias("m"))),
+        lambda s: ~s["m"],
+    )
+    n_dup = F.size(
+        F.filter(F.sequence(F.lit(0), F.col("n") - 1), lambda k: covered(k))
+    )
+    return joined.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        n_dup.cast("int").alias("n_dup_tokens"),
+        (n_dup / F.col("n")).alias("dup_fraction"),
+        F.concat_ws(" ", F.transform(kept, lambda s: s["tok"])).alias("excised_text"),
+    )

@@ -80,7 +80,7 @@ _DRIVER_WINDOW = [
     "sm3_ri_cascade_sample",
     "sm4_generated_transactions",
     "txt_compression_ratio",
-    # -- 8 new round-3 operators (7 oracle-backed + 1 rows-only trainer)
+    # -- 9 new round-3 operators (8 oracle-backed + 1 rows-only trainer)
     "mm_png_decode",
     "txt_chunk_overlap",
     "txt_shard_manifest",
@@ -89,14 +89,14 @@ _DRIVER_WINDOW = [
     "ml_kmeans_train",
     "sim_rp_topk",
     "sm8_weighted_sample",
-    # -- 17 rotated-back r1/r2 greens spanning every family
+    "dd_span_excision",
+    # -- 16 rotated-back r1/r2 greens spanning every family
     "a1_daily_sales",
     "p1_projection_filter",
     "sc_temporal_features",
     "o1_global_topk",
     "j1_order_lineitem_join",
     "j9_asof_join",
-    "w3_top_orders_per_customer",
     "w4_sessionize",
     "w11_salted_hot_keys",
     "dd_curation_pipeline",

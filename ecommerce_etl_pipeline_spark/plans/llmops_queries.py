@@ -126,6 +126,61 @@ def txt_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dd_span_excision",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, string_split(text, ' ') AS t,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+    ),
+    occ AS (
+        SELECT doc_id, u.i - 1 AS pos, array_to_string(t[u.i : u.i + 7], ' ') AS win
+        FROM base, UNNEST(generate_series(1, n - 7)) AS u(i)
+        WHERE n >= 8
+    ),
+    dup_occ AS (
+        SELECT doc_id, pos FROM (
+            SELECT doc_id, pos,
+                   ROW_NUMBER() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn,
+                   COUNT(*) OVER (PARTITION BY win) AS cnt
+            FROM occ
+        ) WHERE cnt > 1 AND rn > 1
+    ),
+    masked AS (
+        SELECT DISTINCT o.doc_id, u.k
+        FROM dup_occ o, UNNEST(generate_series(o.pos, o.pos + 7)) AS u(k)
+    ),
+    tok AS (
+        SELECT b.doc_id, u.k, b.t[u.k + 1] AS tok, b.n
+        FROM base b, UNNEST(generate_series(0, n - 1)) AS u(k)
+    )
+    SELECT t.doc_id,
+           CAST(ANY_VALUE(t.n) AS INTEGER) AS n_tokens,
+           CAST(COUNT(m.k) AS INTEGER) AS n_dup_tokens,
+           CAST(COUNT(m.k) AS DOUBLE) / ANY_VALUE(t.n) AS dup_fraction,
+           COALESCE(string_agg(tok, ' ' ORDER BY t.k)
+                    FILTER (WHERE m.k IS NULL), '') AS excised_text
+    FROM tok t LEFT JOIN masked m ON t.doc_id = m.doc_id AND t.k = m.k
+    GROUP BY t.doc_id
+    """,
+    doc="Exact duplicate-SPAN excision (Lee et al. 2021 substring dedup, "
+    "distributed): every >=8-token span occurring more than once in the "
+    "corpus is found through its sliding windows (exact — a duplicated "
+    "span shares a window at every offset), the globally-first occurrence "
+    "stays canonical, and all other occurrences' tokens are removed from "
+    "the emitted excised_text. Suffix arrays don't distribute; this is "
+    "one window-key shuffle with map-side-combinable count/min_by plus a "
+    "dup-density-sized shuffle back to documents and a per-doc HOF mask "
+    "(llmops/dedup.py::duplicate_span_stats). Window strings keep it "
+    "oracle-exact; production swaps the key to xxhash64 for fixed-width "
+    "shuffles.",
+)
+def dd_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.duplicate_span_stats(docs, span_tokens=8)
+
+
 # coefficients shared with the streaming ingest gate (llmops/text.py) —
 # rendered as literals into the oracle SQL below.
 _QL_W = text.QUALITY_LOGIT_WEIGHTS

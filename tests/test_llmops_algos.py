@@ -542,3 +542,28 @@ def test_rp_candidate_recall_vs_exact(spark, sf_dir):
     rec = topk_recall(exact, approx, 10).collect()
     mean = sum(float(r.recall) for r in rec) / len(rec)
     assert mean >= 0.7, f"candidate recall collapsed: {mean:.2f}"
+
+
+def test_duplicate_span_excision_handcrafted(spark):
+    """Span-dedup contract: the globally-first occurrence of a duplicated
+    span is canonical (untouched); every later occurrence is excised;
+    unique docs and sub-span docs pass through whole."""
+    from ecommerce_etl_pipeline_spark.llmops.dedup import duplicate_span_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),
+            (2, "x y a b c d e f g h i j z"),  # repeats doc 1's 10-token run
+            (3, "unique words only here nothing shared at all ok"),
+            (4, "short doc"),  # shorter than the span window
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in duplicate_span_stats(docs, span_tokens=8).collect()}
+    assert out[1].n_dup_tokens == 0
+    assert out[1].excised_text == "a b c d e f g h i j"
+    assert out[2].n_dup_tokens == 10
+    assert out[2].excised_text == "x y z"
+    assert abs(out[2].dup_fraction - 10 / 13) < 1e-12
+    assert out[3].n_dup_tokens == 0 and out[4].n_dup_tokens == 0
+    assert out[4].excised_text == "short doc"

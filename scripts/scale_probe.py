@@ -132,6 +132,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     from ecommerce_etl_pipeline_spark.llmops import curation, dedup
+    from ecommerce_etl_pipeline_spark.llmops.text import chunk_structs as _chunk
 
     docs1 = load_table(spark, SF, "documents").select("doc_id", "text")
     docs10 = replicate_docs(docs1, copies)
@@ -165,6 +166,12 @@ def main() -> None:
         "jaccard_pairs": lambda d: dedup.jaccard_similarity_join(d, threshold=0.5),
         "minhash_pairs": lambda d: dedup.minhash_candidate_pairs(d),
         "curation_minhash": lambda d: curation.curate(d, cache_exact=True),
+        # round-3 additions: window-shuffle (span) and narrow-explode (chunk)
+        # shapes — expected ~linear growth
+        "span_excision": lambda d: dedup.duplicate_span_stats(d),
+        "chunk_overlap": lambda d: d.select(
+            "doc_id", F.explode(_chunk(F.col("text"))).alias("c")
+        ).select("doc_id", "c.*"),
     }
     results: dict[str, tuple[float, float]] = {}
     for name, fn in probes.items():

@@ -154,6 +154,49 @@ def connected_components(
     return labels
 
 
+def assign_to_seeds(
+    points: DataFrame,
+    seeds: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_id_col: str = "cid",
+    seed_vec_col: str = "cvec",
+) -> DataFrame:
+    """Nearest-seed assignment (squared Euclidean, ties to lowest seed id):
+    returns (id, cluster, dist, vec). Seeds broadcast (hyperparameter-
+    sized); one corpus scan, one map-side-combined min_by groupBy. Shared
+    by :func:`kmeans_step` (which aggregates it) and
+    :func:`ecommerce_etl_pipeline_spark.llmops.dedup.semantic_dedup`
+    (which uses clusters as dedup candidate buckets)."""
+    p = points.select(F.col(id_col).alias("_pid"), F.col(vec_col).alias("_pv"))
+    s = seeds.select(
+        F.col(seed_id_col).alias("_cid"), F.col(seed_vec_col).alias("_cv")
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            "_pv", "_cv", lambda a, b: (a.cast("double") - b.cast("double")) ** 2
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = p.join(F.broadcast(s)).withColumn("_dist", dist)
+    return (
+        scored.groupBy("_pid")
+        .agg(
+            F.min_by(
+                F.struct(
+                    F.col("_cid").alias("cluster"),
+                    F.col("_dist").alias("dist"),
+                    F.col("_pv").alias("vec"),
+                ),
+                F.struct("_dist", "_cid"),
+            ).alias("a")
+        )
+        .select(F.col("_pid").alias("id"), "a.cluster", "a.dist", "a.vec")
+    )
+
+
 def kmeans_step(
     points: DataFrame,
     seeds: DataFrame,
@@ -181,32 +224,14 @@ def kmeans_step(
     Returns (cluster, n_members, avg_dist, centroid_norm) — avg_dist /
     centroid_norm unrounded; oracle queries round both sides.
     """
-    from pyspark.sql import functions as F  # noqa: PLC0415 (local alias clarity)
-
-    p = points.select(
-        F.col(id_col).alias("_pid"), F.col(vec_col).alias("_pv")
-    )
-    s = seeds.select(
-        F.col(seed_id_col).alias("_cid"), F.col(seed_vec_col).alias("_cv")
-    )
-    dist = F.aggregate(
-        F.zip_with(
-            "_pv", "_cv", lambda a, b: (a.cast("double") - b.cast("double")) ** 2
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    scored = p.join(F.broadcast(s)).withColumn("_dist", dist)
-    assigned = scored.groupBy("_pid").agg(
-        F.min_by(
-            F.struct(
-                F.col("_cid").alias("cluster"),
-                F.col("_dist").alias("dist"),
-                F.col("_pv").alias("vec"),
-            ),
-            F.struct("_dist", "_cid"),
-        ).alias("a")
-    ).select("a.cluster", "a.dist", "a.vec")
+    assigned = assign_to_seeds(
+        points,
+        seeds,
+        id_col=id_col,
+        vec_col=vec_col,
+        seed_id_col=seed_id_col,
+        seed_vec_col=seed_vec_col,
+    ).select("cluster", "dist", "vec")
 
     stats = assigned.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n_members"), F.avg("dist").alias("avg_dist")

@@ -688,3 +688,70 @@ def duplicate_span_stats(
         (n_dup / F.col("n")).alias("dup_fraction"),
         F.concat_ws(" ", F.transform(kept, lambda s: s["tok"])).alias("excised_text"),
     )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_seeds: int = 4,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): coarse-cluster the
+    embedding space, then deduplicate by cosine similarity WITHIN each
+    cluster — the cluster is the candidate bucket, so pair generation
+    costs sum(|cluster|^2) instead of corpus^2, and k is chosen so
+    clusters stay bounded as the corpus grows (k ∝ n keeps |cluster|
+    constant; the quadratic term never returns).
+
+    Deterministic oracle-able form: one assignment pass against the
+    ``n_seeds`` lowest-id vectors as centroids (the same rule
+    ml_kmeans_step checks); production swaps in kmeans_train's converged
+    centroids — identical plan, different literals. Near-duplicate pairs
+    (cosine >= threshold) resolve to clusters via connected components;
+    the min-id member of each component is canonical.
+
+    Returns one row per vector: (id, cluster, kept) — kept=false means a
+    semantically-duplicate higher-id copy.
+    """
+    from ecommerce_etl_pipeline_spark.llmops.clustering import (
+        assign_to_seeds,
+        connected_components,
+    )
+    from ecommerce_etl_pipeline_spark.llmops.similarity import cosine
+
+    seeds = (
+        vectors.orderBy(id_col)
+        .limit(n_seeds)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+    )
+    assigned = assign_to_seeds(
+        vectors, seeds, id_col=id_col, vec_col=vec_col
+    ).select("id", "cluster", "vec")
+    # within-cluster candidate pairs: the self-join key IS the cluster —
+    # unhinted per the JOIN STRATEGY doctrine (both sides corpus-sized)
+    l, r = assigned.alias("l"), assigned.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.cluster") == F.col("r.cluster"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .withColumn("cosine", cosine(F.col("l.vec"), F.col("r.vec")))
+        .filter(F.col("cosine") >= F.lit(threshold))
+        .select(F.col("l.id").alias("doc1"), F.col("r.id").alias("doc2"))
+    )
+    comps = connected_components(pairs)
+    dropped = comps.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("id"), F.lit(False).alias("kept")
+    )
+    out = assigned.select("id", "cluster").join(dropped, "id", "left")
+    result = out.select(
+        F.col("id").alias(id_col),
+        "cluster",
+        F.coalesce(F.col("kept"), F.lit(True)).alias("kept"),
+    )
+    result.retained_caches = getattr(comps, "retained_caches", [])
+    return result

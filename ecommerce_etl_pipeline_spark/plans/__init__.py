@@ -80,7 +80,7 @@ _DRIVER_WINDOW = [
     "sm3_ri_cascade_sample",
     "sm4_generated_transactions",
     "txt_compression_ratio",
-    # -- 9 new round-3 operators (8 oracle-backed + 1 rows-only trainer)
+    # -- 10 new round-3 operators (9 oracle-backed + 1 rows-only trainer)
     "mm_png_decode",
     "txt_chunk_overlap",
     "txt_shard_manifest",
@@ -90,10 +90,10 @@ _DRIVER_WINDOW = [
     "sim_rp_topk",
     "sm8_weighted_sample",
     "dd_span_excision",
-    # -- 16 rotated-back r1/r2 greens spanning every family
+    "dd_semantic_dedup",
+    # -- 15 rotated-back r1/r2 greens spanning every family
     "a1_daily_sales",
     "p1_projection_filter",
-    "sc_temporal_features",
     "o1_global_topk",
     "j1_order_lineitem_join",
     "j9_asof_join",

@@ -675,6 +675,73 @@ def dd_jaccard_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEM_COS = (
+    "list_sum(list_transform(generate_series(1, len(ea.embedding)), "
+    "i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE))) "
+    "/ (sqrt(list_sum(list_transform(generate_series(1, len(ea.embedding)), "
+    "i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(ea.embedding[i] AS DOUBLE)))) "
+    "* sqrt(list_sum(list_transform(generate_series(1, len(eb.embedding)), "
+    "i -> CAST(eb.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))))"
+)
+
+
+@register(
+    "dd_semantic_dedup",
+    oracle=f"""
+    WITH RECURSIVE seeds AS (
+        SELECT vec_id AS cid, embedding AS cvec
+        FROM embeddings ORDER BY vec_id LIMIT 4
+    ),
+    scored AS (
+        SELECT p.vec_id, s.cid,
+               list_sum(list_transform(generate_series(1, len(p.embedding)),
+                   i -> (CAST(p.embedding[i] AS DOUBLE) - CAST(s.cvec[i] AS DOUBLE))
+                        * (CAST(p.embedding[i] AS DOUBLE) - CAST(s.cvec[i] AS DOUBLE))))
+                   AS dist
+        FROM embeddings p CROSS JOIN seeds s
+    ),
+    assigned AS (
+        SELECT vec_id, cid AS cluster FROM (
+            SELECT vec_id, cid, dist,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    ),
+    pairs AS (
+        SELECT a.vec_id AS p1, b.vec_id AS p2
+        FROM assigned a
+        JOIN assigned b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        JOIN embeddings ea ON ea.vec_id = a.vec_id
+        JOIN embeddings eb ON eb.vec_id = b.vec_id
+        WHERE {_SEM_COS} >= 0.35
+    ),
+    edges AS (
+        SELECT p1 AS a, p2 AS b FROM pairs UNION SELECT p2, p1 FROM pairs
+    ),
+    reach(node, r) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.a, re.r FROM edges e JOIN reach re ON e.b = re.node
+    ),
+    comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+    SELECT a.vec_id, a.cluster,
+           (c.node IS NULL OR c.component = a.vec_id) AS kept
+    FROM assigned a LEFT JOIN comp c ON c.node = a.vec_id
+    """,
+    doc="SemDeDup (Abbas et al. 2023) end-to-end: coarse-cluster the "
+    "embedding space (deterministic lowest-id seed assignment — the "
+    "oracle-able twin of the trained quantizer), generate near-duplicate "
+    "candidates WITHIN clusters only (pair cost sum(|cluster|^2), never "
+    "corpus^2 — k scales with the corpus to bound cluster size), resolve "
+    "cosine>=0.35 pairs to components, keep each component's min-id "
+    "member (llmops/dedup.py::semantic_dedup). Oracle replays the whole "
+    "pipeline in DuckDB including a recursive-CTE transitive closure.",
+)
+def dd_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.semantic_dedup(emb, threshold=0.35)
+
+
 @register(
     "sim_lsh_topk",
     doc="Random-hyperplane LSH approximate top-k (8 planes = 256 buckets, "

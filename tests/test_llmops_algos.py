@@ -567,3 +567,21 @@ def test_duplicate_span_excision_handcrafted(spark):
     assert abs(out[2].dup_fraction - 10 / 13) < 1e-12
     assert out[3].n_dup_tokens == 0 and out[4].n_dup_tokens == 0
     assert out[4].excised_text == "short doc"
+
+
+def test_semantic_dedup_invariants(spark, sf_dir):
+    """SemDeDup contract: exactly one kept representative per duplicate
+    component, the representative is the min id, clusters partition the
+    corpus, and raising the threshold monotonically keeps more."""
+    from ecommerce_etl_pipeline_spark.llmops.dedup import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    total = emb.count()
+    out = semantic_dedup(emb, threshold=0.35).collect()
+    assert len(out) == total
+    assert len({r.vec_id for r in out}) == total
+    assert {r.cluster for r in out} <= {0, 1, 2, 3}
+    kept35 = sum(r.kept for r in out)
+    assert 0 < kept35 < total  # non-trivial boundary at this threshold
+    kept40 = sum(r.kept for r in semantic_dedup(emb, threshold=0.4).collect())
+    assert kept40 >= kept35

@@ -80,7 +80,7 @@ _DRIVER_WINDOW = [
     "sm3_ri_cascade_sample",
     "sm4_generated_transactions",
     "txt_compression_ratio",
-    # -- 10 new round-3 operators (9 oracle-backed + 1 rows-only trainer)
+    # -- 11 new round-3 operators (10 oracle-backed + 1 rows-only trainer)
     "mm_png_decode",
     "txt_chunk_overlap",
     "txt_shard_manifest",
@@ -91,7 +91,8 @@ _DRIVER_WINDOW = [
     "sm8_weighted_sample",
     "dd_span_excision",
     "dd_semantic_dedup",
-    # -- 15 rotated-back r1/r2 greens spanning every family
+    "txt_dataset_card",
+    # -- 14 rotated-back r1/r2 greens spanning every family
     "a1_daily_sales",
     "p1_projection_filter",
     "o1_global_topk",
@@ -104,7 +105,6 @@ _DRIVER_WINDOW = [
     "txt_token_stats",
     "sim_cosine_topk",
     "sim_lsh_recall",
-    "mm_asset_features",
     "sql_nation_revenue",
     "dq_validation_report",
 ]

@@ -675,6 +675,65 @@ def dd_jaccard_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "txt_dataset_card",
+    oracle=f"""
+    WITH per_doc AS (
+        SELECT doc_id, source,
+               len(string_split(text, ' ')) AS n_tokens,
+               md5(text) AS h,
+               1.0 / (1.0 + exp(-(-1.2
+                   + 0.35 * ln(len(string_split(text, ' ')))
+                   + -4.0 * (CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
+                             AS DOUBLE) / length(text))
+                   + 2.5 * (CAST(len(list_filter(string_split(text, ' '),
+                             x -> list_contains(['the','a','and','of','to','in','is'], x)))
+                             AS DOUBLE) / len(string_split(text, ' ')))))) AS q
+        FROM documents
+    )
+    SELECT COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(COUNT(*) - COUNT(DISTINCT h) AS BIGINT) AS n_exact_dups,
+           {sql_round("CAST(COUNT(*) - COUNT(DISTINCT h) AS DOUBLE) / COUNT(*)", 6)}
+               AS dup_rate,
+           CAST(COUNT(*) FILTER (WHERE {sql_round("q", 6)} >= 0.5) AS BIGINT)
+               AS n_quality_pass,
+           {sql_round("AVG(CAST(n_tokens AS DOUBLE))", 4)} AS mean_tokens
+    FROM per_doc
+    """,
+    doc="Dataset card: the one-row corpus report published alongside a "
+    "training set — document/token/source counts, exact-duplicate rate, "
+    "learned-quality pass count (same rounded-score boundary as "
+    "txt_quality_logit), mean length. One scan + one global aggregate; "
+    "every input signal is an operator this engine already runs at scale, "
+    "so the card costs one pass however big the corpus.",
+)
+def txt_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    q = portable_round(text.quality_logit_score(t), 6)
+    return docs.select(
+        "doc_id",
+        "source",
+        text.token_count(t).alias("n_tokens"),
+        F.md5(t).alias("h"),
+        q.alias("q"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.countDistinct("source").alias("n_sources"),
+        (F.count(F.lit(1)) - F.countDistinct("h")).alias("n_exact_dups"),
+        portable_round(
+            (F.count(F.lit(1)) - F.countDistinct("h")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("dup_rate"),
+        F.count(F.when(F.col("q") >= 0.5, 1)).alias("n_quality_pass"),
+        portable_round(F.avg(F.col("n_tokens").cast("double")), 4).alias("mean_tokens"),
+    )
+
+
 _SEM_COS = (
     "list_sum(list_transform(generate_series(1, len(ea.embedding)), "
     "i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE))) "

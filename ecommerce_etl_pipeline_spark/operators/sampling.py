@@ -80,9 +80,18 @@ def weighted_sample_exact(
 
     u = (hash_uint32(F.col(id_col), salt) + F.lit(1)) / F.lit(4294967296.0)
     w = weight_col if isinstance(weight_col, F.Column) else F.col(weight_col)
-    key = F.log(u) / w.cast("double")
-    ranked = df.withColumn("_wkey", key).withColumn(
-        "_rn",
-        F.row_number().over(Window.orderBy(F.desc("_wkey"), F.col(id_col))),
+    w = w.cast("double")
+    key = F.log(u) / w
+    # Rows with NULL or non-positive weight are EXCLUDED up front: E-S is
+    # undefined for w <= 0, and a NULL key would rank differently across
+    # engines (Spark DESC puts NULLs last, DuckDB first) — an explicit
+    # filter beats a silent cross-engine divergence.
+    ranked = (
+        df.filter(w > 0)
+        .withColumn("_wkey", key)
+        .withColumn(
+            "_rn",
+            F.row_number().over(Window.orderBy(F.desc("_wkey"), F.col(id_col))),
+        )
     )
     return ranked.filter(F.col("_rn") <= n).drop("_wkey", "_rn")

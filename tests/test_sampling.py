@@ -104,3 +104,18 @@ def test_weighted_sample_biases_toward_heavy_rows(spark, sf_dir):
     a = {r.doc_id for r in weighted_sample_exact(docs, 50, "doc_id", "n_tokens").collect()}
     b = {r.doc_id for r in weighted_sample_exact(docs, 50, "doc_id", "n_tokens").collect()}
     assert a == b
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    """E-S is undefined for w <= 0; such rows (and NULL weights) are
+    excluded up front rather than ranked engine-dependently."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_etl_pipeline_spark.operators.sampling import weighted_sample_exact
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 0.0), (3, -1.0), (4, None), (5, 2.0)],
+        "id LONG, w DOUBLE",
+    )
+    got = {r.id for r in weighted_sample_exact(df, 10, "id", F.col("w")).collect()}
+    assert got == {1, 5}

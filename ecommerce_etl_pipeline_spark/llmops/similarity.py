@@ -460,6 +460,48 @@ def rp_topk(
     )
 
 
+def rp_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_dim: int = 32,
+    beam: int = 100,
+    k: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """Two-stage ANN: random-projection beam search + exact full-dimension
+    re-rank — the production operating point :func:`rp_topk`'s docstring
+    prescribes, packaged as one operator. Stage 1 scans the corpus once in
+    the out_dim sketch space and keeps a ``beam``-wide candidate list per
+    query; stage 2 recomputes exact cosines for only |queries| x beam
+    pairs and returns the top ``k``. At 100 TB: one cheap corpus scan
+    (dim/out_dim less math), then a re-rank whose cost is beam-bounded —
+    the candidate list broadcasts BY CONSTRUCTION (|q| x beam rows,
+    hyperparameter-sized), never the corpus. Fully deterministic, so both
+    stages replay exactly in a SQL oracle.
+    """
+    cand = rp_topk(
+        corpus, queries, id_col=id_col, vec_col=vec_col, out_dim=out_dim,
+        k=beam, seed=seed,
+    ).select("query_id", "neighbor_id")
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    scored = (
+        c.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn("cosine", cosine(F.col("qv"), F.col("cv")))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def _first_dim(df: DataFrame, vec_col: str) -> int:
     """Embedding width read from the data (never a trusted parameter —
     see the lsh dim-mismatch guard this mirrors)."""

@@ -80,7 +80,7 @@ _DRIVER_WINDOW = [
     "sm3_ri_cascade_sample",
     "sm4_generated_transactions",
     "txt_compression_ratio",
-    # -- 11 new round-3 operators (10 oracle-backed + 1 rows-only trainer)
+    # -- 12 new round-3 operators (11 oracle-backed + 1 rows-only trainer)
     "mm_png_decode",
     "txt_chunk_overlap",
     "txt_shard_manifest",
@@ -92,7 +92,8 @@ _DRIVER_WINDOW = [
     "dd_span_excision",
     "dd_semantic_dedup",
     "txt_dataset_card",
-    # -- 14 rotated-back r1/r2 greens spanning every family
+    "sim_rp_rerank",
+    # -- 13 rotated-back r1/r2 greens spanning every family
     "a1_daily_sales",
     "p1_projection_filter",
     "o1_global_topk",
@@ -105,7 +106,6 @@ _DRIVER_WINDOW = [
     "txt_token_stats",
     "sim_cosine_topk",
     "sim_lsh_recall",
-    "sql_nation_revenue",
     "dq_validation_report",
 ]
 

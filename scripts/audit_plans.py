@@ -63,6 +63,7 @@ EXPECTED = {
     "sim_lsh_topk": "query signatures",
     "sim_quantized_topk": "query codes",
     "sim_rp_topk": "projected query vectors (vec_id < 5)",
+    "sim_rp_rerank": "beam candidate list (|q| x beam rows) + query vectors",
 }
 
 

@@ -585,3 +585,29 @@ def test_semantic_dedup_invariants(spark, sf_dir):
     assert 0 < kept35 < total  # non-trivial boundary at this threshold
     kept40 = sum(r.kept for r in semantic_dedup(emb, threshold=0.4).collect())
     assert kept40 >= kept35
+
+
+def test_rp_rerank_end_to_end_recall(spark, sf_dir):
+    """The two-stage operator's final recall@10 equals its stage-1
+    candidate recall (re-rank is exact within the beam), so it must meet
+    the same measured floor — and every returned cosine must equal the
+    brute-force value for that pair."""
+    from ecommerce_etl_pipeline_spark.llmops.similarity import (
+        brute_force_topk,
+        rp_rerank_topk,
+        topk_recall,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, qs, k=10)
+    two_stage = rp_rerank_topk(emb, qs, out_dim=32, beam=100, k=10)
+    rec = topk_recall(exact, two_stage, 10).collect()
+    mean = sum(float(r.recall) for r in rec) / len(rec)
+    assert mean >= 0.7, f"two-stage recall collapsed: {mean:.2f}"
+    # exactness of stage 2: scores agree with brute force on shared pairs
+    ex = {(r.query_id, r.neighbor_id): r.cosine for r in exact.collect()}
+    for r in two_stage.collect():
+        key = (r.query_id, r.neighbor_id)
+        if key in ex:
+            assert abs(r.cosine - ex[key]) < 1e-12

@@ -80,7 +80,7 @@ _DRIVER_WINDOW = [
     "sm3_ri_cascade_sample",
     "sm4_generated_transactions",
     "txt_compression_ratio",
-    # -- 12 new round-3 operators (11 oracle-backed + 1 rows-only trainer)
+    # -- 13 new round-3 operators (12 oracle-backed + 1 rows-only trainer)
     "mm_png_decode",
     "txt_chunk_overlap",
     "txt_shard_manifest",
@@ -93,10 +93,10 @@ _DRIVER_WINDOW = [
     "dd_semantic_dedup",
     "txt_dataset_card",
     "sim_rp_rerank",
-    # -- 13 rotated-back r1/r2 greens spanning every family
+    "u5_cdc_merge",
+    # -- 12 rotated-back r1/r2 greens spanning every family
     "a1_daily_sales",
     "p1_projection_filter",
-    "o1_global_topk",
     "j1_order_lineitem_join",
     "j9_asof_join",
     "w4_sessionize",

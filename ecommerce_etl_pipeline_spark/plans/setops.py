@@ -131,3 +131,83 @@ def u4_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         "value",
     )
+
+
+@register(
+    "u5_cdc_merge",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               0 AS s, 'I' AS op
+        FROM orders
+    ),
+    upd AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 100,
+               1, 'U'
+        FROM orders WHERE o_orderkey % 10 = 0
+    ),
+    del AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 2, 'D'
+        FROM orders WHERE o_orderkey % 17 = 0
+    ),
+    ins AS (
+        SELECT o_orderkey + 1000000000, o_custkey, 'N', 1.0, 1, 'I'
+        FROM orders WHERE o_orderkey % 23 = 0
+    ),
+    allr AS (
+        SELECT * FROM base UNION ALL SELECT * FROM upd
+        UNION ALL SELECT * FROM del UNION ALL SELECT * FROM ins
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                                     ORDER BY s DESC, op DESC) AS rn
+        FROM allr
+    )
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           floor(o_totalprice * 100 + 0.5) / 100 AS o_totalprice
+    FROM ranked WHERE rn = 1 AND op != 'D'
+    """,
+    doc="CDC MERGE apply (operators/cdc.py::apply_changes) — the "
+    "Delta/Iceberg APPLY CHANGES shape without a table format: a "
+    "deterministic change feed (updates on keys %10, deletes on %17, "
+    "inserts of new keys on %23, sequence-ordered) resolves per-key "
+    "latest-wins against the base snapshot, deletes remove rows, base "
+    "rows ride as sequence-0 upserts. ONE key shuffle (window rank), no "
+    "join; the full forward of the reference's upsert-lite (S9) to real "
+    "MERGE semantics.",
+)
+def u5_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecommerce_etl_pipeline_spark.functions.exact_agg import portable_round
+    from ecommerce_etl_pipeline_spark.operators.cdc import apply_changes
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    upd = orders.filter(k % 10 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        (F.col("o_totalprice") + F.lit(100)).alias("o_totalprice"),
+        F.lit(1).alias("_seq"),
+        F.lit("U").alias("_op"),
+    )
+    dele = orders.filter(k % 17 == 0).select(
+        *orders.columns, F.lit(2).alias("_seq"), F.lit("D").alias("_op")
+    )
+    ins = orders.filter(k % 23 == 0).select(
+        (k + F.lit(1000000000)).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        F.lit(1.0).alias("o_totalprice"),
+        F.lit(1).alias("_seq"),
+        F.lit("I").alias("_op"),
+    )
+    changes = upd.unionByName(dele).unionByName(ins)
+    merged = apply_changes(orders, changes, ["o_orderkey"])
+    return merged.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        portable_round(F.col("o_totalprice"), 2).alias("o_totalprice"),
+    )

@@ -1,6 +1,8 @@
 """Structured Streaming surface (SURVEY.md §2.11)."""
 
 from ecommerce_etl_pipeline_spark.streaming.streams import (  # noqa: F401
+    cdc_apply_stream,
+    cdc_snapshot,
     daily_sales_stream,
     deduped_events_stream,
     ingest_dedup_stream,

@@ -31,6 +31,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.window import Window
 from pyspark.sql.types import (
     DoubleType,
     LongType,
@@ -298,6 +299,66 @@ def enriched_events_stream(events: DataFrame, dim: DataFrame) -> DataFrame:
     than dropping facts).
     """
     return events.join(F.broadcast(dim), "user_id", "left")
+
+
+def cdc_apply_stream(
+    changes: DataFrame,
+    snapshot_table: str,
+    key_cols: list[str],
+    *,
+    seq_col: str = "_seq",
+    op_col: str = "_op",
+    timeout_sec: int = 120,
+) -> None:
+    """Streaming MERGE materialization — the streaming face of
+    operators/cdc.py::apply_changes: a ``foreachBatch`` sink folds each
+    change micro-batch into a persistent snapshot table with latest-wins
+    semantics that hold even when micro-batches arrive OUT OF ORDER. The
+    snapshot keeps every key's last applied (seq, op) — including delete
+    TOMBSTONES — so a late-arriving lower-sequence change can never
+    regress a key and a post-delete straggler cannot resurrect it; that
+    is exactly why tombstones exist in every log-structured store, and
+    dropping them is a separate compaction policy decision. Read the
+    live view with :func:`cdc_snapshot` (filters tombstones).
+
+    Scale shape per batch: one key shuffle (window rank) over
+    snapshot ∪ batch — no join — then an overwrite of the snapshot
+    table (localCheckpoint breaks the read-overwrite cycle; on a real
+    lakehouse this sink is a Delta/Iceberg MERGE with the same plan).
+    """
+
+    def sink(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        if spark.catalog.tableExists(snapshot_table):
+            cur = spark.table(snapshot_table)
+            merged = cur.unionByName(batch)
+        else:
+            merged = batch
+        ranked = merged.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(*key_cols).orderBy(
+                    F.desc(seq_col), F.desc(op_col)
+                )
+            ),
+        )
+        out = ranked.filter(F.col("_rn") == 1).drop("_rn").localCheckpoint(eager=True)
+        out.write.mode("overwrite").saveAsTable(snapshot_table)
+
+    q = (
+        changes.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="cdc-chk-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+
+
+def cdc_snapshot(spark: SparkSession, snapshot_table: str, *, op_col: str = "_op"):
+    """Live view of a :func:`cdc_apply_stream` snapshot: tombstones and
+    bookkeeping columns removed."""
+    t = spark.table(snapshot_table)
+    return t.filter(F.col(op_col) != "D").drop("_seq", op_col)
 
 
 def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -33,3 +33,55 @@ def test_apply_changes_empty_feed_is_identity(spark):
     empty = spark.createDataFrame([], "k LONG, v STRING, _seq LONG, _op STRING")
     got = {r.k: r.v for r in apply_changes(base, empty, ["k"]).collect()}
     assert got == {1: "a", 2: "b"}
+
+
+def test_cdc_apply_stream_matches_batch_even_out_of_order(spark, tmp_path):
+    """Streaming MERGE materialization == batch apply_changes on the same
+    feed, even when micro-batches arrive OUT OF SEQUENCE order: the
+    persisted tombstones and per-key sequence numbers make the fold
+    commutative across batches."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ecommerce_etl_pipeline_spark.operators.cdc import apply_changes
+    from ecommerce_etl_pipeline_spark.streaming import cdc_apply_stream, cdc_snapshot
+
+    schema = pa.schema(
+        [("k", pa.int64()), ("v", pa.string()), ("_seq", pa.int64()), ("_op", pa.string())]
+    )
+
+    def write(name, rows):
+        cols = list(zip(*rows)) if rows else [[], [], [], []]
+        pq.write_table(
+            pa.table({f.name: list(c) for f, c in zip(schema, cols)}, schema=schema),
+            str(tmp_path / name),
+        )
+
+    # f0: the base snapshot rides as seq-0 inserts
+    write("f0.parquet", [(k, f"v{k}", 0, "I") for k in range(1, 8)])
+    # f1: a LATER-sequence delete arrives in an EARLIER batch than...
+    write("f1.parquet", [(5, "x", 3, "D"), (6, "mid", 2, "U"), (8, "new", 1, "I")])
+    # f2: ...these lower-sequence stragglers, which must NOT win
+    write("f2.parquet", [(5, "late", 2, "U"), (6, "stale", 1, "U"), (7, "x", 1, "D")])
+
+    changes = (
+        spark.readStream.schema(
+            "k LONG, v STRING, _seq LONG, _op STRING"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(tmp_path))
+    )
+    cdc_apply_stream(changes, "t_cdc_snapshot", ["k"])
+    got = {r.k: r.v for r in cdc_snapshot(spark, "t_cdc_snapshot").collect()}
+
+    base = spark.createDataFrame([(k, f"v{k}") for k in range(1, 8)], "k LONG, v STRING")
+    all_changes = spark.createDataFrame(
+        [
+            (5, "x", 3, "D"), (6, "mid", 2, "U"), (8, "new", 1, "I"),
+            (5, "late", 2, "U"), (6, "stale", 1, "U"), (7, "x", 1, "D"),
+        ],
+        "k LONG, v STRING, _seq LONG, _op STRING",
+    )
+    want = {r.k: r.v for r in apply_changes(base, all_changes, ["k"]).collect()}
+    assert got == want
+    assert got[6] == "mid" and 5 not in got and 7 not in got and got[8] == "new"

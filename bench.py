@@ -53,6 +53,17 @@ HEADLINE = [
     "dd_curation_pipeline",
 ]
 
+#: Round-3 flagship operators, timed separately so the HEADLINE metric
+#: stays comparable across rounds (one timed run each, reported under
+#: "extended" — informational, not part of headline_total).
+EXTENDED = [
+    "dd_span_excision",
+    "dd_semantic_dedup",
+    "sim_rp_rerank",
+    "txt_chunk_overlap",
+    "u5_cdc_merge",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -83,6 +94,15 @@ def main() -> None:
     median3 = {
         name: round(sorted(r[name] for r in runs)[1], 3) for name in HEADLINE
     }
+
+    extended: dict[str, float] = {}
+    for name in EXTENDED:
+        if name not in queries:
+            continue
+        t0 = time.perf_counter()
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        extended[name] = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()
     print(
         json.dumps(
             {
@@ -93,6 +113,7 @@ def main() -> None:
                 "queries": runs[0],
                 "value_median3": round(sum(median3.values()), 3),
                 "queries_median3": median3,
+                "extended": extended,
                 "sf": sf,
             }
         )

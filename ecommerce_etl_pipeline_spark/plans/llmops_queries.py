@@ -749,7 +749,9 @@ _SEM_COS = (
     oracle=f"""
     WITH RECURSIVE seeds AS (
         SELECT vec_id AS cid, embedding AS cvec
-        FROM embeddings ORDER BY vec_id LIMIT 4
+        FROM embeddings ORDER BY vec_id
+        LIMIT (SELECT GREATEST(4, CAST(ceil(COUNT(*) / 125.0) AS BIGINT))
+               FROM embeddings)
     ),
     scored AS (
         SELECT p.vec_id, s.cid,

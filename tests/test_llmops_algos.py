@@ -580,7 +580,8 @@ def test_semantic_dedup_invariants(spark, sf_dir):
     out = semantic_dedup(emb, threshold=0.35).collect()
     assert len(out) == total
     assert len({r.vec_id for r in out}) == total
-    assert {r.cluster for r in out} <= {0, 1, 2, 3}
+    n_seeds = max(4, -(-total // 125))
+    assert {r.cluster for r in out} <= set(range(n_seeds))
     kept35 = sum(r.kept for r in out)
     assert 0 < kept35 < total  # non-trivial boundary at this threshold
     kept40 = sum(r.kept for r in semantic_dedup(emb, threshold=0.4).collect())

@@ -46,6 +46,16 @@ def test_cdc_apply_stream_matches_batch_even_out_of_order(spark, tmp_path):
     from ecommerce_etl_pipeline_spark.operators.cdc import apply_changes
     from ecommerce_etl_pipeline_spark.streaming import cdc_apply_stream, cdc_snapshot
 
+    # the snapshot persists across sessions/runs — and a PREVIOUS
+    # session's managed-table directory can survive as an orphan the
+    # current catalog doesn't know about (LOCATION_ALREADY_EXISTS on
+    # create). Clean both the catalog entry and the location.
+    import shutil
+
+    spark.sql("DROP TABLE IF EXISTS t_cdc_snapshot")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{wh}/t_cdc_snapshot", ignore_errors=True)
+
     schema = pa.schema(
         [("k", pa.int64()), ("v", pa.string()), ("_seq", pa.int64()), ("_op", pa.string())]
     )

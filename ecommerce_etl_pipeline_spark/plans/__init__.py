@@ -80,7 +80,7 @@ _DRIVER_WINDOW = [
     "sm3_ri_cascade_sample",
     "sm4_generated_transactions",
     "txt_compression_ratio",
-    # -- 13 new round-3 operators (12 oracle-backed + 1 rows-only trainer)
+    # -- 15 new round-3 operators (14 oracle-backed + 1 rows-only trainer)
     "mm_png_decode",
     "txt_chunk_overlap",
     "txt_shard_manifest",
@@ -94,7 +94,9 @@ _DRIVER_WINDOW = [
     "txt_dataset_card",
     "sim_rp_rerank",
     "u5_cdc_merge",
-    # -- 12 rotated-back r1/r2 greens spanning every family
+    "txt_vocab_encode",
+    "txt_source_scorecard",
+    # -- 10 rotated-back r1/r2 greens spanning every family
     "a1_daily_sales",
     "p1_projection_filter",
     "j1_order_lineitem_join",
@@ -102,8 +104,6 @@ _DRIVER_WINDOW = [
     "w4_sessionize",
     "w11_salted_hot_keys",
     "dd_curation_pipeline",
-    "dd_eval_decontam",
-    "txt_token_stats",
     "sim_cosine_topk",
     "sim_lsh_recall",
     "dq_validation_report",

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ecommerce_etl_pipeline_spark.functions.exact_agg import portable_round, sql_round
 from ecommerce_etl_pipeline_spark.llmops import (
@@ -1413,6 +1414,128 @@ def txt_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("freq"), F.asc("token"))
         .limit(50)
+    )
+
+
+@register(
+    "txt_vocab_encode",
+    oracle="""
+    WITH vocab AS (
+        SELECT tok AS token,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) AS token_id
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        GROUP BY tok
+        ORDER BY COUNT(*) DESC, tok
+        LIMIT 256
+    ),
+    toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS INTEGER) AS n_tokens,
+           CAST(COUNT(*) FILTER (WHERE v.token_id IS NULL) AS INTEGER) AS n_oov,
+           CAST(COUNT(*) FILTER (WHERE v.token_id IS NULL) AS DOUBLE) / COUNT(*)
+               AS oov_rate,
+           CAST(SUM(COALESCE(v.token_id, 0)) AS BIGINT) AS ids_checksum
+    FROM toks t LEFT JOIN vocab v USING (token)
+    GROUP BY t.doc_id
+    """,
+    doc="Vocabulary-encoding application — the tokenizer-apply shape: a "
+    "256-term vocabulary is DERIVED from the corpus (rank by frequency, "
+    "deterministic ties) and every document's tokens map through it, "
+    "reporting per-doc token/OOV counts and an order-independent integer "
+    "checksum of the assigned ids (any id-assignment or lookup bug "
+    "changes it). Scale shape: the vocabulary is top-V bounded, so the "
+    "encode join's build side is hyperparameter-sized and broadcasts from "
+    "honest post-aggregate statistics; the corpus streams through once. "
+    "Swapping in a real subword vocab is a literal-table change.",
+)
+def txt_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    # top-V first (TakeOrdered — no global sort), THEN rank ids with a
+    # window over the 256 surviving rows only: the single-partition
+    # row_number never sees more than V rows however big the vocabulary is
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(256)
+        .withColumn(
+            "token_id",
+            F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("token"))),
+        )
+        .select("token", "token_id")
+    )
+    return (
+        toks.join(vocab, "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_tokens"),
+            F.count(F.when(F.col("token_id").isNull(), 1)).cast("int").alias("n_oov"),
+            (
+                F.count(F.when(F.col("token_id").isNull(), 1)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("oov_rate"),
+            F.sum(F.coalesce(F.col("token_id"), F.lit(0))).cast("bigint").alias(
+                "ids_checksum"
+            ),
+        )
+    )
+
+
+@register(
+    "txt_source_scorecard",
+    oracle="""
+    WITH per_doc AS (
+        SELECT doc_id, source,
+               len(string_split(text, ' ')) AS n_tokens,
+               md5(text) AS h,
+               1.0 / (1.0 + exp(-(-1.2
+                   + 0.35 * ln(len(string_split(text, ' ')))
+                   + -4.0 * (CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
+                             AS DOUBLE) / length(text))
+                   + 2.5 * (CAST(len(list_filter(string_split(text, ' '),
+                             x -> list_contains(['the','a','and','of','to','in','is'], x)))
+                             AS DOUBLE) / len(string_split(text, ' ')))))) AS q
+        FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(COUNT(*) - COUNT(DISTINCT h) AS BIGINT) AS n_exact_dups,
+           CAST(COUNT(*) FILTER (WHERE floor(q * 1e6 + 0.5) / 1e6 >= 0.5) AS BIGINT)
+               AS n_quality_pass,
+           floor(AVG(CAST(n_tokens AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS mean_tokens
+    FROM per_doc GROUP BY source
+    """,
+    doc="Per-source scorecard — the per-dump/per-domain report curation "
+    "teams rank ingestion sources by (FineWeb publishes exactly this "
+    "table per CommonCrawl dump): document/token counts, within-source "
+    "exact-duplicate count, learned-quality pass count, mean length. One "
+    "scan, one map-side-combined groupBy on source.",
+)
+def txt_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    q = portable_round(text.quality_logit_score(t), 6)
+    return (
+        docs.select(
+            "source",
+            text.token_count(t).alias("n_tokens"),
+            F.md5(t).alias("h"),
+            q.alias("q"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            (F.count(F.lit(1)) - F.countDistinct("h")).alias("n_exact_dups"),
+            F.count(F.when(F.col("q") >= 0.5, 1)).alias("n_quality_pass"),
+            portable_round(F.avg(F.col("n_tokens").cast("double")), 4).alias(
+                "mean_tokens"
+            ),
+        )
     )
 
 

@@ -80,7 +80,7 @@ _DRIVER_WINDOW = [
     "sm3_ri_cascade_sample",
     "sm4_generated_transactions",
     "txt_compression_ratio",
-    # -- 15 new round-3 operators (14 oracle-backed + 1 rows-only trainer)
+    # -- 16 new round-3 operators (15 oracle-backed + 1 rows-only trainer)
     "mm_png_decode",
     "txt_chunk_overlap",
     "txt_shard_manifest",
@@ -96,7 +96,8 @@ _DRIVER_WINDOW = [
     "u5_cdc_merge",
     "txt_vocab_encode",
     "txt_source_scorecard",
-    # -- 10 rotated-back r1/r2 greens spanning every family
+    "sim_label_centroids",
+    # -- 9 rotated-back r1/r2 greens spanning every family
     "a1_daily_sales",
     "p1_projection_filter",
     "j1_order_lineitem_join",
@@ -104,7 +105,6 @@ _DRIVER_WINDOW = [
     "w4_sessionize",
     "w11_salted_hot_keys",
     "dd_curation_pipeline",
-    "sim_cosine_topk",
     "sim_lsh_recall",
     "dq_validation_report",
 ]

@@ -735,6 +735,64 @@ def txt_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sim_label_centroids",
+    oracle=f"""
+    WITH dims AS (
+        SELECT e.label, t.d, SUM(CAST(e.embedding[t.d] AS DOUBLE)) AS sv
+        FROM embeddings e, UNNEST(generate_series(1, len(e.embedding))) AS t(d)
+        GROUP BY e.label, t.d
+    ),
+    norms AS (
+        SELECT label, sqrt(SUM(sv * sv)) AS s2 FROM dims GROUP BY label
+    ),
+    stats AS (
+        SELECT label, COUNT(*) AS n_members,
+               AVG(list_sum(list_transform(generate_series(1, len(embedding)),
+                   i -> CAST(embedding[i] AS DOUBLE)
+                        * CAST(embedding[i] AS DOUBLE)))) AS mean_sq_norm
+        FROM embeddings GROUP BY label
+    )
+    SELECT s.label, s.n_members,
+           {sql_round("n.s2 / s.n_members", 4)} AS centroid_norm,
+           {sql_round("sqrt(s.mean_sq_norm)", 4)} AS rms_vector_norm
+    FROM stats s JOIN norms n USING (label)
+    """,
+    doc="Per-label embedding centroid statistics — the drift/quality "
+    "monitor an embedding pipeline publishes per class or per snapshot: "
+    "member counts, centroid L2 norm (from per-dimension sums — one "
+    "map-side-combined label*dim-cell shuffle, the kmeans_step "
+    "recomputation shape), and RMS vector norm. A centroid norm that "
+    "drifts toward 0 means the label's vectors are dispersing; a moving "
+    "RMS norm means the encoder changed. The driver never holds a "
+    "vector.",
+)
+def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    stats = emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.avg(sq).alias("mean_sq_norm"),
+    )
+    dims = (
+        emb.select("label", F.posexplode("embedding").alias("d", "val"))
+        .groupBy("label", "d")
+        .agg(F.sum(F.col("val").cast("double")).alias("sv"))
+        .groupBy("label")
+        .agg(F.sqrt(F.sum(F.col("sv") * F.col("sv"))).alias("s2"))
+    )
+    return stats.join(dims, "label").select(
+        "label",
+        "n_members",
+        portable_round(F.col("s2") / F.col("n_members"), 4).alias("centroid_norm"),
+        portable_round(F.sqrt(F.col("mean_sq_norm")), 4).alias("rms_vector_norm"),
+    )
+
+
 _SEM_COS = (
     "list_sum(list_transform(generate_series(1, len(ea.embedding)), "
     "i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE))) "

@@ -95,3 +95,45 @@ def test_cdc_apply_stream_matches_batch_even_out_of_order(spark, tmp_path):
     want = {r.k: r.v for r in apply_changes(base, all_changes, ["k"]).collect()}
     assert got == want
     assert got[6] == "mid" and 5 not in got and 7 not in got and got[8] == "new"
+
+
+def test_apply_changes_matches_reference_model(spark):
+    """Model-based check: on randomized feeds (small key/seq spaces to
+    force collisions), apply_changes must agree with a dictionary model
+    of latest-wins-with-tombstones. Payloads are a pure function of
+    (key, seq, op) so duplicate change rows stay deterministic."""
+    import random
+
+    from ecommerce_etl_pipeline_spark.operators.cdc import apply_changes
+
+    # op rank under the same (key, seq): 'U' > 'I' > 'D' (desc op order)
+    rank = {"U": 2, "I": 1, "D": 0}
+
+    for trial in range(6):
+        rng = random.Random(trial)
+        base_keys = rng.sample(range(20), rng.randint(3, 10))
+        base_rows = [(k, f"base-{k}") for k in base_keys]
+        changes_rows = []
+        for _ in range(rng.randint(5, 30)):
+            k = rng.randrange(20)
+            seq = rng.randint(1, 4)
+            op = rng.choice("UID")
+            changes_rows.append((k, f"{k}-{seq}-{op}", seq, op))
+
+        # reference model: per key, the (seq, op-rank)-max row decides
+        state = {}
+        for k, v in base_rows:
+            state[k] = (0, rank["I"], v, "I")
+        for k, v, seq, op in changes_rows:
+            cur = state.get(k)
+            cand = (seq, rank[op], v, op)
+            if cur is None or cand[:2] > cur[:2]:
+                state[k] = cand
+        want = {k: t[2] for k, t in state.items() if t[3] != "D"}
+
+        base = spark.createDataFrame(base_rows, "k LONG, v STRING")
+        changes = spark.createDataFrame(
+            changes_rows, "k LONG, v STRING, _seq LONG, _op STRING"
+        )
+        got = {r.k: r.v for r in apply_changes(base, changes, ["k"]).collect()}
+        assert got == want, (trial, got, want)

@@ -612,3 +612,31 @@ def test_rp_rerank_end_to_end_recall(spark, sf_dir):
         key = (r.query_id, r.neighbor_id)
         if key in ex:
             assert abs(r.cosine - ex[key]) < 1e-12
+
+
+def test_kmeans_train_inertia_close_to_mllib(spark, sf_dir):
+    """Quality context for the DataFrame-loop trainer: with the same k,
+    its converged within-cluster inertia must land within 10% of
+    pyspark.ml's KMeans (kmeans|| init, the production kernel). Lloyd's
+    from lowest-id seeds can trail a smarter init slightly — it must not
+    collapse to something structurally worse."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from ecommerce_etl_pipeline_spark.llmops.clustering import kmeans_step, kmeans_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    cents, _ = kmeans_train(emb, k=4, max_iterations=15)
+    seeds = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "cid INT, cvec ARRAY<DOUBLE>"
+    )
+    ours = sum(
+        r.avg_dist * r.n_members for r in kmeans_step(emb, seeds).collect()
+    )
+
+    with_vec = emb.withColumn("_v", array_to_vector(F.col("embedding")))
+    model = KMeans(k=4, seed=1, featuresCol="_v").fit(with_vec.select("_v"))
+    theirs = model.summary.trainingCost
+
+    assert ours <= theirs * 1.10, (ours, theirs)

@@ -80,7 +80,7 @@ _DRIVER_WINDOW = [
     "sm3_ri_cascade_sample",
     "sm4_generated_transactions",
     "txt_compression_ratio",
-    # -- 16 new round-3 operators (15 oracle-backed + 1 rows-only trainer)
+    # -- 17 new round-3 operators (16 oracle-backed + 1 rows-only trainer)
     "mm_png_decode",
     "txt_chunk_overlap",
     "txt_shard_manifest",
@@ -97,12 +97,12 @@ _DRIVER_WINDOW = [
     "txt_vocab_encode",
     "txt_source_scorecard",
     "sim_label_centroids",
-    # -- 9 rotated-back r1/r2 greens spanning every family
+    "w12_funnel_conversion",
+    # -- 8 rotated-back r1/r2 greens spanning every family
     "a1_daily_sales",
     "p1_projection_filter",
     "j1_order_lineitem_join",
     "j9_asof_join",
-    "w4_sessionize",
     "w11_salted_hot_keys",
     "dd_curation_pipeline",
     "sim_lsh_recall",

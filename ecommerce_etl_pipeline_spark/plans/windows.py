@@ -450,3 +450,97 @@ def w11_salted_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         buckets=16,
     )
+
+
+@register(
+    "w12_funnel_conversion",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               MIN(ts) FILTER (WHERE event_type = 'signup') AS t1,
+               MIN(ts) FILTER (WHERE event_type = 'view') AS t2,
+               MIN(ts) FILTER (WHERE event_type = 'click') AS t3,
+               MIN(ts) FILTER (WHERE event_type = 'purchase') AS t4
+        FROM events GROUP BY user_id
+    ),
+    flags AS (
+        SELECT (t1 IS NOT NULL) AS s1,
+               COALESCE(t2 > t1, FALSE) AS s2,
+               COALESCE(t2 > t1 AND t3 > t2, FALSE) AS s3,
+               COALESCE(t2 > t1 AND t3 > t2 AND t4 > t3, FALSE) AS s4
+        FROM per_user
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) FILTER (WHERE s1) AS BIGINT) AS n1,
+               CAST(COUNT(*) FILTER (WHERE s2) AS BIGINT) AS n2,
+               CAST(COUNT(*) FILTER (WHERE s3) AS BIGINT) AS n3,
+               CAST(COUNT(*) FILTER (WHERE s4) AS BIGINT) AS n4
+        FROM flags
+    )
+    SELECT stage, n_users,
+           floor(CAST(n_users AS DOUBLE) / n1 * 1e6 + 0.5) / 1e6 AS conversion
+    FROM (
+        SELECT 'signup' AS stage, n1 AS n_users, n1 FROM agg
+        UNION ALL SELECT 'view', n2, n1 FROM agg
+        UNION ALL SELECT 'click', n3, n1 FROM agg
+        UNION ALL SELECT 'purchase', n4, n1 FROM agg
+    )
+    """,
+    doc="Ordered funnel conversion (signup -> view -> click -> purchase): "
+    "a user reaches stage k only if the FIRST occurrence of each stage is "
+    "strictly later than the previous stage's first occurrence — the "
+    "product-analytics query every event pipeline answers. One groupBy "
+    "per user with conditional mins (map-side combinable), one tiny "
+    "global aggregate, stage fan-out after aggregation; at 100 TB the "
+    "only wide stage is the per-user rollup.",
+)
+def w12_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecommerce_etl_pipeline_spark.functions.exact_agg import portable_round
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_ts(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    per_user = ev.groupBy("user_id").agg(
+        first_ts("signup").alias("t1"),
+        first_ts("view").alias("t2"),
+        first_ts("click").alias("t3"),
+        first_ts("purchase").alias("t4"),
+    )
+    s1 = F.col("t1").isNotNull()
+    s2 = F.coalesce(F.col("t2") > F.col("t1"), F.lit(False))
+    s3 = F.coalesce((F.col("t2") > F.col("t1")) & (F.col("t3") > F.col("t2")), F.lit(False))
+    s4 = F.coalesce(
+        (F.col("t2") > F.col("t1"))
+        & (F.col("t3") > F.col("t2"))
+        & (F.col("t4") > F.col("t3")),
+        F.lit(False),
+    )
+    agg = per_user.agg(
+        F.count(F.when(s1, 1)).alias("n1"),
+        F.count(F.when(s2, 1)).alias("n2"),
+        F.count(F.when(s3, 1)).alias("n3"),
+        F.count(F.when(s4, 1)).alias("n4"),
+    )
+    stages = F.array(
+        *[
+            F.struct(F.lit(name).alias("stage"), F.col(n).alias("n_users"))
+            for name, n in (
+                ("signup", "n1"),
+                ("view", "n2"),
+                ("click", "n3"),
+                ("purchase", "n4"),
+            )
+        ]
+    )
+    return (
+        agg.select(F.col("n1"), F.explode(stages).alias("s"))
+        .select(
+            "s.stage",
+            "s.n_users",
+            portable_round(F.col("s.n_users").cast("double") / F.col("n1"), 6).alias(
+                "conversion"
+            ),
+        )
+    )

@@ -79,16 +79,20 @@ def main() -> None:
     queries["a1_daily_sales"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     runs: list[dict[str, float]] = []
-    for _ in range(3):
+    for rep in range(3):
         times: dict[str, float] = {}
         for name in HEADLINE:
             t0 = time.perf_counter()
             queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             times[name] = round(time.perf_counter() - t0, 3)
-            # isolate queries: a query that retains a cache (see curate's
-            # CACHE CONTRACT) must not donate warm blocks to — or steal
-            # memory from — the queries timed after it
-            spark.catalog.clearCache()
+            # reps 1-2 isolate queries (a retained cache — see curate's
+            # CACHE CONTRACT — must not donate warm blocks to the queries
+            # timed after it). Rep 0 does NOT clear between queries: the
+            # round-1/2 protocol didn't either, and `value` must stay
+            # comparable to those records.
+            if rep > 0:
+                spark.catalog.clearCache()
+        spark.catalog.clearCache()
         runs.append(times)
 
     median3 = {

@@ -413,16 +413,17 @@ def random_project(vec: Column, rows: list[list[float]]) -> Column:
     fold, so projections are BIT-IDENTICAL to the naive form and to the
     SQL oracle's sequential list_sum."""
     out_dim = len(rows)
+    dim = len(rows[0])
     cols = "array(" + ",".join(
         "array(" + ",".join(f"{rows[j][i]}D" for j in range(out_dim)) + ")"
-        for i in range(len(rows[0]))
+        for i in range(dim)
     ) + ")"
     zipped = F.zip_with(
         vec,
         F.sequence(F.lit(1), F.size(vec)),
         lambda x, i: F.struct(x.cast("double").alias("x"), i.alias("i")),
     )
-    return F.aggregate(
+    proj = F.aggregate(
         zipped,
         F.expr(f"array_repeat(0.0D, {out_dim})"),
         lambda acc, e: F.zip_with(
@@ -430,6 +431,24 @@ def random_project(vec: Column, rows: list[list[float]]) -> Column:
             F.element_at(F.expr(cols), e["i"]),
             lambda a, m: a + e["x"] * m,
         ),
+    )
+    # same per-row width contract as lsh_signature: a vector narrower or
+    # wider than the matrix must FAIL LOUDLY, not silently project onto a
+    # prefix of the matrix (the silent-collapse failure mode); NULL
+    # vectors pass through as NULL (joins drop the row).
+    return (
+        F.when(vec.isNull(), F.lit(None).cast("array<double>"))
+        .when(
+            F.size(vec) != F.lit(dim),
+            F.raise_error(
+                F.concat(
+                    F.lit(f"random_project: vector width "),
+                    F.size(vec).cast("string"),
+                    F.lit(f" != matrix dim {dim}"),
+                )
+            ).cast("array<double>"),
+        )
+        .otherwise(proj)
     )
 
 
@@ -529,8 +548,15 @@ def rp_rerank_topk(
 
 def _first_dim(df: DataFrame, vec_col: str) -> int:
     """Embedding width read from the data (never a trusted parameter —
-    see the lsh dim-mismatch guard this mirrors)."""
-    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    see the lsh dim-mismatch guard this mirrors). NULL-vector rows are
+    skipped so a NULL that happens to sort first cannot mask the real
+    width; per-row consistency with this width is then enforced inside
+    random_project."""
+    row = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.size(F.col(vec_col)).alias("d"))
+        .first()
+    )
     if row is None or row["d"] is None:
         raise ValueError(f"cannot derive dim: no non-null {vec_col} rows")
     return int(row["d"])

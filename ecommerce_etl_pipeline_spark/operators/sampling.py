@@ -86,12 +86,15 @@ def weighted_sample_exact(
     # undefined for w <= 0, and a NULL key would rank differently across
     # engines (Spark DESC puts NULLs last, DuckDB first) — an explicit
     # filter beats a silent cross-engine divergence.
-    ranked = (
+    # orderBy + limit (NOT a global row_number window, which would move
+    # every row through one task): plans as TakeOrderedAndProject —
+    # per-partition top-n then a driver-side merge of n-row heads, the
+    # only top-n shape that survives 100 TB. Total order (key desc, id)
+    # has no ties, so the selected rows match the windowed form exactly.
+    return (
         df.filter(w > 0)
         .withColumn("_wkey", key)
-        .withColumn(
-            "_rn",
-            F.row_number().over(Window.orderBy(F.desc("_wkey"), F.col(id_col))),
-        )
+        .orderBy(F.desc("_wkey"), F.col(id_col))
+        .limit(n)
+        .drop("_wkey")
     )
-    return ranked.filter(F.col("_rn") <= n).drop("_wkey", "_rn")

@@ -44,13 +44,15 @@ for _optional in (
 # §2 families; round 2 promoted the LLM-data-pipeline surface. Round 3
 # retires the never-verified tail: the 10 oracle-backed and 15 rows-only
 # queries that never had a driver CORRECTNESS row across r1/r2, plus the
-# 6 operators NEW this round (PNG decode, chunking, shard manifest,
-# k-means step/train, random projection) and 19 rotated-back r1/r2
-# greens spanning every family (including the two similarity queries
-# whose quantize/LSH expressions changed this round). After r3, every
-# registered query has >=1 driver row. Names listed here but not (yet)
-# registered are skipped harmlessly; everything not listed keeps its
-# original relative order after the curated block.
+# 17 operators NEW this round (PNG decode, chunking, shard manifest,
+# quality logit, k-means step/train, random projection + rerank,
+# weighted sampling, span excision, SemDeDup, dataset card, CDC merge,
+# vocab encoding, source scorecard, label centroids, funnel) and 8
+# rotated-back r1/r2 greens. Every pre-round-3 query already has >=1
+# driver row across r1/r2; after r3 the new operators do too. Names
+# listed here but not (yet) registered are skipped harmlessly;
+# everything not listed keeps its original relative order after the
+# curated block.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW = [
     # -- 10 oracle-backed queries never driver-checked in r1/r2

@@ -354,11 +354,18 @@ def cdc_apply_stream(
     q.awaitTermination(timeout_sec)
 
 
-def cdc_snapshot(spark: SparkSession, snapshot_table: str, *, op_col: str = "_op"):
+def cdc_snapshot(
+    spark: SparkSession,
+    snapshot_table: str,
+    *,
+    seq_col: str = "_seq",
+    op_col: str = "_op",
+):
     """Live view of a :func:`cdc_apply_stream` snapshot: tombstones and
-    bookkeeping columns removed."""
+    bookkeeping columns removed (pass the same seq_col/op_col the apply
+    used)."""
     t = spark.table(snapshot_table)
-    return t.filter(F.col(op_col) != "D").drop("_seq", op_col)
+    return t.filter(F.col(op_col) != "D").drop(seq_col, op_col)
 
 
 def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -379,10 +386,16 @@ def quality_gate_stream(docs: DataFrame, *, threshold: float = 0.5) -> DataFrame
     projection + filter, no watermark, no state store, no shuffle — the
     shape that keeps a crawler-ingest filter running at line rate however
     large the corpus behind it grows. Emits (doc_id, quality_score, text)
-    for documents that clear the threshold."""
+    for documents that clear the threshold.
+
+    The score is ROUNDED (portable_round, 6 digits) before both emission
+    and the threshold test — the same boundary rule as the batch query,
+    so a document whose raw sigmoid lands inside the rounding half-ulp
+    of the threshold cannot pass one face and fail the other."""
+    from ecommerce_etl_pipeline_spark.functions.exact_agg import portable_round
     from ecommerce_etl_pipeline_spark.llmops.text import quality_logit_score
 
-    score = quality_logit_score(F.col("text"))
+    score = portable_round(quality_logit_score(F.col("text")), 6)
     return (
         docs.withColumn("quality_score", score)
         .filter(F.col("quality_score") >= F.lit(threshold))

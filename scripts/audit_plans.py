@@ -85,6 +85,13 @@ def big_unreduced_scans(node, reduced=False):
         t = next((t for t in BIG if f"{t}.parquet" in desc), None)
         if t:
             yield t
+    # a CACHED frame under an unreduced broadcast build side is just as
+    # dangerous as a raw fact scan (cached corpus frames — banded rows,
+    # shingle tables — are a common corpus-scaled shape) and its origin
+    # table is invisible behind the InMemoryRelation, so flag it
+    # unconditionally and let the EXPECTED list adjudicate
+    if name.startswith("InMemoryTableScan") and not reduced:
+        yield "cached-frame"
     r2 = reduced or any(name.startswith(x) for x in REDUCERS)
     for c in children(node):
         yield from big_unreduced_scans(c, r2)

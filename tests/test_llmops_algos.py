@@ -640,3 +640,37 @@ def test_kmeans_train_inertia_close_to_mllib(spark, sf_dir):
     theirs = model.summary.trainingCost
 
     assert ours <= theirs * 1.10, (ours, theirs)
+
+
+def test_random_project_width_contract(spark):
+    """Per-row width guard (same contract as lsh_signature): a vector
+    narrower than the matrix fails loudly instead of silently projecting
+    onto a matrix prefix; NULL vectors pass through as NULL."""
+    from ecommerce_etl_pipeline_spark.llmops.similarity import (
+        _rp_matrix,
+        random_project,
+    )
+
+    rows = _rp_matrix(64, 16, 42)
+    bad = spark.createDataFrame([(1, [0.1] * 32)], "id LONG, v ARRAY<DOUBLE>")
+    with pytest.raises(Exception, match="random_project"):
+        bad.select(random_project(F.col("v"), rows)).collect()
+    nulls = spark.createDataFrame([(1, None)], "id LONG, v ARRAY<DOUBLE>")
+    assert nulls.select(random_project(F.col("v"), rows).alias("p")).collect()[0].p is None
+
+
+def test_weighted_sample_plans_take_ordered(spark, sf_dir):
+    """The top-n must plan as TakeOrderedAndProject (per-partition heads
+    merged on the driver), never a single-partition row_number window —
+    the difference between a bounded merge and a full global sort."""
+    from ecommerce_etl_pipeline_spark.plans.registry import get
+
+    plan = (
+        get("sm8_weighted_sample")
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan

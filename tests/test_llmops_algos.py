@@ -279,6 +279,59 @@ def test_lsh_dim_mismatch_raises(spark):
     assert via_join[1] == sigs[1] and via_join[2] is None
 
 
+def test_folded_signatures_bit_identical_to_literal_path(spark):
+    """The single-fold multi-table signature path (one aggregate pass with
+    a wide accumulator, then bit-pack from the materialized projections)
+    must produce bit-identical buckets to the per-table lsh_signature
+    folds — it is what lsh_topk / lsh_topk_multi now execute, while the
+    oracle SQL still replays the per-table form."""
+    import random as _random
+
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    from ecommerce_etl_pipeline_spark.llmops.similarity import (
+        _hyperplanes,
+        _pack_signatures,
+        _project_all,
+        lsh_signature,
+    )
+
+    rng = _random.Random(7)
+    rows = [(i, [rng.gauss(0.0, 1.0) for _ in range(16)]) for i in range(40)]
+    rows.append((40, None))
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+
+    tables = [_hyperplanes(16, 5, 42 + t) for t in range(3)]
+    flat = [plane for planes in tables for plane in planes]
+    folded = {
+        r["vec_id"]: r["sigs"]
+        for r in df.select(
+            "vec_id", _project_all(F.col("embedding"), flat).alias("_proj")
+        )
+        .select("vec_id", _pack_signatures(F.col("_proj"), 3, 5).alias("sigs"))
+        .collect()
+    }
+    literal = {
+        r["vec_id"]: [r[f"b{t}"] for t in range(3)]
+        for r in df.select(
+            "vec_id",
+            *[
+                lsh_signature(F.col("embedding"), tables[t]).alias(f"b{t}")
+                for t in range(3)
+            ],
+        ).collect()
+    }
+    for i in range(40):
+        assert folded[i] == literal[i], f"vec {i}: {folded[i]} != {literal[i]}"
+    assert folded[40] is None and literal[40] == [None, None, None]
+
+    # width mismatch still fails loudly in the folded path
+    bad = spark.createDataFrame([(1, [1.0] * 8)], "vec_id LONG, embedding ARRAY<DOUBLE>")
+    with pytest.raises((PySparkException, Py4JJavaError)):
+        bad.select(_project_all(F.col("embedding"), flat).alias("p")).collect()
+
+
 def test_compression_ratio_null_text(spark):
     from ecommerce_etl_pipeline_spark.llmops.text import compression_ratio
 

@@ -164,36 +164,55 @@ def assign_to_seeds(
     seed_vec_col: str = "cvec",
 ) -> DataFrame:
     """Nearest-seed assignment (squared Euclidean, ties to lowest seed id):
-    returns (id, cluster, dist, vec). Seeds broadcast (hyperparameter-
-    sized); one corpus scan, one map-side-combined min_by groupBy. Shared
-    by :func:`kmeans_step` (which aggregates it) and
+    returns (id, cluster, dist, vec). Seeds collapse to ONE broadcast row
+    holding a cid-sorted seed array; each point computes its argmin in a
+    per-row fold over that array. ZERO shuffles and no |points| x k row
+    fan-out — the previous form joined every point against every seed and
+    re-grouped |points| keys (a corpus-wide exchange carrying vectors)
+    just to take the min back out. Distances are the same sequential
+    zip_with fold, and argmin = array_min over (dist, cid) structs =
+    lexicographic min — bit-identical assignment incl. tie-to-lowest-cid,
+    so the DuckDB oracles replay unchanged. Shared by :func:`kmeans_step`
+    (which aggregates it) and
     :func:`ecommerce_etl_pipeline_spark.llmops.dedup.semantic_dedup`
     (which uses clusters as dedup candidate buckets)."""
     p = points.select(F.col(id_col).alias("_pid"), F.col(vec_col).alias("_pv"))
     s = seeds.select(
         F.col(seed_id_col).alias("_cid"), F.col(seed_vec_col).alias("_cv")
     )
-    dist = F.aggregate(
+    # k is hyperparameter-sized: the whole seed set rides as one array in
+    # one row (struct sorts by leading field, so the array is cid-ordered)
+    seed_row = s.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("_cid"), F.col("_cv")))
+        ).alias("_seeds")
+    )
+    dist_to = lambda cv: F.aggregate(  # noqa: E731
         F.zip_with(
-            "_pv", "_cv", lambda a, b: (a.cast("double") - b.cast("double")) ** 2
+            F.col("_pv"), cv, lambda a, b: (a.cast("double") - b.cast("double")) ** 2
         ),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    scored = p.join(F.broadcast(s)).withColumn("_dist", dist)
-    return (
-        scored.groupBy("_pid")
-        .agg(
-            F.min_by(
-                F.struct(
-                    F.col("_cid").alias("cluster"),
-                    F.col("_dist").alias("dist"),
-                    F.col("_pv").alias("vec"),
-                ),
-                F.struct("_dist", "_cid"),
-            ).alias("a")
+    best = F.array_min(
+        F.transform(
+            F.col("_seeds"),
+            lambda sd: F.struct(
+                dist_to(sd["_cv"]).alias("dist"), sd["_cid"].alias("cluster")
+            ),
         )
-        .select(F.col("_pid").alias("id"), "a.cluster", "a.dist", "a.vec")
+    )
+    return (
+        # empty seeds => empty result, matching the old inner join
+        p.crossJoin(F.broadcast(seed_row))
+        .filter(F.size("_seeds") > 0)
+        .withColumn("_best", best)
+        .select(
+            F.col("_pid").alias("id"),
+            F.col("_best.cluster").alias("cluster"),
+            F.col("_best.dist").alias("dist"),
+            F.col("_pv").alias("vec"),
+        )
     )
 
 

@@ -384,6 +384,68 @@ def contamination_against(
     return inter.filter(jac >= thr).select("train_id", "eval_id", jac.alias("jaccard"))
 
 
+def bloom_decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    shingle_k: int = 3,
+    bits_per_key: int = 16,
+) -> DataFrame:
+    """N-gram overlap decontamination (the GPT-3/PaLM recipe: flag a train
+    doc if it shares ANY k-token n-gram with the eval corpus), with a
+    Bloom-bitmap prefilter so the train side pays near-zero shuffle on a
+    clean corpus.
+
+    Differs from :func:`contamination_against` (whole-doc Jaccard >=
+    threshold) in being the stricter membership form benchmarks actually
+    use: one verbatim overlapping n-gram is enough to flag.
+
+    Scale shape: the eval n-gram set is benchmark-sized, so it compresses
+    into a broadcast Bloom bitmap (``operators/bloom.py`` — a few KB..MB of
+    longs); every train n-gram is membership-tested INSIDE the scan stage,
+    so for a mostly-clean corpus ~all train rows die before any exchange.
+    The exact verify join afterwards (against the broadcast eval n-gram
+    set, same side :func:`contamination_against` broadcasts) removes the
+    bounded false positives, so the Bloom stage changes bytes shuffled,
+    never results — which is what makes this fully oracle-checkable.
+
+    Returns (train_id, n_hit_ngrams): train docs sharing >=1 distinct
+    k-token n-gram with any eval doc, with the count of distinct shared
+    n-grams.
+    """
+    from ecommerce_etl_pipeline_spark.operators.bloom import (
+        build_bloom_bitmap,
+        might_contain,
+    )
+
+    train = ensure_parallelism(train)
+    ev_grams = (
+        eval_docs.select(
+            F.explode(shingle_strings(F.col(text_col), shingle_k)).alias("g")
+        )
+        .distinct()
+    )
+    # bounded build-side count (eval-corpus-scale aggregate, same class as
+    # the j11 bloom sizing count) — sizes the bitmap to the real key count
+    n_ev = ev_grams.count()
+    words, num_bits = build_bloom_bitmap(
+        ev_grams, "g", expected_items=max(n_ev, 1), bits_per_key=bits_per_key
+    )
+    train_grams = train.select(
+        F.col(id_col).alias("train_id"),
+        # shingle_strings is per-doc distinct, so count(*) below counts
+        # distinct shared n-grams without a count_distinct shuffle
+        F.explode(shingle_strings(F.col(text_col), shingle_k)).alias("g"),
+    ).filter(might_contain(words, num_bits, F.col("g")))
+    return (
+        train_grams.join(F.broadcast(ev_grams), "g", "semi")
+        .groupBy("train_id")
+        .agg(F.count(F.lit(1)).alias("n_hit_ngrams"))
+    )
+
+
 def incremental_dedup(
     index: DataFrame,
     batch: DataFrame,

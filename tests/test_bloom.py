@@ -50,3 +50,24 @@ def test_bloom_prune_then_join_matches_plain_semi_join(spark):
         .collect()[0]
     )
     assert (got.n, got.q) == (want.n, want.q)
+
+
+def test_bloom_survives_ansi_session_with_nonempty_build(spark):
+    """Regression: the old Kirsch-Mitzenmacher positions (h1 + i*h2)
+    depended on WRAPPING long arithmetic — under the grading driver's ANSI
+    session a non-empty build side threw ARITHMETIC_OVERFLOW on the first
+    bitmap aggregate (never seen before only because the one registered
+    bloom query's build side is empty at test scales). The seeded-hash
+    positions must build and probe cleanly with checked arithmetic on."""
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        build = spark.range(0, 500).select(F.col("id").alias("k"))
+        words, num_bits = build_bloom_bitmap(build, "k", expected_items=500)
+        assert any(w != 0 for w in words), "non-empty build must set bits"
+        probe = spark.range(0, 5000).select(F.col("id").alias("k"))
+        kept = {r.k for r in probe.filter(might_contain(words, num_bits, F.col("k"))).collect()}
+        assert set(range(500)) <= kept
+        assert len(kept) - 500 < 100
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)

@@ -94,6 +94,56 @@ def brute_force_topk(
     )
 
 
+def hard_negative_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 10,
+) -> DataFrame:
+    """Contrastive hard-negative mining: for each query vector, the top-k
+    most-similar corpus vectors carrying a DIFFERENT label — the negatives
+    that sit closest to the decision boundary, which is what embedding /
+    reranker training actually wants batched against each anchor
+    (in-batch random negatives are too easy; these are the hard ones).
+
+    Same exact plan shape as :func:`brute_force_topk` (broadcast queries x
+    one corpus scan, per-query window top-k); the label inequality is
+    fused into the join condition so same-label rows die before the
+    cosine is ever computed. At scale, swap the corpus scan for any of
+    the ANN candidate generators and keep the same label-filtered re-rank.
+
+    Returns (query_id, neighbor_id, neighbor_label, cosine, rank).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("query_vec"),
+        F.col(label_col).alias("query_label"),
+    )
+    c = ensure_parallelism(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("vec"),
+        F.col(label_col).alias("neighbor_label"),
+    )
+    scored = (
+        c.join(
+            F.broadcast(q),
+            (F.col("neighbor_id") != F.col("query_id"))
+            & (F.col("neighbor_label") != F.col("query_label")),
+        )
+        .withColumn("cosine", cosine(F.col("query_vec"), F.col("vec")))
+        .select("query_id", "neighbor_id", "neighbor_label", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "neighbor_label", "cosine", "rank")
+    )
+
+
 def quantize_int8(vec: Column) -> Column:
     """Symmetric per-vector int8 quantization: q_i = halfup(v_i * 127/max|v|).
 

@@ -278,3 +278,83 @@ def mixture_sample(
         .withColumn("source_rank", F.row_number().over(w))
         .filter(F.col("source_rank") <= quota_col)
     )
+
+
+def importance_logweights(
+    docs: DataFrame,
+    target_pred: Column,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+    salt: str = "dsir:v1",
+) -> DataFrame:
+    """DSIR-style importance log-weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): model the target and
+    raw corpora as add-one-smoothed distributions over HASHED unigram
+    buckets, and score every document by sum_tokens ln(p_target[bucket] /
+    p_raw[bucket]) — high weight = looks like the target distribution.
+    ``target_pred`` is any boolean per-document predicate selecting the
+    target subset (e.g. ``F.col("lang") == "en"``).
+
+    Determinism across engines: each bucket's two ln terms are half-up
+    quantized to nano precision as exact BIGINTs (the txt_unigram_logprob
+    trick), so a document's weight is an INTEGER sum — independent of
+    partitioning and token summation order, and rankable with zero FP
+    ties beyond genuinely identical texts (which tie-break by id).
+
+    Scale shape: one token-bucket count aggregate whose result is
+    ``n_buckets`` rows (a bounded, broadcast-statistic-class collect —
+    the whole model is B integers, the point of DSIR's hashing), then one
+    NARROW per-document fold against the literal log-ratio table: no
+    shuffle at all in the scoring pass. Returns (id_col, n_tokens,
+    nano_logweight) — divide by 1e9 for the real-valued weight.
+    """
+    import math
+
+    from ecommerce_etl_pipeline_spark.llmops import text as T
+    from ecommerce_etl_pipeline_spark.operators.parallelism import (
+        ensure_parallelism,
+    )
+
+    docs = ensure_parallelism(docs.filter(F.col(text_col).isNotNull()))
+    bucket_of = lambda tok: F.pmod(  # noqa: E731
+        hash_uint32(tok, salt), F.lit(n_buckets)
+    )
+    toks = docs.select(
+        target_pred.cast("bigint").alias("_t"),
+        F.explode(T.tokens(F.col(text_col))).alias("_tok"),
+    )
+    counts = (
+        toks.select(bucket_of(F.col("_tok")).alias("_b"), "_t")
+        .groupBy("_b")
+        .agg(F.count(F.lit(1)).alias("n_raw"), F.sum("_t").alias("n_tgt"))
+        .collect()
+    )
+    raw = [0] * n_buckets
+    tgt = [0] * n_buckets
+    for r in counts:
+        raw[r["_b"]] = r["n_raw"]
+        tgt[r["_b"]] = int(r["n_tgt"])
+    n_r, n_t = sum(raw), sum(tgt)
+
+    def q(x: float) -> int:
+        return math.floor(x * 1e9 + 0.5)
+
+    nlr = [
+        q(math.log((tgt[b] + 1.0) / (n_t + n_buckets)))
+        - q(math.log((raw[b] + 1.0) / (n_r + n_buckets)))
+        for b in range(n_buckets)
+    ]
+    nlr_lit = F.array(*[F.lit(x).cast("bigint") for x in nlr])
+    tok_arr = T.tokens(F.col(text_col))
+    nano = F.aggregate(
+        tok_arr,
+        F.lit(0).cast("bigint"),
+        lambda acc, t: acc + F.element_at(nlr_lit, bucket_of(t).cast("int") + 1),
+    )
+    return docs.select(
+        F.col(id_col),
+        F.size(tok_arr).alias("n_tokens"),
+        nano.alias("nano_logweight"),
+    )

@@ -482,6 +482,53 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sim_hard_negatives",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qv, label AS ql
+        FROM embeddings WHERE vec_id < 5
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id, e.label AS neighbor_label,
+               list_sum(list_transform(generate_series(1, len(e.embedding)),
+                        i -> CAST(q.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(generate_series(1, len(q.qv)),
+                        i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)),
+                        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))))
+               AS cos
+        FROM q, embeddings e
+        WHERE e.vec_id != q.query_id AND e.label != q.ql
+    )
+    SELECT query_id, neighbor_id, neighbor_label,
+           {sql_round('cos', 6)} AS cosine,
+           CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= 10
+    """,
+    doc="Contrastive hard-negative mining: per query vector, the top-10 "
+    "most-similar corpus vectors with a DIFFERENT label — the near-"
+    "boundary negatives embedding/reranker training batches against each "
+    "anchor. Label inequality is fused into the broadcast join so same-"
+    "label rows are never scored; same exact-scan shape as "
+    "sim_cosine_topk, and at scale the corpus scan swaps for any ANN "
+    "candidate generator with the same label-filtered re-rank.",
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    res = similarity.hard_negative_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+    return res.select(
+        "query_id",
+        "neighbor_id",
+        "neighbor_label",
+        portable_round(F.col("cosine"), 6).alias("cosine"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 # ---- rows-only checks (hash-seeded candidate generation; not relational) ----
 
 

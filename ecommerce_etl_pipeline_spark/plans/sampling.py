@@ -15,6 +15,7 @@ from ecommerce_etl_pipeline_spark.operators.sampling import (
     seeded_sample,
     seeded_sample_exact,
 )
+from ecommerce_etl_pipeline_spark.functions.exact_agg import sql_round
 from ecommerce_etl_pipeline_spark.plans.registry import register
 from ecommerce_etl_pipeline_spark.sources.generator import generate_transactions
 from ecommerce_etl_pipeline_spark.sources.io import load_table
@@ -115,3 +116,59 @@ def sm8_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", token_count(F.col("text")).alias("n_tokens")
     )
     return weighted_sample_exact(docs, 100, "doc_id", "n_tokens")
+
+
+@register(
+    "sm9_importance_resample",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
+        FROM documents WHERE text IS NOT NULL
+    ), bk AS (
+        SELECT doc_id, lang,
+               CAST(('0x' || substr(md5('dsir:v1' || CAST(t AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 64 AS b
+        FROM tok
+    ), counts AS (
+        SELECT b, COUNT(*) AS n_raw,
+               SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_tgt
+        FROM bk GROUP BY b
+    ), tot AS (
+        SELECT SUM(n_raw) AS nr, SUM(n_tgt) AS nt FROM counts
+    ), lr AS (
+        SELECT b,
+               CAST(FLOOR(ln((n_tgt + 1.0) / (nt + 64)) * 1e9 + 0.5) AS BIGINT)
+             - CAST(FLOOR(ln((n_raw + 1.0) / (nr + 64)) * 1e9 + 0.5) AS BIGINT) AS nlr
+        FROM counts CROSS JOIN tot
+    ), docw AS (
+        SELECT doc_id, SUM(nlr) AS nano FROM bk JOIN lr USING (b) GROUP BY doc_id
+    )
+    SELECT doc_id, {sql_round("nano / 1e9", 6)} AS log_weight
+    FROM docw ORDER BY nano DESC, doc_id LIMIT 100
+    """,
+    doc="DSIR importance resampling (Xie et al. 2023): score every document "
+    "by how much more likely its hashed-unigram bag is under the target "
+    "distribution (lang='en' docs) than under the raw corpus, then keep "
+    "the top-100 — the data-selection step that tilts a web crawl toward "
+    "a target domain. The whole model is 64 smoothed bucket counts (a "
+    "bounded broadcast statistic); scoring is one shuffle-free narrow "
+    "fold per document over a literal log-ratio table, and weights are "
+    "nano-quantized INTEGER sums (txt_unigram_logprob's trick), so "
+    "ranking is FP-order-independent and the full draw replays in DuckDB.",
+)
+def sm9_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecommerce_etl_pipeline_spark.functions.exact_agg import portable_round
+    from ecommerce_etl_pipeline_spark.llmops.splits import importance_logweights
+
+    docs = load_table(spark, sf_dir, "documents")
+    lw = importance_logweights(docs, F.col("lang") == "en")
+    return (
+        lw.orderBy(F.desc("nano_logweight"), "doc_id")
+        .limit(100)
+        .select(
+            "doc_id",
+            portable_round(
+                F.col("nano_logweight").cast("double") / F.lit(1e9), 6
+            ).alias("log_weight"),
+        )
+    )

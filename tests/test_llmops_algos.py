@@ -727,3 +727,72 @@ def test_weighted_sample_plans_take_ordered(spark, sf_dir):
     )
     assert "TakeOrderedAndProject" in plan
     assert "Window" not in plan
+
+
+def test_bloom_decontaminate_plants_and_clean(spark):
+    from ecommerce_etl_pipeline_spark.llmops.dedup import bloom_decontaminate
+
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox jumps"), (101, "completely unrelated words here")],
+        "doc_id LONG, text STRING",
+    )
+    train = spark.createDataFrame(
+        [
+            # shares the 3-gram "quick brown fox" with eval doc 100
+            (1, "a quick brown fox ran away"),
+            # clean
+            (2, "nothing in common with anything"),
+            # short doc == whole-text gram, no overlap
+            (3, "tiny doc"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    got = {r["train_id"]: r["n_hit_ngrams"] for r in bloom_decontaminate(train, ev).collect()}
+    assert got == {1: 1}
+
+    # fully clean train corpus -> empty result (and the empty-eval path
+    # must not divide by zero when sizing the bitmap)
+    clean = bloom_decontaminate(
+        spark.createDataFrame([(9, "x y z")], "doc_id LONG, text STRING"),
+        spark.createDataFrame([], "doc_id LONG, text STRING"),
+    )
+    assert clean.count() == 0
+
+
+def test_importance_logweights_tilts_toward_target(spark):
+    from ecommerce_etl_pipeline_spark.llmops.splits import importance_logweights
+
+    rows = [(i, "alpha beta gamma", True) for i in range(20)]
+    rows += [(100 + i, "delta epsilon zeta", False) for i in range(20)]
+    # probe docs: one target-like, one raw-only-like, one NULL text
+    rows += [(500, "alpha beta gamma", False), (501, "delta epsilon zeta", True), (502, None, False)]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING, is_t BOOLEAN")
+    lw = {
+        r["doc_id"]: r["nano_logweight"]
+        for r in importance_logweights(docs, F.col("is_t"), n_buckets=16).collect()
+    }
+    # target-distribution doc must outscore the raw-distribution doc
+    assert lw[500] > lw[501]
+    # NULL text rows are dropped, not crashed on
+    assert 502 not in lw
+    # identical texts get identical weights
+    assert lw[500] == lw[0]
+
+
+def test_hard_negatives_exclude_same_label_and_self(spark):
+    import random as _random
+
+    rng = _random.Random(3)
+    rows = [
+        (i, [rng.gauss(0.0, 1.0) for _ in range(8)], i % 3) for i in range(30)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>, label INT")
+    out = similarity.hard_negative_topk(
+        emb, emb.filter(F.col("vec_id") < 3), k=5, label_col="label"
+    ).collect()
+    own = {i: i % 3 for i in range(30)}
+    assert len(out) == 15  # 3 queries x 5
+    for r in out:
+        assert r["neighbor_id"] != r["query_id"]
+        assert r["neighbor_label"] != own[r["query_id"]]
+        assert 1 <= r["rank"] <= 5

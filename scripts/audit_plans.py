@@ -57,6 +57,11 @@ EXPECTED = {
     "ml_kmeans_step": "k=4 seed centroids (vec_id < 4) — hyperparameter-sized",
     "sim_cosine_topk": "query vectors (vec_id < 5)",
     "sim_cosine_topk_arrow": "query vectors",
+    "sim_hard_negatives": "query vectors + labels (vec_id < 5)",
+    "sim_knn_label_audit": (
+        "probe vectors/labels (vec_id < 100) + |q| x k hit list — both "
+        "hyperparameter-sized by construction"
+    ),
     "sim_ivf_recall": "query vectors + probe-cell assignments (|q| x n_probe)",
     "sim_ivf_topk": "probe-cell assignments (|q| x n_probe)",
     "sim_lsh_recall": "query vectors + top-k outputs (|q| x k)",

@@ -62,6 +62,8 @@ EXTENDED = [
     "sim_rp_rerank",
     "txt_chunk_overlap",
     "u5_cdc_merge",
+    "dd_bloom_decontam",
+    "sm9_importance_resample",
 ]
 
 

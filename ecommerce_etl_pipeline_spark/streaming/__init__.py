@@ -6,6 +6,7 @@ from ecommerce_etl_pipeline_spark.streaming.streams import (  # noqa: F401
     daily_sales_stream,
     deduped_events_stream,
     ingest_dedup_stream,
+    decontam_gate_stream,
     quality_gate_stream,
     read_documents_stream,
     read_events_stream,

@@ -403,6 +403,37 @@ def quality_gate_stream(docs: DataFrame, *, threshold: float = 0.5) -> DataFrame
     )
 
 
+def decontam_gate_stream(
+    docs: DataFrame,
+    words: list[int],
+    num_bits: int,
+    *,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Streaming eval-contamination screen — the ingest-time face of
+    ``llmops/dedup.py::bloom_decontaminate``: the batch-built eval n-gram
+    Bloom bitmap rides into the stream as a literal array, and each
+    arriving document is flagged if ANY of its k-token n-grams might be
+    in the eval set (``F.exists`` over the shingle array — a narrow,
+    stateless, shuffle-free expression, so the gate runs at line rate
+    with no state store however large the eval benchmark suite grows).
+
+    No false negatives: a document sharing a verbatim n-gram with the
+    eval set is ALWAYS flagged. False positives are Bloom-bounded, so
+    ``flagged`` is a QUARANTINE signal — route flagged docs to the exact
+    batch verify (bloom_decontaminate's semi join), not straight to
+    deletion. Emits (doc_id, flagged, text).
+    """
+    from ecommerce_etl_pipeline_spark.llmops.dedup import shingle_strings
+    from ecommerce_etl_pipeline_spark.operators.bloom import might_contain
+
+    flagged = F.exists(
+        shingle_strings(F.col("text"), shingle_k),
+        lambda g: might_contain(words, num_bits, g),
+    )
+    return docs.select("doc_id", flagged.alias("flagged"), "text")
+
+
 def ingest_dedup_stream(
     events: DataFrame, seen_index: DataFrame, *, watermark: str = "1 hour"
 ) -> DataFrame:

@@ -208,3 +208,58 @@ def test_quality_gate_stream_matches_batch(spark):
     assert len(got) > 0
     assert set(got) == set(want)
     assert all(abs(got[d] - want[d]) < 1e-6 for d in got)
+
+
+def test_decontam_gate_stream_no_false_negatives_and_batch_parity(spark):
+    """Streaming bloom decontamination screen: (1) every document the
+    EXACT batch decontaminate flags is flagged in-stream (no false
+    negatives — the safety property quarantine depends on); (2) the
+    stream's flag set equals the same bloom expression evaluated batch-
+    side (the two faces share bitmap + expression, so they cannot
+    drift)."""
+    from ecommerce_etl_pipeline_spark.llmops.dedup import (
+        bloom_decontaminate,
+        shingle_strings,
+    )
+    from ecommerce_etl_pipeline_spark.operators.bloom import (
+        build_bloom_bitmap,
+        might_contain,
+    )
+    from ecommerce_etl_pipeline_spark.sources.io import load_table
+    from ecommerce_etl_pipeline_spark.streaming import (
+        decontam_gate_stream,
+        read_documents_stream,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    ev = docs.filter(F.col("source") == "src0")
+    ev_grams = ev.select(
+        F.explode(shingle_strings(F.col("text"), 3)).alias("g")
+    ).distinct()
+    words, num_bits = build_bloom_bitmap(
+        ev_grams, "g", expected_items=max(ev_grams.count(), 1)
+    )
+
+    stream = decontam_gate_stream(read_documents_stream(spark, SF), words, num_bits)
+    stream_to_memory(stream, "t_decontam_gate", output_mode="append")
+    got_flagged = {
+        r.doc_id for r in spark.table("t_decontam_gate").collect() if r.flagged
+    }
+
+    train = docs.filter(F.col("source") != "src0")
+    exact = {r.train_id for r in bloom_decontaminate(train, ev).collect()}
+    # exact contaminated train docs are a subset of the stream's flags
+    # (the stream also flags eval docs themselves + bounded FPs)
+    assert exact, "fixture should contain cross-source n-gram overlap"
+    assert exact <= got_flagged
+    # batch-side evaluation of the same expression = stream output
+    batch_flagged = {
+        r.doc_id
+        for r in docs.filter(
+            F.exists(
+                shingle_strings(F.col("text"), 3),
+                lambda g: might_contain(words, num_bits, g),
+            )
+        ).collect()
+    }
+    assert got_flagged == batch_flagged

@@ -254,6 +254,76 @@ def bigram_repetition(text: Column) -> Column:
     return F.lit(1.0) - distinct_bigram_count(text) / total
 
 
+def max_run_count(sorted_arr: Column) -> Column:
+    """Largest multiplicity of any element in a SORTED array, via one fold
+    — the zero-shuffle per-row form of ``MAX(count) GROUP BY value``.
+    The accumulator seeds ``prev`` with the first element, so the first
+    merge step counts it as a run of 1; empty arrays return 0. Works for
+    any element type (strings, bigram/trigram structs)."""
+    init = F.struct(
+        F.element_at(sorted_arr, 1).alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def merge(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(sorted_arr, init, merge, lambda acc: acc["best"])
+
+
+def singleton_count(sorted_arr: Column) -> Column:
+    """Number of DISTINCT elements occurring exactly once in a SORTED
+    array, via one fold (run-length transitions). The complement
+    ``size - singletons`` is the duplicated-position count the Gopher
+    repeated-n-gram coverage measures need — again zero-shuffle."""
+    init = F.struct(
+        F.element_at(sorted_arr, 1).alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("uniq"),
+    )
+
+    def merge(acc: Column, x: Column) -> Column:
+        is_same = x == acc["prev"]
+        return F.struct(
+            x.alias("prev"),
+            F.when(is_same, acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.when(is_same, acc["uniq"])
+            .otherwise(acc["uniq"] + (acc["run"] == 1).cast("int"))
+            .alias("uniq"),
+        )
+
+    return F.aggregate(
+        sorted_arr, init, merge, lambda acc: acc["uniq"] + (acc["run"] == 1).cast("int")
+    )
+
+
+def trigram_structs(text: Column) -> Column:
+    """Positional adjacent-token trigrams as (a, b, c) structs (empty
+    below 3 tokens) — the zip_with-of-slices construction
+    :func:`bigram_pairs` measured 4x over transform+element_at."""
+    toks = tokens(text)
+    n = F.size(toks)
+    ab = F.zip_with(
+        F.slice(toks, 1, n - 2),
+        F.slice(toks, 2, n - 2),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+    return F.when(
+        n >= 3,
+        F.zip_with(
+            ab,
+            F.slice(toks, 3, n - 2),
+            lambda p, c: F.struct(p["a"].alias("a"), p["b"].alias("b"), c.alias("c")),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string,c:string>>"))
+
+
 def compression_ratio(docs, id_col: str = "doc_id", text_col: str = "text"):
     """Per-document zlib-deflate compression ratio (compressed / raw bytes)
     — the Gopher/RefinedWeb quality heuristic: highly repetitive or

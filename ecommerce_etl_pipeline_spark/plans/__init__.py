@@ -105,8 +105,9 @@ _DRIVER_WINDOW = [
     # j11 (its bloom hashing changed this round and it never had a
     # driver row — its build side is empty at sf0.01, so the row
     # certifies the probe path), sim_lsh_recall (implementation
-    # changed to folded signatures this round), and the flagship
-    # curation pipeline as the rotated-back green
+    # changed to folded signatures this round), and the Gopher-style
+    # repetition battery (added after the first window curation; the
+    # flagship dd_curation_pipeline already has driver rows in r1+r2)
     "dd_bloom_decontam",
     "sm9_importance_resample",
     "sim_hard_negatives",
@@ -114,7 +115,7 @@ _DRIVER_WINDOW = [
     "w13_retention_cohorts",
     "j11_bloom_pruned_join",
     "sim_lsh_recall",
-    "dd_curation_pipeline",
+    "txt_repetition_battery",
 ]
 
 

@@ -2025,6 +2025,98 @@ def txt_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "txt_repetition_battery",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    uc AS (
+        SELECT doc_id, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(toks) AS g FROM t) GROUP BY doc_id, g
+    ),
+    m1 AS (SELECT doc_id, MAX(c) AS m1, SUM(c) AS n1 FROM uc GROUP BY doc_id),
+    bc AS (
+        SELECT doc_id, COUNT(*) AS c
+        FROM (SELECT doc_id,
+                     unnest(list_transform(generate_series(1, len(toks) - 1),
+                            i -> toks[i] || ' ' || toks[i+1])) AS g
+              FROM t WHERE len(toks) >= 2)
+        GROUP BY doc_id, g
+    ),
+    m2 AS (SELECT doc_id, MAX(c) AS m2, SUM(c) AS n2 FROM bc GROUP BY doc_id),
+    tc AS (
+        SELECT doc_id, COUNT(*) AS c
+        FROM (SELECT doc_id,
+                     unnest(list_transform(generate_series(1, len(toks) - 2),
+                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+              FROM t WHERE len(toks) >= 3)
+        GROUP BY doc_id, g
+    ),
+    m3 AS (SELECT doc_id, SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS d3,
+                  SUM(c) AS n3 FROM tc GROUP BY doc_id)
+    SELECT doc_id, n_tokens, top_unigram_frac, top_bigram_frac, dup_trigram_frac,
+           (top_unigram_frac <= 0.125 AND top_bigram_frac <= 0.06
+            AND dup_trigram_frac <= 0.05) AS keep
+    FROM (
+        SELECT m1.doc_id,
+               CAST(n1 AS INTEGER) AS n_tokens,
+               {sql_round("m1 * 1.0 / n1", 6)} AS top_unigram_frac,
+               COALESCE({sql_round("m2 * 1.0 / n2", 6)}, 0.0) AS top_bigram_frac,
+               COALESCE({sql_round("d3 * 1.0 / n3", 6)}, 0.0) AS dup_trigram_frac
+        FROM m1 LEFT JOIN m2 USING (doc_id) LEFT JOIN m3 USING (doc_id)
+    )
+    """,
+    doc="Gopher-style repetition filter battery (Rae et al. 2021, adapted "
+    "token-level): per doc, the top-unigram fraction, top-bigram "
+    "fraction, and repeated-trigram coverage, plus the keep flag at "
+    "Gopher-shaped thresholds evaluated on ROUNDED values (the "
+    "engine-portable boundary rule). Entirely scan-side: each measure is "
+    "an array_sort + one fold per row (max-run = per-row MAX(GROUP BY), "
+    "run-length singletons = duplicate coverage) — zero shuffles, the "
+    "cheapest class of quality filter, so it runs before anything wide.",
+)
+def txt_repetition_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    base = docs.select(
+        "doc_id",
+        F.array_sort(text.tokens(t)).alias("su"),
+        F.array_sort(text.bigram_pairs(t)).alias("sb"),
+        F.array_sort(text.trigram_structs(t)).alias("st"),
+    )
+    m = base.select(
+        "doc_id",
+        F.size("su").alias("n_tokens"),
+        text.max_run_count(F.col("su")).alias("m1"),
+        F.size("sb").alias("n2"),
+        text.max_run_count(F.col("sb")).alias("m2"),
+        F.size("st").alias("n3"),
+        text.singleton_count(F.col("st")).alias("u3"),
+    )
+    f1 = portable_round(F.col("m1") / F.col("n_tokens"), 6)
+    f2 = F.when(
+        F.col("n2") > 0, portable_round(F.col("m2") / F.col("n2"), 6)
+    ).otherwise(F.lit(0.0))
+    f3 = F.when(
+        F.col("n3") > 0,
+        portable_round((F.col("n3") - F.col("u3")) / F.col("n3"), 6),
+    ).otherwise(F.lit(0.0))
+    scored = m.select(
+        "doc_id",
+        "n_tokens",
+        f1.alias("top_unigram_frac"),
+        f2.alias("top_bigram_frac"),
+        f3.alias("dup_trigram_frac"),
+    )
+    return scored.withColumn(
+        "keep",
+        (F.col("top_unigram_frac") <= 0.125)
+        & (F.col("top_bigram_frac") <= 0.06)
+        & (F.col("dup_trigram_frac") <= 0.05),
+    )
+
+
+@register(
     "txt_pii_redaction",
     oracle="""
     SELECT doc_id,

@@ -167,7 +167,7 @@ def knn_label_audit(
     scanned, never shuffled. Majority ties break (count desc, label asc)
     — deterministic, oracle-replayable.
 
-    Returns (label, n_vectors, n_agree, agreement_rate).
+    Returns (label, n_vectors, n_agree) — rate = n_agree / n_vectors.
     """
     topk = brute_force_topk(
         corpus, queries, id_col=id_col, vec_col=vec_col, k=k

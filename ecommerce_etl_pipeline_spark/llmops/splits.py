@@ -322,7 +322,9 @@ def importance_logweights(
         hash_uint32(tok, salt), F.lit(n_buckets)
     )
     toks = docs.select(
-        target_pred.cast("bigint").alias("_t"),
+        # NULL predicate (e.g. a NULL lang) counts as non-target, so the
+        # bucket sums below can never come back NULL
+        F.coalesce(target_pred.cast("bigint"), F.lit(0)).alias("_t"),
         F.explode(T.tokens(F.col(text_col))).alias("_tok"),
     )
     counts = (

@@ -796,3 +796,43 @@ def test_hard_negatives_exclude_same_label_and_self(spark):
         assert r["neighbor_id"] != r["query_id"]
         assert r["neighbor_label"] != own[r["query_id"]]
         assert 1 <= r["rank"] <= 5
+
+
+def test_fold_kernels_match_counter_reference(spark):
+    """max_run_count / singleton_count (the per-row GROUP BY replacements
+    behind txt_repetition_battery) vs a collections.Counter reference on
+    200 random arrays, including empty, singleton, all-equal, and
+    high-duplication shapes — one Spark job for the whole batch."""
+    import random as _random
+    from collections import Counter
+
+    from ecommerce_etl_pipeline_spark.llmops.text import (
+        max_run_count,
+        singleton_count,
+    )
+
+    rng = _random.Random(11)
+    arrays = [[], ["x"], ["x"] * 7]
+    for _ in range(197):
+        n = rng.randint(0, 30)
+        vocab = [f"t{j}" for j in range(rng.randint(1, 6))]
+        arrays.append([rng.choice(vocab) for _ in range(n)])
+    df = spark.createDataFrame(
+        [(i, sorted(a)) for i, a in enumerate(arrays)],
+        "id LONG, arr ARRAY<STRING>",
+    )
+    got = {
+        r["id"]: (r["m"], r["u"])
+        for r in df.select(
+            "id",
+            max_run_count(F.col("arr")).alias("m"),
+            singleton_count(F.col("arr")).alias("u"),
+        ).collect()
+    }
+    for i, a in enumerate(arrays):
+        c = Counter(a)
+        want = (
+            max(c.values()) if c else 0,
+            sum(1 for v in c.values() if v == 1),
+        )
+        assert got[i] == want, f"array {i}: {got[i]} != {want} ({a})"

@@ -446,6 +446,59 @@ def bloom_decontaminate(
     )
 
 
+def source_overlap_matrix(
+    docs: DataFrame,
+    *,
+    source_col: str = "source",
+    text_col: str = "text",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Corpus-level n-gram containment between every pair of sources — the
+    mixture-design diagnostic run before weighting corpora into a training
+    mix (two "different" dumps with high containment add duplication, not
+    diversity; the corpus-level complement of the per-document
+    :func:`cross_split_contamination`).
+
+    For each source pair (s1 < s2): ``shared_ngrams`` = |distinct k-token
+    n-grams in both|, ``containment`` = shared / min(|s1 grams|,
+    |s2 grams|).
+
+    Scale shape: one (source, gram) distinct aggregate (map-side
+    combinable), then a gram-keyed inverted-index self-join whose fan-out
+    is bounded by sources^2 per gram — never corpus^2 — and a per-source
+    gram-count table that is |sources| rows (broadcast).
+    """
+    grams = (
+        ensure_parallelism(docs)
+        .select(
+            F.col(source_col).alias("src"),
+            F.explode(shingle_strings(F.col(text_col), shingle_k)).alias("g"),
+        )
+        .distinct()
+    )
+    sizes = grams.groupBy("src").agg(F.count(F.lit(1)).alias("n_grams"))
+    l, r = grams.alias("l"), grams.alias("r")
+    shared = (
+        l.join(r, (F.col("l.g") == F.col("r.g")) & (F.col("l.src") < F.col("r.src")))
+        .groupBy(F.col("l.src").alias("source1"), F.col("r.src").alias("source2"))
+        .agg(F.count(F.lit(1)).alias("shared_ngrams"))
+    )
+    s1 = sizes.select(F.col("src").alias("source1"), F.col("n_grams").alias("n1"))
+    s2 = sizes.select(F.col("src").alias("source2"), F.col("n_grams").alias("n2"))
+    return (
+        shared.join(F.broadcast(s1), "source1")
+        .join(F.broadcast(s2), "source2")
+        .select(
+            "source1",
+            "source2",
+            "shared_ngrams",
+            (
+                F.col("shared_ngrams") / F.least(F.col("n1"), F.col("n2"))
+            ).alias("containment"),
+        )
+    )
+
+
 def incremental_dedup(
     index: DataFrame,
     batch: DataFrame,

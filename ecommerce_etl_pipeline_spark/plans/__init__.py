@@ -104,17 +104,19 @@ _DRIVER_WINDOW = [
     # -- 8 flex slots: the 5 operators added late in round 3, plus
     # j11 (its bloom hashing changed this round and it never had a
     # driver row — its build side is empty at sf0.01, so the row
-    # certifies the probe path), sim_lsh_recall (implementation
-    # changed to folded signatures this round), and the Gopher-style
-    # repetition battery (added after the first window curation; the
-    # flagship dd_curation_pipeline already has driver rows in r1+r2)
+    # certifies the probe path), the source-overlap matrix, and the
+    # Gopher repetition battery (both added after the first window
+    # curation). Queries with existing r1/r2 rows (dd_curation_pipeline,
+    # sim_lsh_recall) yield their slots to the never-checked ones; the
+    # changed lsh/assignment implementations are locally re-verified at
+    # both scales (CORRECTNESS_LOCAL_SF01.md)
     "dd_bloom_decontam",
     "sm9_importance_resample",
     "sim_hard_negatives",
     "sim_knn_label_audit",
     "w13_retention_cohorts",
     "j11_bloom_pruned_join",
-    "sim_lsh_recall",
+    "dd_source_overlap",
     "txt_repetition_battery",
 ]
 

@@ -775,6 +775,48 @@ def dd_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dd_source_overlap",
+    oracle=f"""
+    WITH sh AS (
+        SELECT source,
+               CASE WHEN len(t) >= 3 THEN
+                   list_distinct(list_transform(generate_series(1, len(t) - 2),
+                       i -> array_to_string(t[i:i+2], ' ')))
+               ELSE [array_to_string(t, ' ')] END AS grams
+        FROM (SELECT source, string_split(text, ' ') AS t FROM documents)
+    ),
+    sg AS (SELECT DISTINCT source AS src, unnest(grams) AS g FROM sh),
+    sizes AS (SELECT src, COUNT(*) AS n FROM sg GROUP BY src),
+    shared AS (
+        SELECT l.src AS source1, r.src AS source2, COUNT(*) AS shared_ngrams
+        FROM sg l JOIN sg r ON l.g = r.g AND l.src < r.src
+        GROUP BY 1, 2
+    )
+    SELECT source1, source2, shared_ngrams,
+           {sql_round("shared_ngrams * 1.0 / LEAST(s1.n, s2.n)", 6)} AS containment
+    FROM shared
+    JOIN sizes s1 ON s1.src = source1
+    JOIN sizes s2 ON s2.src = source2
+    """,
+    doc="Cross-source n-gram containment matrix: distinct shared 3-token "
+    "n-grams and containment (shared / smaller source's gram count) for "
+    "every source pair — the corpus-level mixture-design diagnostic (two "
+    "'different' dumps with high containment add duplication, not "
+    "diversity). Inverted-index join fan-out is bounded by sources^2 per "
+    "gram, never corpus^2; the per-source size table broadcasts.",
+)
+def dd_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    res = dedup.source_overlap_matrix(docs)
+    return res.select(
+        "source1",
+        "source2",
+        "shared_ngrams",
+        portable_round(F.col("containment"), 6).alias("containment"),
+    )
+
+
+@register(
     "dd_jaccard_clusters",
     oracle=f"""
     WITH RECURSIVE pairs AS ({_jaccard_pairs_sql()}),

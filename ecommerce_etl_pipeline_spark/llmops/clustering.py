@@ -303,25 +303,43 @@ def kmeans_train(
     iterations = 0
     for _ in range(max_iterations):
         iterations += 1
-        # dist to each literal centroid; argmin via least-chain on structs
-        cols = [
-            F.aggregate(
-                F.zip_with(
-                    "_pv",
-                    F.array(*[F.lit(x) for x in c]),
-                    lambda a, b: (a.cast("double") - b) ** 2,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias(f"_d{ci}")
-            for ci, c in enumerate(centroids)
-        ]
-        scored = pts.select("_pid", "_pv", *cols)
-        best = F.least(
-            *[
-                F.struct(F.col(f"_d{ci}").alias("_dist"), F.lit(ci).alias("_c"))
-                for ci in range(k)
-            ]
+        # distances to ALL centroids in ONE aggregate pass (the single-
+        # fold rule from SCALING.md: one array traversal carrying a
+        # k-wide accumulator instead of k interpreted folds), against the
+        # column-major literal centroid matrix; accumulator j updates in
+        # element order, so each distance is bit-identical to a separate
+        # fold. Neutral at this demo's k=4 (per-iteration job overhead
+        # dominates locally); at production cell counts (k in the
+        # hundreds) it removes k-1 array re-traversals per row. Argmin =
+        # array_min over (dist, index) structs = lexicographic min —
+        # same tie-to-lowest-index as the old least-chain.
+        cols = "array(" + ",".join(
+            "array(" + ",".join(f"{centroids[j][i]}D" for j in range(k)) + ")"
+            for i in range(dim)
+        ) + ")"
+        zipped = F.zip_with(
+            "_pv",
+            F.sequence(F.lit(1), F.size("_pv")),
+            lambda x, i: F.struct(x.cast("double").alias("x"), i.alias("i")),
+        )
+        dists = F.aggregate(
+            zipped,
+            F.expr(f"array_repeat(0.0D, {k})"),
+            lambda acc, e: F.zip_with(
+                acc,
+                F.element_at(F.expr(cols), e["i"]),
+                # ** 2 (POWER), not x*x: keeps each term bit-identical to
+                # assign_to_seeds' fold, which the step-parity test compares
+                lambda a, c: a + (e["x"] - c) ** 2,
+            ),
+        )
+        scored = pts.select("_pid", "_pv", dists.alias("_d"))
+        best = F.array_min(
+            F.zip_with(
+                F.col("_d"),
+                F.sequence(F.lit(0), F.lit(k - 1)),
+                lambda d, i: F.struct(d.alias("_dist"), i.alias("_c")),
+            )
         )["_c"]
         assigned = scored.select(F.col("_pv"), best.alias("_cluster"))
         sums = (

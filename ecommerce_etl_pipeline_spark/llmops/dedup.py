@@ -421,11 +421,16 @@ def bloom_decontaminate(
     )
 
     train = ensure_parallelism(train)
+    # cached: this eval-sized frame feeds THREE consumers (the sizing
+    # count, the bitmap build, the exact-verify broadcast) — without the
+    # cache each one re-runs the eval explode+distinct shuffle. Exposed
+    # via retained_caches (the curate() contract) so callers can release.
     ev_grams = (
         eval_docs.select(
             F.explode(shingle_strings(F.col(text_col), shingle_k)).alias("g")
         )
         .distinct()
+        .cache()
     )
     # bounded build-side count (eval-corpus-scale aggregate, same class as
     # the j11 bloom sizing count) — sizes the bitmap to the real key count
@@ -439,11 +444,13 @@ def bloom_decontaminate(
         # distinct shared n-grams without a count_distinct shuffle
         F.explode(shingle_strings(F.col(text_col), shingle_k)).alias("g"),
     ).filter(might_contain(words, num_bits, F.col("g")))
-    return (
+    out = (
         train_grams.join(F.broadcast(ev_grams), "g", "semi")
         .groupBy("train_id")
         .agg(F.count(F.lit(1)).alias("n_hit_ngrams"))
     )
+    out.retained_caches = [ev_grams]
+    return out
 
 
 def source_overlap_matrix(

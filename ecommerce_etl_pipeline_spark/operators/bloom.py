@@ -99,9 +99,13 @@ def might_contain(
     (no false negatives), true for a stray key with probability ~(1/2)^k·….
 
     Pure bit arithmetic on a broadcast literal array — evaluates inside the
-    probe scan's codegen stage, before any exchange.
+    probe scan's codegen stage, before any exchange. The bitmap rides as
+    ONE array literal (``F.lit(words)``), not ``F.array`` of num_bits/64
+    element literals: a single Literal(ArrayData) node keeps plan
+    analysis/codegen O(1) in bitmap size (measured ~1.4x on a 2.5k-word
+    bitmap, and the gap grows with bitmap size).
     """
-    bitmap = F.array(*[F.lit(w).cast("bigint") for w in words])
+    bitmap = F.lit([int(w) for w in words]).cast("array<bigint>")
     cond = F.lit(True)
     for pos in _bit_positions(key, num_bits, num_hashes):
         word = F.element_at(bitmap, (pos / 64).cast("int") + 1)

@@ -1,0 +1,157 @@
+"""Distributed BPE tokenizer training (Sennrich et al. 2016, "Neural
+Machine Translation of Rare Words with Subword Units") as a DataFrame
+program.
+
+The algorithm iterates: count adjacent symbol pairs across the corpus,
+merge the most frequent pair everywhere, repeat. The distributed insight
+is the same one every production tokenizer trainer uses: after the first
+aggregation the working set is the WORD-TYPE table (distinct words with
+corpus counts — Zipf-small relative to the corpus), so each merge round
+is one narrow per-word fold plus one vocabulary-sized aggregate, and the
+driver holds only the merge list (the model — the same bounded class as
+kmeans_train's centroid matrix). The 100 TB corpus is touched exactly
+once, by the initial word-count shuffle.
+
+Determinism: pair-count ties break lexicographically on (left, right), so
+the merge list is a pure function of the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ecommerce_etl_pipeline_spark.llmops import text as T
+from ecommerce_etl_pipeline_spark.operators.parallelism import ensure_parallelism
+
+#: end-of-word marker appended to every word's symbol sequence (the
+#: classic construction: lets merges distinguish word-final subwords).
+EOW = "</w>"
+
+
+def word_counts(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """Corpus word-type table: (w, cnt). The ONLY corpus-wide shuffle in
+    BPE training; everything after runs on this Zipf-small table."""
+    return (
+        ensure_parallelism(docs)
+        .select(F.explode(T.tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _initial_symbols(w: F.Column) -> F.Column:
+    """Word → its character symbols + the end-of-word marker."""
+    return F.concat(F.split(w, ""), F.array(F.lit(EOW)))
+
+
+def _merge_pair(symbols: F.Column, left: str, right: str) -> F.Column:
+    """Greedy left-to-right non-overlapping merge of (left, right) into
+    one symbol — one fold with a pending-symbol buffer, so "aaa" under
+    ("a","a") becomes ["aa","a"], exactly the reference algorithm."""
+    init = F.struct(
+        F.array().cast("array<string>").alias("out"),
+        F.lit(None).cast("string").alias("pend"),
+    )
+
+    def step(acc: F.Column, s: F.Column) -> F.Column:
+        hit = (acc["pend"] == F.lit(left)) & (s == F.lit(right))
+        return F.struct(
+            F.when(acc["pend"].isNull(), acc["out"])
+            .when(hit, F.concat(acc["out"], F.array(F.lit(left + right))))
+            .otherwise(F.concat(acc["out"], F.array(acc["pend"])))
+            .alias("out"),
+            F.when(acc["pend"].isNull() | ~hit, s)
+            .otherwise(F.lit(None).cast("string"))
+            .alias("pend"),
+        )
+
+    return F.aggregate(
+        symbols,
+        init,
+        step,
+        lambda acc: F.when(
+            acc["pend"].isNull(), acc["out"]
+        ).otherwise(F.concat(acc["out"], F.array(acc["pend"]))),
+    )
+
+
+def _adjacent_pairs(symbols: F.Column) -> F.Column:
+    """(a, b) structs of adjacent symbols (empty below 2 symbols)."""
+    n = F.size(symbols)
+    return F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(symbols, 1, n - 1),
+            F.slice(symbols, 2, n - 1),
+            lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+
+
+def bpe_train(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    num_merges: int = 20,
+    min_pair_count: int = 2,
+) -> list[tuple[str, str, int]]:
+    """Learn up to ``num_merges`` BPE merges from the corpus. Returns the
+    ordered merge list [(left, right, pair_count), ...] — the tokenizer
+    model. Stops early when no pair reaches ``min_pair_count``.
+
+    Each round: one vocabulary-sized pair aggregate (weighted by word
+    count, map-side combinable) + one driver-collected argmax row, then a
+    narrow per-word-type fold applying the merge. The word-type frame is
+    localCheckpoint()ed every few rounds so the lineage (and plan depth)
+    stays bounded at any merge count.
+    """
+    vocab = word_counts(docs, text_col=text_col).select(
+        _initial_symbols(F.col("w")).alias("syms"), "cnt"
+    )
+    merges: list[tuple[str, str, int]] = []
+    for i in range(num_merges):
+        top = (
+            vocab.select(F.explode(_adjacent_pairs(F.col("syms"))).alias("p"), "cnt")
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["n"] < min_pair_count:
+            break
+        left, right, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
+        merges.append((left, right, n))
+        vocab = vocab.select(
+            _merge_pair(F.col("syms"), left, right).alias("syms"), "cnt"
+        )
+        if (i + 1) % 5 == 0:
+            # bound lineage depth: each round nests another fold into the
+            # plan; checkpointing keeps analysis/codegen cost O(1) per round
+            vocab = vocab.localCheckpoint(eager=False)
+    return merges
+
+
+def bpe_encode(symbols_word: str, merges: list[tuple[str, str, int]]) -> list[str]:
+    """Reference (driver-side) encoder for ONE word — applies the learned
+    merges in order. Used by tests to cross-check the distributed trainer
+    against a pure-Python replay; corpus-scale encoding would apply the
+    same fold per document (see txt_vocab_encode for the applied form)."""
+    syms = list(symbols_word) + [EOW]
+    for left, right, _ in merges:
+        out: list[str] = []
+        pend: str | None = None
+        for s in syms:
+            if pend is None:
+                pend = s
+            elif pend == left and s == right:
+                out.append(left + right)
+                pend = None
+            else:
+                out.append(pend)
+                pend = s
+        if pend is not None:
+            out.append(pend)
+        syms = out
+    return syms

@@ -584,6 +584,28 @@ def sim_knn_label_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_label_audit(emb, emb.filter(F.col("vec_id") < 100), k=5)
 
 
+@register(
+    "txt_bpe_merges",
+    doc="Distributed BPE tokenizer training (Sennrich 2016): 20 merge "
+    "rounds over the corpus word-TYPE table — the corpus is shuffled "
+    "exactly once (word counts); every round after is one Zipf-small "
+    "pair aggregate + a driver-collected argmax + a narrow per-word "
+    "merge fold, with localCheckpoint bounding lineage depth. "
+    "Deterministic (ties break lexicographically). Rows-only: the "
+    "iterative argmax loop is not SQL-expressible; pytest replays the "
+    "whole training against a pure-Python reference (tests/test_bpe.py).",
+)
+def txt_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecommerce_etl_pipeline_spark.llmops import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe.bpe_train(docs, num_merges=20)
+    return spark.createDataFrame(
+        [(i + 1, a, b, a + b, n) for i, (a, b, n) in enumerate(merges)],
+        "rank INT, left STRING, right STRING, merged STRING, pair_count BIGINT",
+    )
+
+
 # ---- rows-only checks (hash-seeded candidate generation; not relational) ----
 
 

@@ -1,0 +1,77 @@
+"""Distributed BPE trainer vs a pure-Python reference replay: identical
+merge lists (order, pairs, counts) on crafted and real corpora, plus the
+greedy-merge edge cases (overlapping runs, early stop)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ecommerce_etl_pipeline_spark.llmops.bpe import (
+    EOW,
+    bpe_encode,
+    bpe_train,
+    word_counts,
+)
+from ecommerce_etl_pipeline_spark.sources.io import load_table
+
+from tests.conftest import SF_SMOKE
+
+
+def _ref_train(wc: dict[str, int], num_merges: int, min_pair_count: int = 2):
+    vocab = {w: (tuple(list(w) + [EOW]), c) for w, c in wc.items()}
+    merges = []
+    for _ in range(num_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, c in vocab.values():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + c
+        if not pairs:
+            break
+        (a, b), n = sorted(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )[0]
+        if n < min_pair_count:
+            break
+        merges.append((a, b, n))
+        new_vocab = {}
+        for w, (syms, c) in vocab.items():
+            out: list[str] = []
+            pend = None
+            for s in syms:
+                if pend is None:
+                    pend = s
+                elif pend == a and s == b:
+                    out.append(a + b)
+                    pend = None
+                else:
+                    out.append(pend)
+                    pend = s
+            if pend is not None:
+                out.append(pend)
+            new_vocab[w] = (tuple(out), c)
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_train_matches_reference_on_real_corpus(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    wc = {r["w"]: r["cnt"] for r in word_counts(docs).collect()}
+    got = bpe_train(docs, num_merges=15)
+    want = _ref_train(wc, 15)
+    assert got == want, f"\ngot:  {got}\nwant: {want}"
+    assert len(got) == 15  # real corpus has plenty of repeated pairs
+
+
+def test_bpe_overlapping_runs_and_early_stop(spark):
+    # "aaaa" x3: first merge is (a,a); greedy non-overlap gives [aa,aa,</w>]
+    docs = spark.createDataFrame([(1, "aaaa aaaa aaaa")], "doc_id LONG, text STRING")
+    merges = bpe_train(docs, num_merges=10)
+    ref = _ref_train({"aaaa": 3}, 10)
+    assert merges == ref
+    assert merges[0][:2] == ("a", "a")
+    # encoding replays to full-word tokens via the learned merges
+    enc = bpe_encode("aaaa", merges)
+    assert "".join(enc) == "aaaa" + EOW
+    # a corpus with no repeated pair stops immediately
+    unique = spark.createDataFrame([(1, "xy")], "doc_id LONG, text STRING")
+    assert bpe_train(unique, num_merges=5) == []

@@ -658,3 +658,92 @@ def txt_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("freq"))
     )
     return vocab.groupBy("freq").agg(F.count(F.lit(1)).alias("n_tokens"))
+
+
+@register(
+    "a26_rfm_segments",
+    oracle="""
+    WITH rfm AS (
+        SELECT o_custkey,
+               (DATE '1998-12-31' - CAST(MAX(o_orderdate) AS DATE)) AS recency_days,
+               COUNT(*) AS frequency,
+               FLOOR(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                     * 100 + 0.5) / 100 AS monetary
+        FROM orders GROUP BY o_custkey
+    ),
+    edges AS (
+        SELECT CAST(quantile_cont(recency_days, 0.25) AS DOUBLE) AS r1,
+               CAST(quantile_cont(recency_days, 0.50) AS DOUBLE) AS r2,
+               CAST(quantile_cont(recency_days, 0.75) AS DOUBLE) AS r3,
+               CAST(quantile_cont(frequency, 0.25) AS DOUBLE) AS f1,
+               CAST(quantile_cont(frequency, 0.50) AS DOUBLE) AS f2,
+               CAST(quantile_cont(frequency, 0.75) AS DOUBLE) AS f3,
+               CAST(quantile_cont(monetary, 0.25) AS DOUBLE) AS m1,
+               CAST(quantile_cont(monetary, 0.50) AS DOUBLE) AS m2,
+               CAST(quantile_cont(monetary, 0.75) AS DOUBLE) AS m3
+        FROM rfm
+    ),
+    scored AS (
+        SELECT o_custkey,
+               CASE WHEN recency_days <= r1 THEN 4 WHEN recency_days <= r2 THEN 3
+                    WHEN recency_days <= r3 THEN 2 ELSE 1 END AS r_score,
+               CASE WHEN frequency <= f1 THEN 1 WHEN frequency <= f2 THEN 2
+                    WHEN frequency <= f3 THEN 3 ELSE 4 END AS f_score,
+               CASE WHEN monetary <= m1 THEN 1 WHEN monetary <= m2 THEN 2
+                    WHEN monetary <= m3 THEN 3 ELSE 4 END AS m_score
+        FROM rfm, edges
+    )
+    SELECT o_custkey, r_score, f_score, m_score,
+           CASE WHEN r_score >= 3 AND f_score >= 3 AND m_score >= 3 THEN 'champion'
+                WHEN r_score >= 3 AND f_score <= 2 THEN 'recent'
+                WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+                ELSE 'regular' END AS segment
+    FROM scored
+    """,
+    doc="RFM customer segmentation — the canonical e-commerce marketing "
+    "analysis: per-customer Recency (days since last order at the pinned "
+    "as-of date 1998-12-31 — never current_date), Frequency, Monetary "
+    "(exact-decimal sum, so the quartile inputs are order-independent "
+    "and engine-identical), each scored into exact interpolated "
+    "quartiles (the a12/W1 machinery), then mapped to named segments. "
+    "Scale shape: one map-side-combinable per-customer rollup, one "
+    "9-scalar quantile aggregate broadcast back as literals, one narrow "
+    "scoring pass.",
+)
+def a26_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecommerce_etl_pipeline_spark.functions.binning import quantile_edges
+
+    orders = load_table(spark, sf_dir, "orders")
+    rfm = orders.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit("1998-12-31").cast("date"), F.max("o_orderdate").cast("date")
+        ).alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        exact_sum("o_totalprice").alias("monetary"),
+    )
+    probs = [0.25, 0.50, 0.75]
+
+    def score(col: str, best_low: bool) -> F.Column:
+        e = quantile_edges(rfm, col, probs)
+        labels = [4, 3, 2, 1] if best_low else [1, 2, 3, 4]
+        expr = F.when(F.col(col) <= F.lit(e[0]), F.lit(labels[0]))
+        for i in (1, 2):
+            expr = expr.when(F.col(col) <= F.lit(e[i]), F.lit(labels[i]))
+        return expr.otherwise(F.lit(labels[3]))
+
+    scored = rfm.select(
+        "o_custkey",
+        score("recency_days", best_low=True).alias("r_score"),
+        score("frequency", best_low=False).alias("f_score"),
+        score("monetary", best_low=False).alias("m_score"),
+    )
+    return scored.withColumn(
+        "segment",
+        F.when(
+            (F.col("r_score") >= 3) & (F.col("f_score") >= 3) & (F.col("m_score") >= 3),
+            F.lit("champion"),
+        )
+        .when((F.col("r_score") >= 3) & (F.col("f_score") <= 2), F.lit("recent"))
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 3), F.lit("at_risk"))
+        .otherwise(F.lit("regular")),
+    )

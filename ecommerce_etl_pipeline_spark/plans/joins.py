@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from ecommerce_etl_pipeline_spark.functions.exact_agg import exact_sum
 from ecommerce_etl_pipeline_spark.operators.parallelism import repartition_for_collect
+from ecommerce_etl_pipeline_spark.functions.exact_agg import sql_round
 from ecommerce_etl_pipeline_spark.plans.registry import register
 from ecommerce_etl_pipeline_spark.sources.io import load_table
 
@@ -310,4 +311,115 @@ def j11_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("num_lineitems"),
             F.sum(F.col("l_quantity").cast("bigint")).alias("total_quantity"),
         )
+    )
+
+
+@register(
+    "j12_association_rules",
+    oracle=f"""
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM b),
+    item AS (SELECT l_partkey AS it, COUNT(*) AS sup FROM b GROUP BY 1),
+    pair AS (
+        SELECT a.l_partkey AS p1, c.l_partkey AS p2, COUNT(*) AS pn
+        FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey
+                         AND a.l_partkey < c.l_partkey
+        GROUP BY 1, 2
+    ),
+    rules AS (
+        SELECT p1 AS antecedent, p2 AS consequent, pn FROM pair
+        UNION ALL SELECT p2, p1, pn FROM pair
+    )
+    SELECT antecedent, consequent, pn AS pair_count,
+           {sql_round("pn * 1.0 / ia.sup", 6)} AS confidence,
+           {sql_round("CAST(pn * n_baskets AS DOUBLE) / (ia.sup * ic.sup)", 6)} AS lift
+    FROM rules
+    JOIN item ia ON ia.it = antecedent
+    JOIN item ic ON ic.it = consequent
+    CROSS JOIN n
+    WHERE pn >= 3
+    ORDER BY CAST(pn * n_baskets AS DOUBLE) / (ia.sup * ic.sup) DESC,
+             pn * 1.0 / ia.sup DESC, antecedent, consequent
+    LIMIT 20
+    """,
+    doc="Market-basket association rules (support / confidence / lift, "
+    "top-20 by lift): the classic retail cross-sell analysis over order "
+    "baskets. Pair generation reuses j4's in-array HOF expansion over "
+    "per-order sorted DISTINCT item sets — no self-join of the fact "
+    "table, output bounded by sum(|basket|^2) with |basket| <= 7 — and "
+    "the basket count rides as a broadcast single-row statistic. All "
+    "rule metrics derive from exact integer counts, so ranking is "
+    "engine-identical.",
+)
+def j12_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecommerce_etl_pipeline_spark.functions.exact_agg import portable_round
+    from ecommerce_etl_pipeline_spark.operators.parallelism import (
+        repartition_for_collect,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = (
+        repartition_for_collect(li, "l_orderkey")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+    )
+    n_row = baskets.agg(F.count(F.lit(1)).alias("n_baskets"))
+    item = (
+        baskets.select(F.explode("parts").alias("it"))
+        .groupBy("it")
+        .agg(F.count(F.lit(1)).alias("sup"))
+    )
+    pair = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    """
+                    flatten(transform(parts, (x, i) ->
+                        transform(slice(parts, i + 2, size(parts) - i - 1),
+                                  y -> struct(x AS p1, y AS p2))))
+                    """
+                )
+            ).alias("pr")
+        )
+        .groupBy(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))
+        .agg(F.count(F.lit(1)).alias("pn"))
+        .filter(F.col("pn") >= 3)
+    )
+    rules = pair.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("p1").alias("antecedent"), F.col("p2").alias("consequent")
+                ),
+                F.struct(
+                    F.col("p2").alias("antecedent"), F.col("p1").alias("consequent")
+                ),
+            )
+        ).alias("r"),
+        "pn",
+    ).select("r.antecedent", "r.consequent", "pn")
+    ia = item.select(F.col("it").alias("antecedent"), F.col("sup").alias("ante_n"))
+    ic = item.select(F.col("it").alias("consequent"), F.col("sup").alias("cons_n"))
+    conf = F.col("pn") / F.col("ante_n")
+    lift = (F.col("pn") * F.col("n_baskets")).cast("double") / (
+        F.col("ante_n") * F.col("cons_n")
+    )
+    return (
+        rules.join(ia, "antecedent")
+        .join(ic, "consequent")
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("pn").alias("pair_count"),
+            portable_round(conf, 6).alias("confidence"),
+            portable_round(lift, 6).alias("lift"),
+            lift.alias("_lift_raw"),
+            conf.alias("_conf_raw"),
+        )
+        .orderBy(
+            F.desc("_lift_raw"), F.desc("_conf_raw"), "antecedent", "consequent"
+        )
+        .limit(20)
+        .drop("_lift_raw", "_conf_raw")
     )

@@ -747,8 +747,11 @@ def test_bloom_decontaminate_plants_and_clean(spark):
         ],
         "doc_id LONG, text STRING",
     )
-    got = {r["train_id"]: r["n_hit_ngrams"] for r in bloom_decontaminate(train, ev).collect()}
+    res = bloom_decontaminate(train, ev)
+    got = {r["train_id"]: r["n_hit_ngrams"] for r in res.collect()}
     assert got == {1: 1}
+    for df in res.retained_caches:  # honor the cache contract
+        df.unpersist(blocking=True)
 
     # fully clean train corpus -> empty result (and the empty-eval path
     # must not divide by zero when sizing the bitmap)
@@ -757,6 +760,8 @@ def test_bloom_decontaminate_plants_and_clean(spark):
         spark.createDataFrame([], "doc_id LONG, text STRING"),
     )
     assert clean.count() == 0
+    for df in clean.retained_caches:
+        df.unpersist(blocking=True)
 
 
 def test_importance_logweights_tilts_toward_target(spark):

@@ -247,7 +247,10 @@ def test_decontam_gate_stream_no_false_negatives_and_batch_parity(spark):
     }
 
     train = docs.filter(F.col("source") != "src0")
-    exact = {r.train_id for r in bloom_decontaminate(train, ev).collect()}
+    exact_res = bloom_decontaminate(train, ev)
+    exact = {r.train_id for r in exact_res.collect()}
+    for _df in exact_res.retained_caches:  # honor the cache contract
+        _df.unpersist(blocking=True)
     # exact contaminated train docs are a subset of the stream's flags
     # (the stream also flags eval docs themselves + bounded FPs)
     assert exact, "fixture should contain cross-source n-gram overlap"

@@ -423,3 +423,48 @@ def j12_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .drop("_lift_raw", "_conf_raw")
     )
+
+
+@register(
+    "g1_pagerank_copurchase",
+    doc="PageRank over the co-purchase graph (parts linked when bought in "
+    "the same order, both directions): the canonical iterative graph "
+    "algorithm as a DataFrame loop (operators/graph.py) — per round one "
+    "rank-edge join + one map-side-combinable contribution aggregate + a "
+    "one-row dangling-mass broadcast, lineage cut every 3 rounds, driver "
+    "never holds a rank vector. Rows-only: the fixed-point FP iterations "
+    "are not SQL-expressible; tests/test_graph.py replays the whole run "
+    "against a pure-Python reference to 1e-9 and checks the rank "
+    "invariants (sum=1, uniform on symmetric cliques).",
+)
+def g1_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecommerce_etl_pipeline_spark.functions.exact_agg import portable_round
+    from ecommerce_etl_pipeline_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = (
+        repartition_for_collect(li, "l_orderkey")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                """
+                flatten(transform(parts, (x, i) ->
+                    transform(slice(parts, i + 2, size(parts) - i - 1),
+                              y -> struct(x AS src, y AS dst))))
+                """
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    edges = pairs.union(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    ranks = pagerank(edges, iterations=6)
+    out = (
+        ranks.select("node", portable_round(F.col("rank") * 1e6, 3).alias("rank_ppm"))
+        .orderBy(F.desc("rank_ppm"), "node")
+        .limit(20)
+    )
+    # propagate the cache contract to the query result
+    out.retained_caches = getattr(ranks, "retained_caches", [])
+    return out

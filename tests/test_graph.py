@@ -1,0 +1,54 @@
+"""PageRank DataFrame loop vs a pure-Python reference replay, plus the
+structural invariants (mass conservation, symmetry, dangling handling)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ecommerce_etl_pipeline_spark.operators.graph import pagerank
+
+
+def _ref_pagerank(edges, damping=0.85, iterations=10):
+    edges = sorted(set(edges))
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    out = {}
+    for a, _ in edges:
+        out[a] = out.get(a, 0) + 1
+    n = len(nodes)
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(iterations):
+        recv = {v: 0.0 for v in nodes}
+        for a, b in edges:
+            recv[b] += rank[a] / out[a]
+        dm = sum(rank[v] for v in nodes if v not in out)
+        rank = {
+            v: (1 - damping) / n + damping * (recv[v] + dm / n) for v in nodes
+        }
+    return rank
+
+
+def test_pagerank_matches_reference_with_dangling(spark):
+    # 4 is a dangling sink; 1-2-3 form a cycle feeding it
+    edges = [(1, 2), (2, 3), (3, 1), (1, 4), (3, 4)]
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+    res = pagerank(df)
+    got = {r["node"]: r["rank"] for r in res.collect()}
+    for _c in res.retained_caches:  # honor the cache contract
+        _c.unpersist(blocking=True)
+    want = _ref_pagerank(edges)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-9, (v, got[v], want[v])
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conserved
+
+
+def test_pagerank_uniform_on_symmetric_clique(spark):
+    edges = [(a, b) for a in range(1, 5) for b in range(1, 5) if a != b]
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+    res = pagerank(df, iterations=5)
+    got = [r["rank"] for r in res.collect()]
+    for _c in res.retained_caches:
+        _c.unpersist(blocking=True)
+    assert len(got) == 4
+    for r in got:
+        assert abs(r - 0.25) < 1e-12

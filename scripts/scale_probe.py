@@ -172,6 +172,17 @@ def main() -> None:
         "chunk_overlap": lambda d: d.select(
             "doc_id", F.explode(_chunk(F.col("text"))).alias("c")
         ).select("doc_id", "c.*"),
+        # late round-3: bitmap-probe scan (eval side FIXED at 50 docs, so
+        # growth isolates the train-side scan+probe — expected ~linear)
+        # and the sources^2-bounded inverted-index self-join
+        "bloom_decontam": lambda d: dedup.bloom_decontaminate(
+            d, docs1.filter(F.col("doc_id") < 50)
+        ),
+        "source_overlap": lambda d: dedup.source_overlap_matrix(
+            d.withColumn(
+                "source", F.concat(F.lit("s"), (F.col("doc_id") % 20).cast("string"))
+            )
+        ),
     }
     results: dict[str, tuple[float, float]] = {}
     for name, fn in probes.items():
@@ -181,7 +192,10 @@ def main() -> None:
         t10 = timed(f"{copies}x", lambda: fn(docs10))
         spark.catalog.clearCache()
         results[name] = (t1, t10)
-        if name != "curation_minhash":  # curate launches eager jobs at build
+        # curate/bloom_decontam launch eager jobs (component resolution /
+        # bitmap build) at plan-build time, so the flip report would hang
+        # re-planning them per threshold rung
+        if name not in ("curation_minhash", "bloom_decontam"):
             report_plan_flip(name, lambda: fn(docs10))
             spark.catalog.clearCache()
     print("== fact_join (j1 shape)")

@@ -61,3 +61,52 @@ def apply_changes(
         ranked.filter((F.col("_rn") == 1) & (F.col(op_col) != "D"))
         .drop("_rn", seq_col, op_col)
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Row-level diff of two table snapshots — the data-ops companion to
+    :func:`apply_changes` (MERGE applies a change feed; this RECOVERS the
+    change feed from two snapshots when no CDC stream exists, the
+    standard reconciliation / backfill-audit primitive).
+
+    Returns one row per key present in either snapshot with ``status`` in
+    {added, removed, changed, unchanged} plus both sides' compare
+    columns (old\\_/new\\_ prefixed). One co-partitioned full outer join
+    on the key — at scale, bucket both snapshots on the key (S11) and
+    the exchange disappears. Comparison is null-safe (``<=>``), so a
+    NULL→value transition counts as changed, not unchanged.
+    """
+    # explicit presence markers: compare columns may legitimately be NULL
+    # on a matched side, so side-presence needs its own always-non-null
+    # sentinel, never a data column
+    o = old.select(
+        *key_cols,
+        *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+        F.lit(1).alias("_old_present"),
+    )
+    n = new.select(
+        *key_cols,
+        *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+        F.lit(1).alias("_new_present"),
+    )
+    joined = o.join(n, key_cols, "full_outer")
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+    status = (
+        F.when(F.col("_old_present").isNull(), F.lit("added"))
+        .when(F.col("_new_present").isNull(), F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(
+        *key_cols,
+        status.alias("status"),
+        *[F.col(f"old_{c}") for c in compare_cols],
+        *[F.col(f"new_{c}") for c in compare_cols],
+    )

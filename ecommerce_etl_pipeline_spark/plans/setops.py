@@ -211,3 +211,61 @@ def u5_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         portable_round(F.col("o_totalprice"), 2).alias("o_totalprice"),
     )
+
+
+@register(
+    "u6_snapshot_diff",
+    oracle="""
+    WITH oldt AS (
+        SELECT o_orderkey, o_totalprice FROM orders
+    ),
+    newt AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.5
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 10 <> 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_totalprice
+        FROM orders WHERE o_orderkey % 13 = 0
+    ),
+    d AS (
+        SELECT CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                    WHEN n.o_orderkey IS NULL THEN 'removed'
+                    WHEN o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+                        THEN 'unchanged'
+                    ELSE 'changed' END AS status
+        FROM oldt o FULL OUTER JOIN newt n ON o.o_orderkey = n.o_orderkey
+    )
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n_rows FROM d GROUP BY 1
+    """,
+    doc="Snapshot reconciliation (operators/cdc.py::snapshot_diff): "
+    "recover added/removed/changed/unchanged classifications from two "
+    "table snapshots via one null-safe full outer join — the audit "
+    "primitive when no CDC feed exists (the reverse of u5's MERGE "
+    "apply). The 'new' snapshot is a deterministic synthetic mutation "
+    "of orders (10% deleted, every 7th repriced, every 13th re-keyed "
+    "as an insert) so the full classification matrix is exercised. At "
+    "scale both snapshots bucket on the key (S11) and the join is "
+    "exchange-free.",
+)
+def u6_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecommerce_etl_pipeline_spark.operators.cdc import snapshot_diff
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    new = (
+        orders.filter(F.col("o_orderkey") % 10 != 0)
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") * 1.5
+            ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+        )
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 13 == 0).select(
+                (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+                "o_totalprice",
+            )
+        )
+    )
+    diff = snapshot_diff(orders, new, ["o_orderkey"], ["o_totalprice"])
+    return diff.groupBy("status").agg(F.count(F.lit(1)).alias("n_rows"))

@@ -588,3 +588,46 @@ def w13_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
+
+
+@register(
+    "w14_last_touch_attribution",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type, ts, event_id,
+               LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END
+                          IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS touch
+        FROM events
+    )
+    SELECT COALESCE(touch, 'none') AS touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases
+    FROM seq WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+    doc="Last-touch purchase attribution: each purchase credits the most "
+    "recent PRIOR non-purchase event of the same user (running "
+    "last_value IGNORE NULLS over the user's event sequence — the w8 "
+    "forward-fill idiom pointed backwards); first-event purchases "
+    "attribute to 'none'. One shuffle on the user key, tiny rollup; "
+    "deterministic via (ts, event_id) ordering.",
+)
+def w14_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.withColumn("touch", touch)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce(F.col("touch"), F.lit("none")).alias("touch_type"))
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )

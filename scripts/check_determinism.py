@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Partitioning-determinism audit: run EVERY registered query twice in one
+session — once with spark.sql.shuffle.partitions=32, once with 7 — and
+compare canonicalized results. Any query whose output depends on shuffle
+partition count (the classic leak: FP summation order across partitions)
+fails here before it can flake in a real cluster where partition counts
+are never twice the same.
+
+Scan-side partitioning (file splits, spark.range) is deliberately held
+constant so seeded per-partition randomness (sm1/sm2/sm4) stays
+comparable; only the SHUFFLE layout varies, which is exactly the degree
+of freedom a cluster re-plan changes.
+
+Usage: python scripts/check_determinism.py [sf_dir] [n_threads]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from concurrent.futures import ThreadPoolExecutor
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+import ecommerce_etl_pipeline_spark.plans  # noqa: F401,E402
+from ecommerce_etl_pipeline_spark.plans.registry import _REGISTRY  # noqa: E402
+from tests.oracle import canon_rows  # noqa: E402
+
+
+def main() -> int:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    n_threads = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    spark = (
+        SparkSession.builder.master("local[16]").appName("determinism").getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def run_all(partitions: int) -> dict[str, object]:
+        spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
+        out: dict[str, object] = {}
+
+        def one(item):
+            name, spec = item
+            try:
+                return name, canon_rows(spec.fn(spark, sf).toPandas())
+            except Exception as e:  # noqa: BLE001
+                return name, f"ERROR: {str(e)[:200]}"
+
+        with ThreadPoolExecutor(max_workers=n_threads) as pool:
+            for name, rows in pool.map(one, sorted(_REGISTRY.items())):
+                out[name] = rows
+        spark.catalog.clearCache()
+        return out
+
+    a = run_all(32)
+    b = run_all(7)
+    fails = []
+    for name in sorted(_REGISTRY):
+        ra, rb = a[name], b[name]
+        if isinstance(ra, str) or isinstance(rb, str):
+            fails.append(name)
+            print(f"ERR  {name}: {ra if isinstance(ra, str) else rb}")
+        elif ra != rb:
+            fails.append(name)
+            diff = [(x, y) for x, y in zip(ra, rb) if x != y][:3]
+            print(f"DIFF {name}: {len(ra)} vs {len(rb)} rows; first diffs {diff}")
+        else:
+            print(f"OK   {name}")
+    print(f"\n{len(_REGISTRY) - len(fails)}/{len(_REGISTRY)} partition-stable; fails: {fails}")
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

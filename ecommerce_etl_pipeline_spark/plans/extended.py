@@ -747,3 +747,102 @@ def a26_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when((F.col("r_score") <= 2) & (F.col("f_score") >= 3), F.lit("at_risk"))
         .otherwise(F.lit("regular")),
     )
+
+
+@register(
+    "dq_psi_drift",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_totalprice AS v FROM orders WHERE YEAR(o_orderdate) <= 1997
+    ),
+    cur AS (
+        SELECT o_totalprice AS v FROM orders WHERE YEAR(o_orderdate) >= 1998
+    ),
+    edges AS (
+        SELECT CAST(quantile_cont(v, 0.2) AS DOUBLE) AS e1,
+               CAST(quantile_cont(v, 0.4) AS DOUBLE) AS e2,
+               CAST(quantile_cont(v, 0.6) AS DOUBLE) AS e3,
+               CAST(quantile_cont(v, 0.8) AS DOUBLE) AS e4
+        FROM base
+    ),
+    bb AS (
+        SELECT CASE WHEN v <= e1 THEN 1 WHEN v <= e2 THEN 2 WHEN v <= e3 THEN 3
+                    WHEN v <= e4 THEN 4 ELSE 5 END AS bin, COUNT(*) AS c
+        FROM base, edges GROUP BY 1
+    ),
+    cb AS (
+        SELECT CASE WHEN v <= e1 THEN 1 WHEN v <= e2 THEN 2 WHEN v <= e3 THEN 3
+                    WHEN v <= e4 THEN 4 ELSE 5 END AS bin, COUNT(*) AS c
+        FROM cur, edges GROUP BY 1
+    ),
+    tot AS (SELECT (SELECT SUM(c) FROM bb) AS nb, (SELECT SUM(c) FROM cb) AS nc),
+    bins AS (SELECT 1 AS bin UNION ALL SELECT 2 UNION ALL SELECT 3
+             UNION ALL SELECT 4 UNION ALL SELECT 5),
+    probs AS (
+        SELECT bins.bin,
+               (COALESCE(bb.c, 0) + 0.5) / (nb + 2.5) AS p,
+               (COALESCE(cb.c, 0) + 0.5) / (nc + 2.5) AS q
+        FROM bins LEFT JOIN bb USING (bin) LEFT JOIN cb USING (bin) CROSS JOIN tot
+    )
+    SELECT bin,
+           {sql_round("p", 6)} AS p_base,
+           {sql_round("q", 6)} AS p_current,
+           {sql_round(
+               "(p - q) * (CAST(FLOOR(ln(p) * 1e9 + 0.5) AS BIGINT)"
+               " - CAST(FLOOR(ln(q) * 1e9 + 0.5) AS BIGINT)) / 1e9", 6)} AS psi_term
+    FROM probs
+    """,
+    doc="Population Stability Index drift report: order-value distribution "
+    "1992-94 (baseline) vs 1995+ (current) over baseline quintiles — the "
+    "standard ML-ops input-drift monitor (PSI > 0.2 = significant "
+    "shift). Exact interpolated edges (W1 machinery), +0.5 smoothing so "
+    "empty bins stay finite, and the ln ratio is nano-quantized to an "
+    "integer difference so every psi term replays bit-for-bat in DuckDB "
+    "despite crossing an FP log. Two scans + two 4-scalar aggregates; "
+    "the report is 5 rows.",
+)
+def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecommerce_etl_pipeline_spark.functions.binning import quantile_edges
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.filter(F.year("o_orderdate") <= 1997).select(
+        F.col("o_totalprice").alias("v")
+    )
+    cur = orders.filter(F.year("o_orderdate") >= 1998).select(
+        F.col("o_totalprice").alias("v")
+    )
+    e = quantile_edges(base, "v", [0.2, 0.4, 0.6, 0.8])
+
+    def binned(df: DataFrame) -> DataFrame:
+        b = (
+            F.when(F.col("v") <= e[0], 1)
+            .when(F.col("v") <= e[1], 2)
+            .when(F.col("v") <= e[2], 3)
+            .when(F.col("v") <= e[3], 4)
+            .otherwise(5)
+        )
+        return df.groupBy(b.alias("bin")).agg(F.count(F.lit(1)).alias("c"))
+
+    bb = binned(base)
+    cb = binned(cur)
+    bins = spark.range(1, 6).select(F.col("id").cast("int").alias("bin"))
+    nb = bb.agg(F.sum("c").alias("nb"))
+    nc = cb.agg(F.sum("c").alias("nc"))
+    p = (F.coalesce(F.col("bc"), F.lit(0)) + 0.5) / (F.col("nb") + 2.5)
+    q = (F.coalesce(F.col("cc"), F.lit(0)) + 0.5) / (F.col("nc") + 2.5)
+    nano_ln_ratio = (
+        F.floor(F.log(p) * 1e9 + 0.5).cast("bigint")
+        - F.floor(F.log(q) * 1e9 + 0.5).cast("bigint")
+    ).cast("double") / 1e9
+    return (
+        bins.join(bb.select(F.col("bin"), F.col("c").alias("bc")), "bin", "left")
+        .join(cb.select(F.col("bin"), F.col("c").alias("cc")), "bin", "left")
+        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(nc))
+        .select(
+            "bin",
+            portable_round(p, 6).alias("p_base"),
+            portable_round(q, 6).alias("p_current"),
+            portable_round((p - q) * nano_ln_ratio, 6).alias("psi_term"),
+        )
+    )

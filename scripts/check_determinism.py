@@ -28,6 +28,11 @@ import ecommerce_etl_pipeline_spark.plans  # noqa: F401,E402
 from ecommerce_etl_pipeline_spark.plans.registry import _REGISTRY  # noqa: E402
 from tests.oracle import canon_rows  # noqa: E402
 
+#: columns that are RUN-unique by specification (SC14: `uuid()` mints a
+#: fresh id per execution — that is its contract, not a determinism leak).
+#: They are dropped before comparison; everything else must match.
+RUN_UNIQUE_COLS = {"sm4_generated_transactions": ["booking_id"]}
+
 
 def main() -> int:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -44,7 +49,10 @@ def main() -> int:
         def one(item):
             name, spec = item
             try:
-                return name, canon_rows(spec.fn(spark, sf).toPandas())
+                df = spec.fn(spark, sf)
+                for c in RUN_UNIQUE_COLS.get(name, []):
+                    df = df.drop(c)
+                return name, canon_rows(df.toPandas())
             except Exception as e:  # noqa: BLE001
                 return name, f"ERROR: {str(e)[:200]}"
 

@@ -797,7 +797,7 @@ def a26_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     "standard ML-ops input-drift monitor (PSI > 0.2 = significant "
     "shift). Exact interpolated edges (W1 machinery), +0.5 smoothing so "
     "empty bins stay finite, and the ln ratio is nano-quantized to an "
-    "integer difference so every psi term replays bit-for-bat in DuckDB "
+    "integer difference so every psi term replays bit-for-bit in DuckDB "
     "despite crossing an FP log. Two scans + two 4-scalar aggregates; "
     "the report is 5 rows.",
 )

@@ -272,3 +272,27 @@ def test_no_forced_broadcast_of_scaling_sides(spark):
             assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, name
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_folded_lsh_signatures_not_inlined(spark):
+    """The multi-table LSH signature fold must appear ONCE per side in the
+    optimized plan (plus the re-rank's cosine folds) — if a future
+    optimizer change starts collapsing the two-step select, the bit-pack
+    would inline the n_tables*n_planes-wide fold once PER BUCKET TERM
+    (~96 copies) and sim_lsh_recall regresses ~4x (see SCALING.md
+    'Round-3 late additions'). Gate on the expression count."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_etl_pipeline_spark.llmops import similarity
+    from ecommerce_etl_pipeline_spark.sources.io import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    df = similarity.lsh_topk_multi(
+        emb, emb.filter(F.col("vec_id") < 3), n_planes=6, n_tables=16
+    )
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    n_folds = plan.count("aggregate(")
+    assert n_folds < 12, (
+        f"{n_folds} aggregate() folds in the multi-table LSH plan — "
+        "the signature fold is being duplicated per bucket term"
+    )

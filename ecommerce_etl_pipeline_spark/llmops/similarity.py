@@ -116,6 +116,10 @@ def hard_negative_topk(
     the ANN candidate generators and keep the same label-filtered re-rank.
 
     Returns (query_id, neighbor_id, neighbor_label, cosine, rank).
+    NULL labels propagate through the inequality as NULL (row dropped):
+    an unlabeled corpus vector is never served as a negative, and an
+    unlabeled anchor gets no negatives — filter labels upstream if that
+    is not the desired policy.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"),

@@ -79,7 +79,10 @@ def snapshot_diff(
     columns (old\\_/new\\_ prefixed). One co-partitioned full outer join
     on the key — at scale, bucket both snapshots on the key (S11) and
     the exchange disappears. Comparison is null-safe (``<=>``), so a
-    NULL→value transition counts as changed, not unchanged.
+    NULL→value transition counts as changed, not unchanged. Keys
+    themselves must be non-null: a NULL key never equi-joins, so such a
+    row would surface as one removed + one added (standard join
+    semantics — pre-filter if NULL keys are possible).
     """
     # explicit presence markers: compare columns may legitimately be NULL
     # on a matched side, so side-presence needs its own always-non-null

@@ -427,9 +427,14 @@ def decontam_gate_stream(
     from ecommerce_etl_pipeline_spark.llmops.dedup import shingle_strings
     from ecommerce_etl_pipeline_spark.operators.bloom import might_contain
 
-    flagged = F.exists(
-        shingle_strings(F.col("text"), shingle_k),
-        lambda g: might_contain(words, num_bits, g),
+    flagged = F.coalesce(
+        F.exists(
+            shingle_strings(F.col("text"), shingle_k),
+            lambda g: might_contain(words, num_bits, g),
+        ),
+        # NULL text has no n-grams, hence cannot be contaminated: flag
+        # FALSE, not NULL (exists() propagates the NULL array otherwise)
+        F.lit(False),
     )
     return docs.select("doc_id", flagged.alias("flagged"), "text")
 

@@ -16,6 +16,7 @@ from ecommerce_etl_pipeline_spark.operators.sampling import (
     seeded_sample_exact,
 )
 from ecommerce_etl_pipeline_spark.functions.exact_agg import sql_round
+from ecommerce_etl_pipeline_spark.llmops import splits
 from ecommerce_etl_pipeline_spark.plans.registry import register
 from ecommerce_etl_pipeline_spark.sources.generator import generate_transactions
 from ecommerce_etl_pipeline_spark.sources.io import load_table
@@ -172,3 +173,49 @@ def sm9_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("log_weight"),
         )
     )
+
+
+@register(
+    "sm10_epoch_shuffle",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT doc_id,
+               {splits.sql_hash_uint32("doc_id", "shard:v1")} % 16 AS shard,
+               ROW_NUMBER() OVER (
+                   PARTITION BY {splits.sql_hash_uint32("doc_id", "shard:v1")} % 16
+                   ORDER BY {splits.sql_hash_key("doc_id", "epoch:0:")}, doc_id
+               ) AS pos_epoch0,
+               ROW_NUMBER() OVER (
+                   PARTITION BY {splits.sql_hash_uint32("doc_id", "shard:v1")} % 16
+                   ORDER BY {splits.sql_hash_key("doc_id", "epoch:1:")}, doc_id
+               ) AS pos_epoch1
+        FROM documents
+    )
+    SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+           CAST(pos_epoch0 AS BIGINT) AS pos_epoch0,
+           CAST(pos_epoch1 AS BIGINT) AS pos_epoch1
+    FROM ranked
+    """,
+    doc="Deterministic per-epoch training order: every document gets a "
+    "(shard, position) for two epochs, each epoch a different md5 salt — "
+    "the dataloader contract that makes a training run REPLAYABLE (same "
+    "order on any engine, any partitioning, any restart) while still "
+    "reshuffling between epochs. Scale shape: the global order is "
+    "shard-major, so each window sorts one md5-uniform shard, never the "
+    "whole corpus (the txt_shard_manifest layout with positions added); "
+    "new epochs are a salt change, zero state.",
+)
+def sm10_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ecommerce_etl_pipeline_spark.llmops import splits
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    shard = F.pmod(splits.hash_uint32(F.col("doc_id"), "shard:v1"), F.lit(16))
+    out = docs.select("doc_id", shard.cast("bigint").alias("shard"))
+    for ep in (0, 1):
+        w = Window.partitionBy("shard").orderBy(
+            splits.hash_key(F.col("doc_id"), f"epoch:{ep}:"), "doc_id"
+        )
+        out = out.withColumn(f"pos_epoch{ep}", F.row_number().over(w).cast("bigint"))
+    return out

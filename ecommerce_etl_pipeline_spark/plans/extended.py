@@ -846,3 +846,77 @@ def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             portable_round((p - q) * nano_ln_ratio, 6).alias("psi_term"),
         )
     )
+
+
+@register(
+    "a27_pareto_revenue",
+    oracle=f"""
+    WITH rev AS (
+        SELECT p.p_brand AS brand,
+               FLOOR(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l.l_discount AS DECIMAL(9,2)))) AS DOUBLE)
+                     * 100 + 0.5) / 100 AS revenue
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_brand
+    ),
+    tot AS (SELECT CAST(SUM(CAST(revenue AS DECIMAL(18,2))) AS DOUBLE) AS total FROM rev)
+    SELECT brand, revenue,
+           CAST(rk AS INTEGER) AS revenue_rank,
+           {sql_round("cum / total", 6)} AS cum_share
+    FROM (
+        SELECT brand, revenue,
+               ROW_NUMBER() OVER (ORDER BY revenue DESC, brand) AS rk,
+               SUM(revenue) OVER (ORDER BY revenue DESC, brand
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum
+        FROM rev
+    ) CROSS JOIN tot
+    """,
+    doc="Pareto concentration curve: brands ranked by lineitem revenue "
+    "with each brand's CUMULATIVE share of total — the 80/20 analysis "
+    "every merchandising review starts with. Revenue is exact-decimal "
+    "summed then portably rounded BEFORE the window, so the running sum "
+    "adds identical doubles in identical (rank-ordered) sequence on "
+    "both engines. The global window runs over the BRAND grain — "
+    "dimension-bounded (like w7's calendar grain), never fact-sized — "
+    "so the single-partition sort is a few dozen rows at any SF.",
+)
+def a27_pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ecommerce_etl_pipeline_spark.functions.exact_agg import exact_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            exact_sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (1 - F.col("l_discount").cast("decimal(9,2)")),
+                scale=4,
+                round_to=2,
+            ).alias("revenue")
+        )
+    )
+    w = Window.orderBy(F.desc("revenue"), "brand")
+    cum = Window.orderBy(F.desc("revenue"), "brand").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # exact-decimal total: revenues are cent-rounded doubles, and an FP
+    # sum over them would be partition-order-dependent (the a23 class)
+    tot = rev.agg(
+        F.sum(F.col("revenue").cast("decimal(18,2)")).cast("double").alias("total")
+    )
+    return (
+        rev.withColumn("revenue_rank", F.row_number().over(w).cast("int"))
+        .withColumn("cum", F.sum("revenue").over(cum))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "brand",
+            "revenue",
+            "revenue_rank",
+            portable_round(F.col("cum") / F.col("total"), 6).alias("cum_share"),
+        )
+    )

@@ -50,7 +50,13 @@ for _optional in (
 # vocab encoding, source scorecard, label centroids, funnel) and 8
 # flex slots (late-round-3 operators, changed implementations, and one
 # rotated-back green). Every pre-round-3 query except j11 already has
-# >=1 driver row across r1/r2; after r3 the new operators do too. Names
+# >=1 driver row across r1/r2; after r3 the new operators do too.
+# ROUND-4 ROTATION QUEUE (registered after this window filled; all green
+# in the local dual-scale sweep + determinism audit, awaiting their
+# first driver row): txt_bpe_merges, a26_rfm_segments,
+# j12_association_rules, g1_pagerank_copurchase,
+# w14_last_touch_attribution, u6_snapshot_diff, dq_psi_drift,
+# sk_cms_token_counts, sm10_epoch_shuffle, a27_pareto_revenue. Names
 # listed here but not (yet) registered are skipped harmlessly;
 # everything not listed keeps its original relative order after the
 # curated block.

@@ -51,6 +51,11 @@ REDUCERS = (
 #: F.broadcast() of a side that is bounded by construction, not by SF.
 EXPECTED = {
     "dd_embedding_neardup": "oracle-bounded id range (vec_id < 200)",
+    "dd_bloom_decontam": (
+        "cached distinct eval n-gram set — benchmark-sized by design (the "
+        "cache boundary hides its distinct-aggregate reducer from the "
+        "scan-subtree heuristic)"
+    ),
     "dd_eval_decontam": "eval split postings — benchmark-sized by design",
     "dd_incremental_dedup": "daily batch side — small by design",
     "j11_bloom_pruned_join": "selective bloom build side (documented dynamic filter)",

@@ -246,49 +246,52 @@ def sk_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "CMS never underestimates, and the overcount column shows the "
     "collision error the 1024-bucket width buys at this vocabulary size.",
 )
-def sk_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def cms_frequency_estimates(
+    items: DataFrame,
+    *,
+    item_col: str = "t",
+    depth: int = 4,
+    width: int = 1024,
+    top_n: int = 20,
+) -> DataFrame:
+    """Count-Min Sketch frequency table + estimates for the ``top_n`` most
+    frequent items: depth x width counters over md5-portable hashes, one
+    map-side-combinable shuffle of ``depth`` rows per occurrence,
+    estimate = min over rows. CMS never underestimates; the overcount
+    column is the collision error the chosen width buys
+    (tests/test_llmops_algos.py forces collisions at a tiny width to
+    exercise the min-over-rows logic the corpus vocabulary never hits).
+    Returns (token, exact_n, cms_estimate, overcount)."""
     from ecommerce_etl_pipeline_spark.llmops.splits import hash_uint32
-    from ecommerce_etl_pipeline_spark.llmops.text import tokens
 
-    D, W = 4, 1024
-    docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(F.explode(tokens(F.col("text"))).alias("t"))
+    tok = items.select(F.col(item_col).alias("t"))
 
     def bucket(t: F.Column, d: int) -> F.Column:
-        return F.pmod(hash_uint32(t, f"cms:{d}:"), F.lit(W))
+        return F.pmod(hash_uint32(t, f"cms:{d}:"), F.lit(width))
 
-    cms = (
-        tok.select(
+    def melt(df: DataFrame, keep: list[str]) -> DataFrame:
+        return df.select(
+            *keep,
             F.explode(
                 F.array(
                     *[
-                        F.struct(F.lit(d).alias("d"), bucket(F.col("t"), d).alias("bucket"))
-                        for d in range(D)
+                        F.struct(
+                            F.lit(d).alias("d"), bucket(F.col("t"), d).alias("bucket")
+                        )
+                        for d in range(depth)
                     ]
                 )
-            ).alias("h")
-        )
-        .groupBy("h.d", "h.bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+            ).alias("h"),
+        ).select(*keep, "h.d", "h.bucket")
+
+    cms = melt(tok, ["t"]).groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("c"))
     exact_top = (
         tok.groupBy("t")
         .agg(F.count(F.lit(1)).alias("exact_n"))
         .orderBy(F.desc("exact_n"), "t")
-        .limit(20)
+        .limit(top_n)
     )
-    probes = exact_top.select(
-        "t",
-        "exact_n",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(d).alias("d"), bucket(F.col("t"), d).alias("bucket"))
-                    for d in range(D)
-                ]
-            )
-        ).alias("h"),
-    ).select("t", "exact_n", "h.d", "h.bucket")
+    probes = melt(exact_top, ["t", "exact_n"])
     return (
         cms.join(F.broadcast(probes), ["d", "bucket"])
         .groupBy(F.col("t").alias("token"), "exact_n")
@@ -300,3 +303,11 @@ def sk_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cms_estimate") - F.col("exact_n")).alias("overcount"),
         )
     )
+
+
+def sk_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecommerce_etl_pipeline_spark.llmops.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens(F.col("text"))).alias("t"))
+    return cms_frequency_estimates(tok, depth=4, width=1024, top_n=20)

@@ -841,3 +841,47 @@ def test_fold_kernels_match_counter_reference(spark):
             sum(1 for v in c.values() if v == 1),
         )
         assert got[i] == want, f"array {i}: {got[i]} != {want} ({a})"
+
+
+def test_cms_never_underestimates_under_forced_collisions(spark):
+    """Count-Min Sketch min-over-rows logic under COLLISIONS: 60 distinct
+    tokens into an 8-bucket width must collide, so some estimates
+    overcount — but none may ever underestimate (the CMS guarantee), and
+    estimates must still be exact when a token happens to own a clean
+    row. The registered query's 1024-wide table never collides on the
+    corpus vocabulary, so this is the only place the interesting branch
+    runs."""
+    from ecommerce_etl_pipeline_spark.plans.temporal import cms_frequency_estimates
+
+    rows = [(f"tok{i}",) for i in range(60) for _ in range(i % 5 + 1)]
+    items = spark.createDataFrame(rows, "t STRING")
+    out = cms_frequency_estimates(items, depth=2, width=8, top_n=60).collect()
+    assert len(out) == 60
+    assert all(r.overcount >= 0 for r in out), "CMS underestimated"
+    assert all(r.cms_estimate == r.exact_n + r.overcount for r in out)
+    assert any(r.overcount > 0 for r in out), "width 8 must force collisions"
+
+
+def test_snapshot_diff_null_semantics(spark):
+    """snapshot_diff's null-safe compare: NULL->value and value->NULL are
+    CHANGED, NULL->NULL is UNCHANGED — a plain equality would call all
+    three unchanged-or-dropped. Also the full matrix on one tiny table."""
+    from ecommerce_etl_pipeline_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, None), (2, 10.0), (3, None), (4, 4.0), (5, 5.0)],
+        "k LONG, v DOUBLE",
+    )
+    new = spark.createDataFrame(
+        [(1, 1.0), (2, None), (3, None), (4, 4.0), (6, 6.0)],
+        "k LONG, v DOUBLE",
+    )
+    got = {r.k: r.status for r in snapshot_diff(old, new, ["k"], ["v"]).collect()}
+    assert got == {
+        1: "changed",    # NULL -> value
+        2: "changed",    # value -> NULL
+        3: "unchanged",  # NULL -> NULL
+        4: "unchanged",
+        5: "removed",
+        6: "added",
+    }

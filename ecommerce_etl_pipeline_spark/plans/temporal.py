@@ -205,47 +205,6 @@ def sk_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "sk_cms_token_counts",
-    oracle="""
-    WITH tok AS (
-        SELECT unnest(string_split(text, ' ')) AS t FROM documents
-    ),
-    hashed AS (
-        SELECT t, d,
-               CAST(('0x' || substr(md5('cms:' || CAST(d AS VARCHAR) || ':' || t), 1, 8))
-                    AS BIGINT) % 1024 AS bucket
-        FROM tok CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS d)
-    ),
-    cms AS (
-        SELECT d, bucket, COUNT(*) AS c FROM hashed GROUP BY d, bucket
-    ),
-    exact_top AS (
-        SELECT t, COUNT(*) AS exact_n FROM tok GROUP BY t
-        ORDER BY exact_n DESC, t LIMIT 20
-    ),
-    probes AS (
-        SELECT e.t, e.exact_n,
-               CAST(('0x' || substr(md5('cms:' || CAST(d.d AS VARCHAR) || ':' || e.t), 1, 8))
-                    AS BIGINT) % 1024 AS bucket, d.d
-        FROM exact_top e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS d) d
-    )
-    SELECT p.t AS token, p.exact_n,
-           CAST(MIN(cms.c) AS BIGINT) AS cms_estimate,
-           CAST(MIN(cms.c) - p.exact_n AS BIGINT) AS overcount
-    FROM probes p JOIN cms ON cms.d = p.d AND cms.bucket = p.bucket
-    GROUP BY p.t, p.exact_n
-    """,
-    doc="Count-Min Sketch frequency estimation, fully ORACLE-CHECKED "
-    "(unlike the HLL/GK sketches, whose estimators are library-internal): "
-    "a 4x1024 counter table over md5-PORTABLE hashes — the sketch is an "
-    "aggregated DataFrame, built with one map-side-combinable shuffle of "
-    "4 rows per token and mergeable across corpora by cell-wise "
-    "addition. Estimates (min over the 4 rows) are exact integers, so "
-    "DuckDB reproduces every cell and every estimate bit-for-bit; "
-    "CMS never underestimates, and the overcount column shows the "
-    "collision error the 1024-bucket width buys at this vocabulary size.",
-)
 def cms_frequency_estimates(
     items: DataFrame,
     *,
@@ -305,6 +264,47 @@ def cms_frequency_estimates(
     )
 
 
+@register(
+    "sk_cms_token_counts",
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    hashed AS (
+        SELECT t, d,
+               CAST(('0x' || substr(md5('cms:' || CAST(d AS VARCHAR) || ':' || t), 1, 8))
+                    AS BIGINT) % 1024 AS bucket
+        FROM tok CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS d)
+    ),
+    cms AS (
+        SELECT d, bucket, COUNT(*) AS c FROM hashed GROUP BY d, bucket
+    ),
+    exact_top AS (
+        SELECT t, COUNT(*) AS exact_n FROM tok GROUP BY t
+        ORDER BY exact_n DESC, t LIMIT 20
+    ),
+    probes AS (
+        SELECT e.t, e.exact_n,
+               CAST(('0x' || substr(md5('cms:' || CAST(d.d AS VARCHAR) || ':' || e.t), 1, 8))
+                    AS BIGINT) % 1024 AS bucket, d.d
+        FROM exact_top e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS d) d
+    )
+    SELECT p.t AS token, p.exact_n,
+           CAST(MIN(cms.c) AS BIGINT) AS cms_estimate,
+           CAST(MIN(cms.c) - p.exact_n AS BIGINT) AS overcount
+    FROM probes p JOIN cms ON cms.d = p.d AND cms.bucket = p.bucket
+    GROUP BY p.t, p.exact_n
+    """,
+    doc="Count-Min Sketch frequency estimation, fully ORACLE-CHECKED "
+    "(unlike the HLL/GK sketches, whose estimators are library-internal): "
+    "a 4x1024 counter table over md5-PORTABLE hashes — the sketch is an "
+    "aggregated DataFrame, built with one map-side-combinable shuffle of "
+    "4 rows per token and mergeable across corpora by cell-wise "
+    "addition. Estimates (min over the 4 rows) are exact integers, so "
+    "DuckDB reproduces every cell and every estimate bit-for-bit; "
+    "CMS never underestimates, and the overcount column shows the "
+    "collision error the 1024-bucket width buys at this vocabulary size.",
+)
 def sk_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ecommerce_etl_pipeline_spark.llmops.text import tokens
 

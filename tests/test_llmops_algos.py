@@ -885,3 +885,47 @@ def test_snapshot_diff_null_semantics(spark):
         5: "removed",
         6: "added",
     }
+
+
+def test_last_touch_attribution_edges(spark):
+    """w14 semantics on a crafted sequence: purchase-first user -> 'none';
+    the credited touch is the LAST prior non-purchase event, skipping an
+    intervening purchase."""
+    from datetime import datetime
+
+    from ecommerce_etl_pipeline_spark.plans.registry import get
+
+    rows = [
+        # user 1: view -> click -> purchase (credit: click),
+        #         then purchase again immediately (credit: click, NOT purchase)
+        (1, 1, "view", datetime(2024, 1, 1, 10)),
+        (2, 1, "click", datetime(2024, 1, 1, 11)),
+        (3, 1, "purchase", datetime(2024, 1, 1, 12)),
+        (4, 1, "purchase", datetime(2024, 1, 1, 13)),
+        # user 2: purchase with no prior events -> 'none'
+        (5, 2, "purchase", datetime(2024, 1, 2, 9)),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id LONG, user_id LONG, event_type STRING, ts TIMESTAMP"
+    )
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    got = {
+        r.touch_type: r.n
+        for r in ev.withColumn("touch", touch)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce(F.col("touch"), F.lit("none")).alias("touch_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == {"click": 2, "none": 1}

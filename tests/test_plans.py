@@ -296,3 +296,17 @@ def test_folded_lsh_signatures_not_inlined(spark):
         f"{n_folds} aggregate() folds in the multi-table LSH plan — "
         "the signature fold is being duplicated per bucket term"
     )
+
+
+def test_driver_window_names_all_registered():
+    """A typo in _DRIVER_WINDOW silently fails to promote (unknown names
+    are skipped by design) — so every listed name must exist, the window
+    must fill all 50 driver slots, and have no duplicates."""
+    from ecommerce_etl_pipeline_spark.plans import _DRIVER_WINDOW
+
+    missing = [n for n in _DRIVER_WINDOW if n not in _REGISTRY]
+    assert missing == [], f"window names not registered: {missing}"
+    assert len(_DRIVER_WINDOW) == len(set(_DRIVER_WINDOW)) == 50
+    # and promotion actually happened: the first 50 registry entries are
+    # exactly the window, in order
+    assert list(_REGISTRY)[:50] == _DRIVER_WINDOW

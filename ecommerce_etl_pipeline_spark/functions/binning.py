@@ -30,6 +30,20 @@ def quantile_edges(
     return [float(x) for x in row["q"]]
 
 
+def round_edges(edges: Sequence[float], n: int = 4) -> list[float]:
+    """Half-up-round collected edges driver-side: ``floor(x*10^n + 0.5)/10^n``.
+
+    The Python twin of :func:`exact_agg.portable_round` — interpolated
+    quantiles at non-exact indices are FP-order-sensitive across engines, so
+    any query that *scores against* collected edges must round them (and the
+    oracle's ``quantile_cont`` identically) before the ``<=`` comparisons.
+    """
+    import math
+
+    p = 10**n
+    return [math.floor(x * p + 0.5) / p for x in edges]
+
+
 def bucket_by_edges(c: Column, edges: Sequence[float], labels: Sequence[str]) -> Column:
     """Right-closed bucketing by precomputed edges: x <= edges[0] -> labels[0],
     … else labels[-1]. len(labels) == len(edges) + 1."""

@@ -36,12 +36,24 @@ def shingles(tokens_col: Column, k: int = 3) -> Column:
     ).otherwise(F.array(F.concat_ws(" ", tokens_col)))
 
 
-def shingle_hashes(text: Column, k: int = 3) -> Column:
-    """Distinct 31-bit shingle hashes for a document."""
+def shingle_hashes(text: Column, k: int = 3, *, portable: bool = False) -> Column:
+    """Distinct 31-bit shingle hashes for a document.
+
+    ``portable=False`` (scale default) hashes with ``xxhash64`` — the
+    cheapest JVM hash. ``portable=True`` hashes with the md5-uint32 trick
+    (first 8 hex chars as an integer, the splits.hash_uint32 doctrine) so
+    the EXACT same hash values reproduce in DuckDB and the whole
+    MinHash-LSH pipeline becomes oracle-checkable.
+    """
     sh = shingles(F.split(text, " "), k)
-    return F.array_distinct(
-        F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_31)))
-    )
+    if portable:
+        hash_one = lambda s: F.pmod(  # noqa: E731
+            F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint"),
+            F.lit(MERSENNE_31),
+        )
+    else:
+        hash_one = lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_31))  # noqa: E731
+    return F.array_distinct(F.transform(sh, hash_one))
 
 
 def shingle_strings(text: Column, k: int = 3) -> Column:
@@ -94,18 +106,27 @@ def minhash_candidate_pairs(
     bands: int = 16,
     shingle_k: int = 3,
     seed: int = 42,
+    portable: bool = False,
 ) -> DataFrame:
     """LSH banding: docs sharing any band of the MinHash signature become a
     candidate pair, then exact shingle-set Jaccard verifies each candidate.
 
     Returns (doc1, doc2, jaccard) for all candidates, doc1 < doc2. The band
     shuffle is the only wide stage; its size tracks true duplicate density.
+
+    ``portable=True`` swaps both hash sites (shingle hash, band key) to
+    md5-based forms that replay bit-for-bit in DuckDB — with the (a, b)
+    coefficients rendered as SQL literals, the ENTIRE banding + verify
+    pipeline is then oracle-checkable (the sim_lsh_recall
+    planes-as-literals doctrine applied to MinHash). Same plan shape
+    either way; md5 costs slightly more per shingle than xxhash64, so the
+    non-portable form stays the scale default.
     """
     rows = num_hashes // bands
     docs = ensure_parallelism(docs)
     hashes_df = docs.select(
         F.col(id_col).alias("doc_id"),
-        shingle_hashes(F.col(text_col), shingle_k).alias("hashes"),
+        shingle_hashes(F.col(text_col), shingle_k, portable=portable).alias("hashes"),
     )
 
     # The shingle-hash arrays feed THREE plan consumers (the signature fold
@@ -123,6 +144,11 @@ def minhash_candidate_pairs(
     sigs = hashes_df.select(
         "doc_id", minhash_signature(F.col("hashes"), num_hashes, seed).alias("sig")
     )
+    # Band key: xxhash64 (8-byte shuffle key) by default; md5 of the same
+    # comma-joined slice when portable (string_agg ORDER BY replays it).
+    band_key = (
+        (lambda s: F.md5(s)) if portable else (lambda s: F.xxhash64(s))
+    )
     banded = sigs.select(
         "doc_id",
         F.explode(
@@ -130,7 +156,7 @@ def minhash_candidate_pairs(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
                     b.alias("band"),
-                    F.xxhash64(F.concat_ws(",", F.slice("sig", b * rows + 1, rows))).alias(
+                    band_key(F.concat_ws(",", F.slice("sig", b * rows + 1, rows))).alias(
                         "band_hash"
                     ),
                 ),

@@ -55,6 +55,64 @@ def ri_cascade_sample(
     return out
 
 
+def portable_sample(
+    df: DataFrame, fraction: float, id_col: str, *, salt: str = "sample:v1"
+) -> DataFrame:
+    """Bernoulli sample by md5-portable uniform: keep rows whose
+    ``hash_uint32(salt || id) / 2^32 < fraction``.
+
+    The oracle-checkable twin of :func:`seeded_sample` (the sm8/splits
+    doctrine): the draw depends only on (salt, id), so it replays
+    identically in any engine, across re-runs and re-partitionings — and
+    re-salting is a fresh independent draw. Same plan shape as
+    ``df.sample``: one narrow filter inside the scan stage, no shuffle.
+    The division by 2^32 is exact in a double, so the ``< fraction``
+    comparison is engine-identical.
+    """
+    from ecommerce_etl_pipeline_spark.llmops.splits import hash_uint32
+
+    u = hash_uint32(F.col(id_col), salt) / F.lit(4294967296.0)
+    return df.filter(u < fraction)
+
+
+def portable_sample_exact(
+    df: DataFrame, n: int, id_col: str, *, salt: str = "sample:v1"
+) -> DataFrame:
+    """Exact-n sample by md5-portable order: rank rows by the hex digest of
+    ``salt || id`` (tiebroken by the id for total order) and keep the
+    first n.
+
+    Oracle-checkable twin of :func:`seeded_sample_exact`, with a better
+    scale shape: ``orderBy + limit`` plans as TakeOrderedAndProject
+    (per-partition top-n, driver merges n-row heads) instead of the
+    single-partition ``row_number`` window.
+    """
+    from ecommerce_etl_pipeline_spark.llmops.splits import hash_key
+
+    return df.orderBy(hash_key(F.col(id_col), salt), F.col(id_col)).limit(n)
+
+
+def portable_ri_cascade(
+    parents: DataFrame,
+    parent_key: str,
+    children: list[tuple[DataFrame, str, str]],
+    *,
+    fraction: float,
+    salt: str = "sample:v1",
+) -> list[DataFrame]:
+    """:func:`ri_cascade_sample` with the parent drawn by
+    :func:`portable_sample` — the whole cascade (parent draw + every
+    semi-join level) then replays in SQL, so referential-integrity
+    sampling is oracle-checkable end-to-end."""
+    out = [portable_sample(parents, fraction, parent_key, salt=salt)]
+    prev = out[0]
+    for child, fk, pk in children:
+        keys = prev.select(F.col(pk).alias(fk)).distinct()
+        out.append(child.join(keys, on=fk, how="left_semi"))
+        prev = out[-1]
+    return out
+
+
 def weighted_sample_exact(
     df: DataFrame,
     n: int,

@@ -672,15 +672,18 @@ def txt_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders GROUP BY o_custkey
     ),
     edges AS (
-        SELECT CAST(quantile_cont(recency_days, 0.25) AS DOUBLE) AS r1,
-               CAST(quantile_cont(recency_days, 0.50) AS DOUBLE) AS r2,
-               CAST(quantile_cont(recency_days, 0.75) AS DOUBLE) AS r3,
-               CAST(quantile_cont(frequency, 0.25) AS DOUBLE) AS f1,
-               CAST(quantile_cont(frequency, 0.50) AS DOUBLE) AS f2,
-               CAST(quantile_cont(frequency, 0.75) AS DOUBLE) AS f3,
-               CAST(quantile_cont(monetary, 0.25) AS DOUBLE) AS m1,
-               CAST(quantile_cont(monetary, 0.50) AS DOUBLE) AS m2,
-               CAST(quantile_cont(monetary, 0.75) AS DOUBLE) AS m3
+        -- Edges rounded half-up to 4dp on BOTH engines (the a24 doctrine):
+        -- interpolated quantiles at non-exact indices are FP-order-sensitive,
+        -- so scoring against raw doubles risks cross-engine boundary flips.
+        SELECT FLOOR(CAST(quantile_cont(recency_days, 0.25) AS DOUBLE) * 10000 + 0.5) / 10000 AS r1,
+               FLOOR(CAST(quantile_cont(recency_days, 0.50) AS DOUBLE) * 10000 + 0.5) / 10000 AS r2,
+               FLOOR(CAST(quantile_cont(recency_days, 0.75) AS DOUBLE) * 10000 + 0.5) / 10000 AS r3,
+               FLOOR(CAST(quantile_cont(frequency, 0.25) AS DOUBLE) * 10000 + 0.5) / 10000 AS f1,
+               FLOOR(CAST(quantile_cont(frequency, 0.50) AS DOUBLE) * 10000 + 0.5) / 10000 AS f2,
+               FLOOR(CAST(quantile_cont(frequency, 0.75) AS DOUBLE) * 10000 + 0.5) / 10000 AS f3,
+               FLOOR(CAST(quantile_cont(monetary, 0.25) AS DOUBLE) * 10000 + 0.5) / 10000 AS m1,
+               FLOOR(CAST(quantile_cont(monetary, 0.50) AS DOUBLE) * 10000 + 0.5) / 10000 AS m2,
+               FLOOR(CAST(quantile_cont(monetary, 0.75) AS DOUBLE) * 10000 + 0.5) / 10000 AS m3
         FROM rfm
     ),
     scored AS (
@@ -705,13 +708,18 @@ def txt_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "as-of date 1998-12-31 — never current_date), Frequency, Monetary "
     "(exact-decimal sum, so the quartile inputs are order-independent "
     "and engine-identical), each scored into exact interpolated "
-    "quartiles (the a12/W1 machinery), then mapped to named segments. "
+    "quartiles (the a12/W1 machinery) whose edges are half-up-rounded "
+    "to 4dp on both engines before the <= comparisons (the a24 "
+    "boundary doctrine), then mapped to named segments. "
     "Scale shape: one map-side-combinable per-customer rollup, one "
     "9-scalar quantile aggregate broadcast back as literals, one narrow "
     "scoring pass.",
 )
 def a26_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ecommerce_etl_pipeline_spark.functions.binning import quantile_edges
+    from ecommerce_etl_pipeline_spark.functions.binning import (
+        quantile_edges,
+        round_edges,
+    )
 
     orders = load_table(spark, sf_dir, "orders")
     rfm = orders.groupBy("o_custkey").agg(
@@ -724,7 +732,8 @@ def a26_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     probs = [0.25, 0.50, 0.75]
 
     def score(col: str, best_low: bool) -> F.Column:
-        e = quantile_edges(rfm, col, probs)
+        # 4dp half-up edges on both engines — see round_edges / a24.
+        e = round_edges(quantile_edges(rfm, col, probs))
         labels = [4, 3, 2, 1] if best_low else [1, 2, 3, 4]
         expr = F.when(F.col(col) <= F.lit(e[0]), F.lit(labels[0]))
         for i in (1, 2):
@@ -759,10 +768,11 @@ def a26_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_totalprice AS v FROM orders WHERE YEAR(o_orderdate) >= 1998
     ),
     edges AS (
-        SELECT CAST(quantile_cont(v, 0.2) AS DOUBLE) AS e1,
-               CAST(quantile_cont(v, 0.4) AS DOUBLE) AS e2,
-               CAST(quantile_cont(v, 0.6) AS DOUBLE) AS e3,
-               CAST(quantile_cont(v, 0.8) AS DOUBLE) AS e4
+        -- 4dp half-up edges on both engines (a24/a26 boundary doctrine).
+        SELECT FLOOR(CAST(quantile_cont(v, 0.2) AS DOUBLE) * 10000 + 0.5) / 10000 AS e1,
+               FLOOR(CAST(quantile_cont(v, 0.4) AS DOUBLE) * 10000 + 0.5) / 10000 AS e2,
+               FLOOR(CAST(quantile_cont(v, 0.6) AS DOUBLE) * 10000 + 0.5) / 10000 AS e3,
+               FLOOR(CAST(quantile_cont(v, 0.8) AS DOUBLE) * 10000 + 0.5) / 10000 AS e4
         FROM base
     ),
     bb AS (
@@ -793,16 +803,20 @@ def a26_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM probs
     """,
     doc="Population Stability Index drift report: order-value distribution "
-    "1992-94 (baseline) vs 1995+ (current) over baseline quintiles — the "
-    "standard ML-ops input-drift monitor (PSI > 0.2 = significant "
-    "shift). Exact interpolated edges (W1 machinery), +0.5 smoothing so "
+    "for orders through 1997 (baseline) vs 1998+ (current) over baseline "
+    "quintiles — the standard ML-ops input-drift monitor (PSI > 0.2 = "
+    "significant shift). Exact interpolated edges (W1 machinery, "
+    "half-up-rounded to 4dp on both engines), +0.5 smoothing so "
     "empty bins stay finite, and the ln ratio is nano-quantized to an "
     "integer difference so every psi term replays bit-for-bit in DuckDB "
     "despite crossing an FP log. Two scans + two 4-scalar aggregates; "
     "the report is 5 rows.",
 )
 def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ecommerce_etl_pipeline_spark.functions.binning import quantile_edges
+    from ecommerce_etl_pipeline_spark.functions.binning import (
+        quantile_edges,
+        round_edges,
+    )
 
     orders = load_table(spark, sf_dir, "orders")
     base = orders.filter(F.year("o_orderdate") <= 1997).select(
@@ -811,7 +825,8 @@ def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     cur = orders.filter(F.year("o_orderdate") >= 1998).select(
         F.col("o_totalprice").alias("v")
     )
-    e = quantile_edges(base, "v", [0.2, 0.4, 0.6, 0.8])
+    # 4dp half-up edges on both engines — see round_edges / a24 / a26.
+    e = round_edges(quantile_edges(base, "v", [0.2, 0.4, 0.6, 0.8]))
 
     def binned(df: DataFrame) -> DataFrame:
         b = (

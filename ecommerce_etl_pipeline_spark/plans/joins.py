@@ -270,7 +270,7 @@ def j8_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_quantity
     FROM lineitem l
     WHERE l.l_orderkey IN (
-        SELECT o_orderkey FROM orders WHERE o_totalprice > 500000
+        SELECT o_orderkey FROM orders WHERE o_totalprice > 400000
     )
     GROUP BY 1
     """,
@@ -291,7 +291,11 @@ def j11_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     hot = (
         load_table(spark, sf_dir, "orders")
-        .filter(F.col("o_totalprice") > 500000)
+        # > 400000 (not 500000): TPC-H totalprice tops out near 500k at
+        # EVERY SF, so the old threshold matched nothing at sf0.01 and the
+        # driver row certified only the empty probe path. 400k is non-empty
+        # at sf0.01 and sf0.1 while keeping the build side tiny.
+        .filter(F.col("o_totalprice") > 400000)
         .select("o_orderkey")
     )
     # expected_items: a cheap count of the (already tiny) filtered build

@@ -609,15 +609,82 @@ def txt_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---- rows-only checks (hash-seeded candidate generation; not relational) ----
 
 
+def _minhash_oracle_sql(num_hashes: int = 64, bands: int = 16, seed: int = 42) -> str:
+    """Full MinHash-LSH replay in DuckDB: the 64 (a, b) coefficient pairs
+    are rendered as SQL literals (the rp_topk matrix-as-literals doctrine),
+    shingle and band hashes are the md5-portable forms, so banding,
+    candidate self-join and exact-Jaccard verify all reproduce bit-for-bit.
+    """
+    coeffs = ", ".join(
+        f"({i}, {a}, {b})"
+        for i, (a, b) in enumerate(dedup._minhash_coeffs(num_hashes, seed))
+    )
+    rows = num_hashes // bands
+    p = dedup.MERSENNE_31
+    return f"""
+    WITH coeffs(i, a, b) AS (VALUES {coeffs}),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+        SELECT doc_id,
+               CASE WHEN len(t) >= 3 THEN
+                   list_distinct(list_transform(generate_series(1, len(t) - 2),
+                       i -> array_to_string(t[i:i+2], ' ')))
+               ELSE [array_to_string(t, ' ')] END AS shingles
+        FROM toks
+    ),
+    hs AS (
+        SELECT doc_id,
+               list_distinct(list_transform(shingles,
+                   s -> CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) % {p}))
+                   AS hashes
+        FROM sh
+    ),
+    hx AS (SELECT doc_id, unnest(hashes) AS h FROM hs),
+    sig AS (
+        SELECT doc_id, i, MIN((a * h + b) % {p}) AS m
+        FROM hx CROSS JOIN coeffs GROUP BY doc_id, i
+    ),
+    banded AS (
+        SELECT doc_id, i // {rows} AS band,
+               md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY i)) AS band_hash
+        FROM sig GROUP BY doc_id, i // {rows}
+    ),
+    cand AS (
+        SELECT DISTINCT l.doc_id AS doc1, r.doc_id AS doc2
+        FROM banded l JOIN banded r
+          ON l.band = r.band AND l.band_hash = r.band_hash
+         AND l.doc_id < r.doc_id
+    ),
+    verified AS (
+        SELECT c.doc1, c.doc2,
+               len(list_intersect(h1.hashes, h2.hashes)) AS inter,
+               len(h1.hashes) + len(h2.hashes)
+                   - len(list_intersect(h1.hashes, h2.hashes)) AS uni
+        FROM cand c
+        JOIN hs h1 ON h1.doc_id = c.doc1
+        JOIN hs h2 ON h2.doc_id = c.doc2
+    )
+    SELECT doc1, doc2, CAST(inter AS DOUBLE) / uni AS jaccard
+    FROM verified WHERE CAST(inter AS DOUBLE) / uni >= 0.5
+    """
+
+
 @register(
     "dd_minhash_pairs",
+    oracle=_minhash_oracle_sql(),
     doc="MinHash-LSH near-duplicate candidate pairs with exact-Jaccard "
-    "verification (64 hashes, 16 bands). Rows-only check: banding is "
-    "hash-seeded, not SQL-expressible.",
+    "verification (64 hashes, 16 bands), md5-PORTABLE hash variant: the "
+    "(a, b) coefficients are rendered into the oracle as literals and "
+    "both hash sites replay in DuckDB, so the whole banding + verify "
+    "pipeline is oracle-checked (was rows-only through round 3). The "
+    "xxhash64 form (llmops/dedup.py, portable=False) stays the scale "
+    "default; identical plan shape.",
 )
 def dd_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.minhash_candidate_pairs(docs).filter(F.col("jaccard") >= 0.5)
+    return dedup.minhash_candidate_pairs(docs, portable=True).filter(
+        F.col("jaccard") >= 0.5
+    )
 
 
 @register(

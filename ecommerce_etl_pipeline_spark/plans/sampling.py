@@ -1,8 +1,11 @@
 """Sampling & generation queries — SURVEY.md §2.10 (SM1-SM4).
 
-Seeded randomness can't be replayed inside DuckDB, so these are rows-only
-checks by design (SURVEY §7 risk 4); determinism WITHIN Spark is covered by
-tests/test_sampling.py instead.
+Round 4 moved sm1/sm2/sm3 from seeded ``rand`` (not replayable in DuckDB,
+so rows-only by design, SURVEY §7 risk 4) to the md5-portable uniform the
+sm8/sm10 machinery already used — the whole draw now replays in the oracle
+and those queries are fully hash-checked. Only sm4 (uuid/rand generator
+ladders — the randomness IS the product) remains rows-only; determinism
+WITHIN Spark is covered by tests/test_sampling.py either way.
 """
 
 from __future__ import annotations
@@ -11,9 +14,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ecommerce_etl_pipeline_spark.operators.sampling import (
-    ri_cascade_sample,
-    seeded_sample,
-    seeded_sample_exact,
+    portable_ri_cascade,
+    portable_sample,
+    portable_sample_exact,
 )
 from ecommerce_etl_pipeline_spark.functions.exact_agg import sql_round
 from ecommerce_etl_pipeline_spark.llmops import splits
@@ -24,36 +27,82 @@ from ecommerce_etl_pipeline_spark.sources.io import load_table
 
 @register(
     "sm1_seeded_sample",
-    doc="10% Bernoulli sample, seed 42 (SM1) — reference "
-    "data_sampling.py:40-43. Rows-only: seeded rand isn't oracle-replayable.",
+    oracle=f"""
+    SELECT * FROM orders
+    WHERE {splits.sql_hash_uint32("o_orderkey", "sm1:v1")} / 4294967296.0 < 0.1
+    """,
+    doc="10% Bernoulli sample (SM1) — reference data_sampling.py:40-43, "
+    "md5-PORTABLE draw (was seeded rand / rows-only through round 3): "
+    "keep rows whose hash_uint32('sm1:v1' || o_orderkey) / 2^32 falls "
+    "under the fraction, so the exact sample replays in DuckDB and the "
+    "query is fully oracle-checked. Division by 2^32 is exact in a "
+    "double, so the comparison is engine-identical. One narrow filter "
+    "inside the scan — no shuffle, the right shape at any scale; "
+    "operators/sampling.py::seeded_sample keeps the native rand form "
+    "for seed-parity with the reference.",
 )
 def sm1_seeded_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return seeded_sample(load_table(spark, sf_dir, "orders"), 0.1)
+    return portable_sample(
+        load_table(spark, sf_dir, "orders"), 0.1, "o_orderkey", salt="sm1:v1"
+    )
 
 
 @register(
     "sm2_exact_n_sample",
-    doc="Exact-n seeded sample via rand+row_number (SM1 exact variant, "
-    "SURVEY §4 item 2). Rows-only.",
+    oracle=f"""
+    SELECT * FROM orders
+    ORDER BY {splits.sql_hash_key("o_orderkey", "sm2:v1")}, o_orderkey
+    LIMIT 100
+    """,
+    doc="Exact-n sample (SM1 exact variant, SURVEY §4 item 2), md5-PORTABLE "
+    "order (was rand+row_number / rows-only through round 3): rank by the "
+    "hex digest of 'sm2:v1' || o_orderkey, tiebreak on the key, keep the "
+    "first 100 — the draw replays in DuckDB. Better scale shape too: "
+    "orderBy+limit plans as TakeOrderedAndProject (per-partition top-n) "
+    "instead of the single-partition row_number window.",
 )
 def sm2_exact_n_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return seeded_sample_exact(load_table(spark, sf_dir, "orders"), 100, "o_orderkey")
+    return portable_sample_exact(
+        load_table(spark, sf_dir, "orders"), 100, "o_orderkey", salt="sm2:v1"
+    )
 
 
 @register(
     "sm3_ri_cascade_sample",
+    oracle=f"""
+    WITH sc AS (
+        SELECT c_custkey FROM customer
+        WHERE {splits.sql_hash_uint32("c_custkey", "sm3:v1")} / 4294967296.0 < 0.1
+    ),
+    so AS (
+        SELECT o_orderkey FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM sc)
+    ),
+    sl AS (
+        SELECT l_orderkey FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM so)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS sampled_lineitems,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS sampled_orders
+    FROM sl
+    """,
     doc="Referential-integrity cascade sample (SM3) — reference "
     "data_sampling.py:144-151: sample customers -> semi-join orders -> "
-    "semi-join lineitem, one lazy DAG, no driver key lists. Rows-only.",
+    "semi-join lineitem, one lazy DAG, no driver key lists. The parent "
+    "draw is the md5-portable uniform (was seeded rand / rows-only "
+    "through round 3), so the ENTIRE cascade replays in DuckDB as "
+    "filter + IN-subqueries and the result is fully oracle-checked.",
 )
 def sm3_ri_cascade_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    sampled_cust, sampled_orders, sampled_li = ri_cascade_sample(
+    sampled_cust, sampled_orders, sampled_li = portable_ri_cascade(
         customer,
+        "c_custkey",
         [(orders, "o_custkey", "c_custkey"), (li, "l_orderkey", "o_orderkey")],
         fraction=0.1,
+        salt="sm3:v1",
     )
     return sampled_li.agg(
         F.count(F.lit(1)).alias("sampled_lineitems"),

@@ -225,7 +225,10 @@ def u5_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ELSE o_totalprice END AS o_totalprice
         FROM orders WHERE o_orderkey % 10 <> 0
         UNION ALL
-        SELECT o_orderkey + 10000000, o_totalprice
+        -- Synthetic inserts are re-keyed by NEGATION: TPC-H orderkeys are
+        -- strictly positive at every SF, so -k can never collide with a
+        -- real key (a fixed +10M offset would collide once SF >= ~2).
+        SELECT -o_orderkey, o_totalprice
         FROM orders WHERE o_orderkey % 13 = 0
     ),
     d AS (
@@ -244,7 +247,9 @@ def u5_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     "primitive when no CDC feed exists (the reverse of u5's MERGE "
     "apply). The 'new' snapshot is a deterministic synthetic mutation "
     "of orders (10% deleted, every 7th repriced, every 13th re-keyed "
-    "as an insert) so the full classification matrix is exercised. At "
+    "by negation as an insert — collision-free at any SF since real "
+    "keys are strictly positive) so the full classification matrix is "
+    "exercised. At "
     "scale both snapshots bucket on the key (S11) and the join is "
     "exchange-free.",
 )
@@ -261,8 +266,9 @@ def u6_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
         )
         .unionByName(
+            # Negated keys stay collision-free at any SF (keys are > 0).
             orders.filter(F.col("o_orderkey") % 13 == 0).select(
-                (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+                (-F.col("o_orderkey")).alias("o_orderkey"),
                 "o_totalprice",
             )
         )

@@ -7,16 +7,21 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
      "queries": {...per-query sec...}, "sf": <sf>}
 
 Each query is forced to full materialization with the noop sink (measures
-compute + shuffle, not driver collect). A tiny warmup query first so JVM/
-codegen startup isn't billed to the first headline query.
+compute + shuffle, not driver collect).
 
-``value`` keeps the round-1/2 protocol — ONE timed run per query, summed —
-so it stays comparable across rounds. Because single cold runs on a shared
-local[32] box swing +/-20% (JIT, GC, co-tenant load; observed 21.9-31.5 s
-for identical code), the JSON also carries ``value_median3`` /
-``queries_median3``: per-query median of 3 runs in the same session, a
-noise-robust estimate of plan cost. Read the median when comparing plan
-changes; read ``value`` when comparing rounds.
+``value`` is ONE timed run per query, summed. Rounds 1-3 warmed only a1
+before timing, so their first runs also billed whole-stage-codegen
+compilation and JVM JIT to whichever queries executed first — a constant
+term that grew with the registry (r3's 8.8% first-run regression was
+exactly this; VERDICT r3 "Performance"). Round 4 adopts that verdict's
+remedy: before timing starts, every headline plan runs once at sf0.001
+(~1% data cost; codegen classes are cached by generated source, which
+depends on plan structure, not input path), so the timed runs measure
+sf0.1 IO + shuffle + compute, not compiler startup. The JSON records the
+protocol in ``warmup``. Because single runs on a shared local[32] box
+still swing with GC/co-tenant load, the JSON also carries
+``value_median3`` / ``queries_median3``: per-query median of 3 runs in
+the same session — the noise-robust estimate of plan cost.
 """
 
 from __future__ import annotations
@@ -77,7 +82,19 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
 
-    # warmup: JVM + codegen + parquet footer caches
+    # Warmup before timing starts (VERDICT r3's constant-term remedy): run
+    # every headline plan once at sf0.001 — whole-stage codegen classes are
+    # keyed by generated SOURCE, which depends on plan structure, not the
+    # input path, so this pre-compiles the same janino classes and JITs the
+    # same JVM operator paths the timed queries use, for ~1% of the data
+    # cost. Then a1 once at the target SF to warm its parquet footers.
+    # Timed runs below still pay their own sf0.1 IO, shuffles and compute.
+    warm_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    for name in HEADLINE:
+        queries[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
+    spark.catalog.clearCache()
     queries["a1_daily_sales"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     runs: list[dict[str, float]] = []
@@ -120,6 +137,7 @@ def main() -> None:
                 "value_median3": round(sum(median3.values()), 3),
                 "queries_median3": median3,
                 "extended": extended,
+                "warmup": "headline@sf0.001 + a1@sf (pre-compiles codegen/JIT; r1-r3 warmed a1 only)",
                 "sf": sf,
             }
         )

@@ -41,89 +41,78 @@ for _optional in (
 # ---------------------------------------------------------------------------
 # Driver-window curation. The correctness driver verifies the FIRST 50
 # registered queries (in dict insertion order). Round 1 proved the classic
-# §2 families; round 2 promoted the LLM-data-pipeline surface. Round 3
-# retires the never-verified tail: the 10 oracle-backed and 15 rows-only
-# queries that never had a driver CORRECTNESS row across r1/r2, plus the
-# 17 operators NEW this round (PNG decode, chunking, shard manifest,
-# quality logit, k-means step/train, random projection + rerank,
-# weighted sampling, span excision, SemDeDup, dataset card, CDC merge,
-# vocab encoding, source scorecard, label centroids, funnel) and 8
-# flex slots (late-round-3 operators, changed implementations, and one
-# rotated-back green). Every pre-round-3 query except j11 already has
-# >=1 driver row across r1/r2; after r3 the new operators do too.
-# ROUND-4 ROTATION QUEUE (registered after this window filled; all green
-# in the local dual-scale sweep + determinism audit, awaiting their
-# first driver row): txt_bpe_merges, a26_rfm_segments,
-# j12_association_rules, g1_pagerank_copurchase,
-# w14_last_touch_attribution, u6_snapshot_diff, dq_psi_drift,
-# sk_cms_token_counts, sm10_epoch_shuffle, a27_pareto_revenue. Names
-# listed here but not (yet) registered are skipped harmlessly;
-# everything not listed keeps its original relative order after the
-# curated block.
+# §2 families; round 2 promoted the LLM-data-pipeline surface; round 3
+# retired the never-verified tail plus its own new operators. Round 4
+# closes the coverage bar: the 10 queries registered after the round-3
+# window filled get their first driver row (after that, EVERY registered
+# query has >=1 driver CORRECTNESS row across r1-r4), the queries whose
+# semantics changed this round are re-certified (j11's de-vacuated
+# threshold now carries rows; dd_minhash_pairs/sm1/sm2/sm3 moved from
+# rows-only to full oracles via md5-portable draws; a26/dq_psi edges are
+# now 4dp-rounded; u6 re-keys inserts by negation), and the remaining 35
+# slots rotate back r1/r2-green queries spanning every §2 family so the
+# window stays a representative regression sweep. Names listed here but
+# not (yet) registered are skipped harmlessly; everything not listed
+# keeps its original relative order after the curated block.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW = [
-    # -- 10 oracle-backed queries never driver-checked in r1/r2
-    "dd_dedup_summary",
-    "sm6_mixture_sample",
-    "txt_char_entropy",
-    "txt_fingerprints",
-    "txt_freq_spectrum",
-    "mm_frame_sample",
-    "a19_collect_sorted",
-    "a25_price_histogram",
-    "sc_string_functions",
-    "sc_date_arithmetic",
-    # -- 15 rows-only queries never driver-checked in r1/r2
-    "dd_curation_minhash",
-    "dd_dup_clusters",
+    # -- 10 queries awaiting their FIRST driver row (registered after the
+    # r3 window filled; plans/__init__.py:54-62 at 421df92 documents the
+    # queue). 8 oracle-backed; txt_bpe_merges and g1_pagerank are
+    # rows-only (non-SQL-expressible: iterative trainer / Pregel loop).
+    "txt_bpe_merges",
+    "a26_rfm_segments",
+    "j12_association_rules",
+    "g1_pagerank_copurchase",
+    "w14_last_touch_attribution",
+    "u6_snapshot_diff",
+    "dq_psi_drift",
+    "sk_cms_token_counts",
+    "sm10_epoch_shuffle",
+    "a27_pareto_revenue",
+    # -- 5 re-certifications of round-4-changed semantics
+    "j11_bloom_pruned_join",
     "dd_minhash_pairs",
-    "dd_simhash_pairs",
-    "sim_cosine_topk_arrow",
-    "sim_ivf_recall",
-    "sim_ivf_topk",
-    "sim_lsh_topk",
-    "sk_approx_quantiles",
-    "sk_hll_user_reach",
     "sm1_seeded_sample",
     "sm2_exact_n_sample",
     "sm3_ri_cascade_sample",
-    "sm4_generated_transactions",
-    "txt_compression_ratio",
-    # -- 17 new round-3 operators (16 oracle-backed + 1 rows-only trainer)
-    "mm_png_decode",
-    "txt_chunk_overlap",
-    "txt_shard_manifest",
-    "txt_quality_logit",
-    "ml_kmeans_step",
-    "ml_kmeans_train",
-    "sim_rp_topk",
-    "sm8_weighted_sample",
-    "dd_span_excision",
-    "dd_semantic_dedup",
-    "txt_dataset_card",
-    "sim_rp_rerank",
-    "u5_cdc_merge",
-    "txt_vocab_encode",
-    "txt_source_scorecard",
-    "sim_label_centroids",
-    "w12_funnel_conversion",
-    # -- 8 flex slots: the 5 operators added late in round 3, plus
-    # j11 (its bloom hashing changed this round and it never had a
-    # driver row — its build side is empty at sf0.01, so the row
-    # certifies the probe path), the source-overlap matrix, and the
-    # Gopher repetition battery (both added after the first window
-    # curation). Queries with existing r1/r2 rows (dd_curation_pipeline,
-    # sim_lsh_recall) yield their slots to the never-checked ones; the
-    # changed lsh/assignment implementations are locally re-verified at
-    # both scales (CORRECTNESS_LOCAL_SF01.md)
-    "dd_bloom_decontam",
-    "sm9_importance_resample",
-    "sim_hard_negatives",
-    "sim_knn_label_audit",
-    "w13_retention_cohorts",
-    "j11_bloom_pruned_join",
-    "dd_source_overlap",
-    "txt_repetition_battery",
+    # -- 35 rotated-back greens spanning every §2 family (all have r1/r2
+    # driver hash-matches; unchanged since)
+    "a1_daily_sales",
+    "a4_customer_ltv",
+    "a8_pricing_summary",
+    "a12_price_band_performance",
+    "a16_rollup_hierarchy",
+    "a20_pivot",
+    "a22_cube",
+    "j1_order_lineitem_join",
+    "j2_customer_geo_broadcast",
+    "j4_pair_names_lookup",
+    "j6_semi_cascade",
+    "j9_asof_join",
+    "j10_range_band_join",
+    "w2_balance_segments",
+    "w3_top_orders_per_customer",
+    "w4_sessionize",
+    "w7_moving_avg_7d",
+    "w8_gapfill_ffill",
+    "w10_scd2_intervals",
+    "n1_json_scalar_extract",
+    "n2_hof_array_aggregate",
+    "n4_pair_expansion_hof",
+    "u1_union_chunks",
+    "u3_except_keys",
+    "u4_unpivot",
+    "p1_projection_filter",
+    "p7_lossy_cast",
+    "o1_global_topk",
+    "sc_age_tenure_segments",
+    "sc_market_position",
+    "sql_grouping_sets",
+    "dd_exact_dedup",
+    "dd_jaccard_pairs",
+    "sim_cosine_topk",
+    "txt_quality_scores",
 ]
 
 

@@ -915,6 +915,10 @@ def a27_pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue")
         )
     )
+    # EXPECTED WindowExec "No Partition Defined" WARN: both global windows
+    # run over the per-BRAND rollup (|brands| rows, 25 in TPC-H at any SF)
+    # — bounded grain by design, never the lineitem fact (the w5/w7 class;
+    # see tests/test_plans.py::test_moving_avg_runs_over_daily_rollup).
     w = Window.orderBy(F.desc("revenue"), "brand")
     cum = Window.orderBy(F.desc("revenue"), "brand").rowsBetween(
         Window.unboundedPreceding, Window.currentRow

@@ -142,6 +142,11 @@ def w5_cumulative_daily_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_sum("o_totalprice").alias("day_sales"),
         F.sum(dec("o_totalprice", 2)).alias("day_sales_dec"),
     )
+    # EXPECTED WindowExec "No Partition Defined" WARN: this global window
+    # runs over the DAILY ROLLUP (|distinct days| rows, ~2.4k for 7 years),
+    # never the fact table — bounded by design;
+    # tests/test_plans.py::test_moving_avg_runs_over_daily_rollup pins the
+    # rollup-first shape for the same family.
     w = Window.orderBy("order_date").rowsBetween(Window.unboundedPreceding, 0)
     return daily.select(
         "order_date",
@@ -209,6 +214,8 @@ def w7_moving_avg_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ecommerce_etl_pipeline_spark.functions.exact_agg import portable_round
 
+    # EXPECTED WindowExec WARN — global window over the daily rollup only
+    # (bounded grain; see w5 note + test_moving_avg_runs_over_daily_rollup).
     w = (
         Window.orderBy(F.datediff("order_date", F.lit("1970-01-01")))
         .rangeBetween(-6, Window.currentRow)

@@ -86,6 +86,7 @@ def curate(
     max_punct_ratio: float = 0.3,
     jaccard_threshold: float = 0.5,
     use_minhash: bool = True,
+    portable_minhash: bool = False,
     cache_exact: bool = True,
 ) -> DataFrame:
     """Curated corpus: (doc_id, text, n_tokens) of the documents that
@@ -133,7 +134,12 @@ def curate(
     # 4: near-dup — candidate pairs -> clusters -> keep each cluster's
     # representative (min id). Non-clustered docs pass through untouched.
     if use_minhash:
-        cand = dedup.minhash_candidate_pairs(exact, id_col, text_col)
+        # portable_minhash=True swaps both hash sites to the md5-portable
+        # forms so the whole banded path replays in a SQL oracle (see
+        # dedup.minhash_candidate_pairs); same plan shape.
+        cand = dedup.minhash_candidate_pairs(
+            exact, id_col, text_col, portable=portable_minhash
+        )
         pairs = cand.filter(F.col("jaccard") >= jaccard_threshold)
         pair_caches = getattr(cand, "retained_caches", [])
     else:

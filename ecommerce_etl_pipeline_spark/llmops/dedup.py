@@ -616,18 +616,32 @@ def simhash_near_pairs(
     text_col: str = "text",
     *,
     max_hamming: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance.
 
     Pigeonhole banding: with 4 chunks of 16 bits, any pair within hamming
     distance 3 shares at least one exact chunk — candidates join per chunk,
     then bit_count(xor) verifies. No all-pairs stage.
+
+    ``portable=True`` swaps the token hash from xxhash64 (64-bit, JVM-only)
+    to the first 15 md5 hex chars as a 60-bit non-negative long — the
+    md5-uint doctrine widened so the bit votes replay in DuckDB (60 bits
+    keeps the value under 2^63 in every engine; positions 60-62 then vote
+    all-negative on both sides, a deterministic no-op, and 63 is excluded
+    by the packer anyway). Same plan shape; oracle-checkable.
     """
     docs = ensure_parallelism(docs)
+    if portable:
+        token_hash = lambda t: F.conv(  # noqa: E731
+            F.substring(F.md5(t), 1, 15), 16, 10
+        ).cast("bigint")
+    else:
+        token_hash = lambda t: F.xxhash64(t)  # noqa: E731
     sh = docs.select(
         F.col(id_col).alias("doc_id"),
         F.array_distinct(
-            F.transform(F.split(F.col(text_col), " "), lambda t: F.xxhash64(t))
+            F.transform(F.split(F.col(text_col), " "), token_hash)
         ).alias("th"),
     ).select("doc_id", simhash_of_hashes("th").alias("sh"))
     chunks = sh.select(

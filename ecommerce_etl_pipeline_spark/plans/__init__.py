@@ -70,18 +70,23 @@ _DRIVER_WINDOW = [
     "sk_cms_token_counts",
     "sm10_epoch_shuffle",
     "a27_pareto_revenue",
-    # -- 5 re-certifications of round-4-changed semantics
+    # -- 9 re-certifications of round-4-changed semantics: j11's
+    # de-vacuated threshold, and the 8 queries whose draws/hashes moved to
+    # md5-portable forms with full DuckDB oracles (rows-only before)
     "j11_bloom_pruned_join",
     "dd_minhash_pairs",
     "sm1_seeded_sample",
     "sm2_exact_n_sample",
     "sm3_ri_cascade_sample",
-    # -- 35 rotated-back greens spanning every §2 family (all have r1/r2
+    "dd_simhash_pairs",
+    "dd_dup_clusters",
+    "dd_curation_minhash",
+    "sim_lsh_topk",
+    # -- 31 rotated-back greens spanning every §2 family (all have r1/r2
     # driver hash-matches; unchanged since)
     "a1_daily_sales",
     "a4_customer_ltv",
     "a8_pricing_summary",
-    "a12_price_band_performance",
     "a16_rollup_hierarchy",
     "a20_pivot",
     "a22_cube",
@@ -90,18 +95,15 @@ _DRIVER_WINDOW = [
     "j4_pair_names_lookup",
     "j6_semi_cascade",
     "j9_asof_join",
-    "j10_range_band_join",
     "w2_balance_segments",
     "w3_top_orders_per_customer",
     "w4_sessionize",
     "w7_moving_avg_7d",
     "w8_gapfill_ffill",
-    "w10_scd2_intervals",
     "n1_json_scalar_extract",
     "n2_hof_array_aggregate",
     "n4_pair_expansion_hof",
     "u1_union_chunks",
-    "u3_except_keys",
     "u4_unpivot",
     "p1_projection_filter",
     "p7_lossy_cast",

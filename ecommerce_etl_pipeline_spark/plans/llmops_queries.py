@@ -609,11 +609,19 @@ def txt_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---- rows-only checks (hash-seeded candidate generation; not relational) ----
 
 
-def _minhash_oracle_sql(num_hashes: int = 64, bands: int = 16, seed: int = 42) -> str:
+def _minhash_pairs_sql(
+    src: str = "documents",
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> str:
     """Full MinHash-LSH replay in DuckDB: the 64 (a, b) coefficient pairs
     are rendered as SQL literals (the rp_topk matrix-as-literals doctrine),
     shingle and band hashes are the md5-portable forms, so banding,
     candidate self-join and exact-Jaccard verify all reproduce bit-for-bit.
+    Embeddable as a CTE body (``pairs AS (<this>)``) the way
+    :func:`_jaccard_pairs_sql` is — ``src`` swaps the corpus table.
     """
     coeffs = ", ".join(
         f"({i}, {a}, {b})"
@@ -623,7 +631,7 @@ def _minhash_oracle_sql(num_hashes: int = 64, bands: int = 16, seed: int = 42) -
     p = dedup.MERSENNE_31
     return f"""
     WITH coeffs(i, a, b) AS (VALUES {coeffs}),
-    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM {src}),
     sh AS (
         SELECT doc_id,
                CASE WHEN len(t) >= 3 THEN
@@ -665,13 +673,13 @@ def _minhash_oracle_sql(num_hashes: int = 64, bands: int = 16, seed: int = 42) -
         JOIN hs h2 ON h2.doc_id = c.doc2
     )
     SELECT doc1, doc2, CAST(inter AS DOUBLE) / uni AS jaccard
-    FROM verified WHERE CAST(inter AS DOUBLE) / uni >= 0.5
+    FROM verified WHERE CAST(inter AS DOUBLE) / uni >= {threshold}
     """
 
 
 @register(
     "dd_minhash_pairs",
-    oracle=_minhash_oracle_sql(),
+    oracle=_minhash_pairs_sql(),
     doc="MinHash-LSH near-duplicate candidate pairs with exact-Jaccard "
     "verification (64 hashes, 16 bands), md5-PORTABLE hash variant: the "
     "(a, b) coefficients are rendered into the oracle as literals and "
@@ -689,12 +697,48 @@ def dd_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dd_simhash_pairs",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_distinct(list_transform(string_split(text, ' '),
+                   t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT))) AS th
+        FROM documents
+    ),
+    votes AS (
+        SELECT doc_id, i,
+               SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        FROM (SELECT doc_id, unnest(th) AS h FROM toks)
+        CROSS JOIN (SELECT unnest(range(0, 64)) AS i)
+        GROUP BY doc_id, i
+    ),
+    sh AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN v > 0 AND i < 63
+                             THEN (CAST(1 AS BIGINT) << CAST(i AS INTEGER))
+                             ELSE 0 END) AS BIGINT) AS s
+        FROM votes GROUP BY doc_id
+    ),
+    chunks AS (
+        SELECT doc_id, s, c, (s >> CAST(c * 16 AS INTEGER)) & 65535 AS cv
+        FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS c)
+    ),
+    cand AS (
+        SELECT DISTINCT l.doc_id AS doc1, r.doc_id AS doc2, l.s AS s1, r.s AS s2
+        FROM chunks l JOIN chunks r
+          ON l.c = r.c AND l.cv = r.cv AND l.doc_id < r.doc_id
+    )
+    SELECT doc1, doc2, CAST(bit_count(xor(s1, s2)) AS INTEGER) AS hamming
+    FROM cand WHERE bit_count(xor(s1, s2)) <= 3
+    """,
     doc="SimHash near-duplicate pairs within hamming distance 3, candidates "
-    "via 16-bit chunk pigeonhole banding. Rows-only check.",
+    "via 16-bit chunk pigeonhole banding — md5-PORTABLE 60-bit token "
+    "hashes since round 4, so the bit votes, sign packing, chunk "
+    "banding and hamming verify all replay in DuckDB (was rows-only "
+    "while the token hash was xxhash64).",
 )
 def dd_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.simhash_near_pairs(docs)
+    return dedup.simhash_near_pairs(docs, portable=True)
 
 
 # 3-word shingle sets + inverted-index intersection counts, in DuckDB. The
@@ -1129,15 +1173,79 @@ def dd_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.semantic_dedup(emb, threshold=0.35)
 
 
+def _lsh_topk_sql(dim: int = 64, n_planes: int = 8, seed: int = 42, k: int = 10) -> str:
+    """DuckDB oracle for sim_lsh_topk: the seeded hyperplanes render as
+    double literals (the _lsh_recall_sql machinery, single-table form), so
+    DuckDB reproduces the exact sign-bit buckets, candidate join, and
+    cosine ranking."""
+    rows = ",\n               ".join(
+        f"({i}, [{', '.join(repr(w) for w in plane)}])"
+        for i, plane in enumerate(similarity._hyperplanes(dim, n_planes, seed))
+    )
+    dot_pw = (
+        "list_sum(list_transform(generate_series(1, len(e.embedding)), "
+        "i -> CAST(e.embedding[i] AS DOUBLE) * p.w[i]))"
+    )
+    cos_qc = (
+        "list_sum(list_transform(generate_series(1, len(q.embedding)), "
+        "i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))) "
+        "/ (sqrt(list_sum(list_transform(generate_series(1, len(q.embedding)), "
+        "i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))) "
+        "* sqrt(list_sum(list_transform(generate_series(1, len(c.embedding)), "
+        "i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))))"
+    )
+    return f"""
+    WITH planes(pid, w) AS (
+        VALUES {rows}
+    ),
+    sig AS (
+        SELECT e.vec_id,
+               CAST(SUM(CASE WHEN {dot_pw} >= 0
+                             THEN 1 << p.pid ELSE 0 END) AS BIGINT) AS bucket
+        FROM embeddings e CROSS JOIN planes p
+        GROUP BY e.vec_id
+    ),
+    cand AS (
+        SELECT sq.vec_id AS query_id, sc.vec_id AS neighbor_id
+        FROM sig sq
+        JOIN sig sc ON sc.bucket = sq.bucket AND sc.vec_id != sq.vec_id
+        WHERE sq.vec_id < 5
+    ),
+    scored AS (
+        SELECT cand.query_id, cand.neighbor_id, {cos_qc} AS cos
+        FROM cand
+        JOIN embeddings q ON q.vec_id = cand.query_id
+        JOIN embeddings c ON c.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id,
+           {sql_round('cos', 6)} AS cosine,
+           CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= {k}
+    """
+
+
 @register(
     "sim_lsh_topk",
+    oracle=_lsh_topk_sql(),
     doc="Random-hyperplane LSH approximate top-k (8 planes = 256 buckets, "
     "sized for the testdata corpus; at larger corpora raise n_planes to "
-    "keep buckets small). Rows-only check: recall-bounded, not exact.",
+    "keep buckets small). Oracle-checked since round 4 via the "
+    "sim_lsh_recall planes-as-literals machinery (was rows-only): DuckDB "
+    "reproduces identical buckets, candidates and cosine ranking, so the "
+    "approximate result itself is verified — not just its recall.",
 )
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, n_planes=8)
+    res = similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, n_planes=8)
+    return res.select(
+        "query_id",
+        "neighbor_id",
+        portable_round(F.col("cosine"), 6).alias("cosine"),
+        F.col("rank").cast("int").alias("rank"),
+    )
 
 
 def _lsh_recall_sql(
@@ -1683,15 +1791,36 @@ def dd_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dd_dup_clusters",
-    doc="Duplicate-cluster resolution: near-dup pairs (MinHash) -> connected "
-    "components via iterative min-label propagation — the canonical "
-    "non-SQL-expressible iterative algorithm. Rows-only check.",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_minhash_pairs_sql()}),
+    edges AS (
+        SELECT doc1 AS a, doc2 AS b FROM pairs
+        UNION SELECT doc2, doc1 FROM pairs
+    ),
+    reach(node, r) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.a, re.r FROM edges e JOIN reach re ON e.b = re.node
+    )
+    SELECT component, COUNT(*) AS cluster_size,
+           array_to_string(list_sort(list(node)), ',') AS members
+    FROM (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+    GROUP BY 1
+    """,
+    doc="Duplicate-cluster resolution: near-dup pairs (MinHash, the "
+    "md5-portable variant) -> connected components via iterative min-label "
+    "propagation, oracle-checked against a DuckDB recursive-CTE transitive "
+    "closure over the SAME portable banding (the dd_jaccard_clusters "
+    "pattern; was rows-only through round 3 when the banding hashes were "
+    "not SQL-replayable).",
 )
 def dd_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ecommerce_etl_pipeline_spark.llmops.clustering import connected_components
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.minhash_candidate_pairs(docs).filter(F.col("jaccard") >= 0.5)
+    pairs = dedup.minhash_candidate_pairs(docs, portable=True).filter(
+        F.col("jaccard") >= 0.5
+    )
     comps = connected_components(pairs)
     members = F.transform(
         F.sort_array(F.collect_list("node")), lambda x: x.cast("string")
@@ -1983,18 +2112,37 @@ def dd_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dd_curation_minhash",
+    oracle=f"""
+    WITH RECURSIVE {_CURATED_BASE_SQL},
+    pairs AS ({_minhash_pairs_sql('curated_exact')}),
+    edges AS (
+        SELECT doc1 AS a, doc2 AS b FROM pairs
+        UNION SELECT doc2, doc1 FROM pairs
+    ),
+    reach(node, r) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.a, re.r FROM edges e JOIN reach re ON e.b = re.node
+    )
+    SELECT doc_id, n_tokens FROM curated_exact
+    WHERE doc_id NOT IN (
+        SELECT node FROM (SELECT node, MIN(r) AS c FROM reach GROUP BY node)
+        WHERE node <> c
+    )
+    """,
     doc="The 100 TB curation path: same four stages as dd_curation_pipeline "
     "but stage 4's candidate generator is MinHash-LSH banding instead of "
     "the exact shingle join — the band shuffle scales with duplicate "
-    "density, not corpus size. Rows-only check (banding is probabilistic "
-    "candidate generation; downstream verify/cluster semantics are "
-    "identical and the exact variant is oracle-checked end-to-end).",
+    "density, not corpus size. Oracle-checked END TO END since round 4: "
+    "the md5-portable banding replays in DuckDB (coefficients as "
+    "literals), so even the probabilistic candidate stage is verified, "
+    "not just the downstream cluster semantics.",
 )
 def dd_curation_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ecommerce_etl_pipeline_spark.llmops import curation
 
     docs = load_table(spark, sf_dir, "documents")
-    curated = curation.curate(docs, use_minhash=True)
+    curated = curation.curate(docs, use_minhash=True, portable_minhash=True)
     return curated.select("doc_id", F.col("n_tokens").cast("int").alias("n_tokens"))
 
 

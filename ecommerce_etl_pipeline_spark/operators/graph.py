@@ -121,3 +121,97 @@ def pagerank(
             pass
     ranks.retained_caches = [e, nodes, out_deg]
     return ranks
+
+
+def pagerank_portable(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 6,
+    scale: int = 10**12,
+) -> DataFrame:
+    """PageRank in exact INTEGER arithmetic — the oracle-checkable twin of
+    :func:`pagerank` (same loop shape, same state management).
+
+    Ranks are integers in ``1/scale`` units (picoranks at the default
+    1e12) and every update is integer-exact:
+
+        r0(v)      = scale div n
+        r_{t+1}(v) = (15*scale) div (100*n)
+                     + sum over in-edges u->v of (85*r_t(u)) div (100*deg(u))
+                     + (85*dm_t) div (100*n)          -- dangling mass, if any
+
+    (damping 0.85 = 85/100 kept as an integer ratio; all operands stay
+    under 2^57, no overflow under ANSI). Integer sums are
+    ORDER-INDEPENDENT, so the result is bit-identical across partitionings
+    AND replays exactly in any SQL engine — a fixed iteration count
+    unrolls into recursive-free CTEs (see g1's oracle). The cost of
+    portability is ≤ iterations * (scale^-1 * deg) truncation per rank —
+    ~1e-12 at default scale, far below any ranking-relevant difference —
+    and total mass decaying by the truncation remainders instead of
+    summing to exactly 1. Same per-round scale shape as :func:`pagerank`:
+    one rank-edge join, one map-side-combinable integer aggregate, one
+    bounded scalar, lineage cut per round.
+    """
+    e = (
+        ensure_parallelism(
+            edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    e.count()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
+    n = nodes.count()
+    has_dangling = nodes.join(out_deg, nodes.node == out_deg.src, "left_anti").count() > 0
+
+    base = (15 * scale) // (100 * n)
+    ranks = nodes.select(
+        "node", F.lit(scale // n).cast("bigint").alias("rank")
+    ).localCheckpoint()
+    for _ in range(iterations):
+        prev = ranks
+        contribs = (
+            ranks.join(e, ranks.node == e.src)
+            .join(out_deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                # integer contribution: (85*r) div (100*deg) — exact, and
+                # the SUM below is an integer sum (order-independent)
+                F.expr("(85 * rank) div (100 * deg)").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").cast("bigint").alias("recv"))
+        )
+        out = nodes.join(contribs, "node", "left")
+        if has_dangling:
+            dangling = (
+                ranks.join(out_deg, ranks.node == out_deg.src, "left_anti")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0)).cast("bigint").alias("dm"))
+            )
+            out = out.crossJoin(F.broadcast(dangling))
+            redistributed = F.expr(f"(85 * dm) div (100 * {n})")
+        else:
+            redistributed = F.lit(0)
+        ranks = out.select(
+            "node",
+            (
+                F.lit(base).cast("bigint")
+                + F.coalesce(F.col("recv"), F.lit(0))
+                + redistributed
+            ).cast("bigint").alias("rank"),
+        )
+        ranks = ranks.coalesce(16).localCheckpoint()
+        try:
+            prev._jdf.queryExecution().toRdd().unpersist(False)
+        except Exception:
+            pass
+    ranks.retained_caches = [e, nodes, out_deg]
+    return ranks

@@ -429,21 +429,65 @@ def j12_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pagerank_oracle_sql(iterations: int = 6, scale: int = 10**12) -> str:
+    """Unrolled integer-PageRank replay in DuckDB: because
+    operators/graph.py::pagerank_portable updates ranks in EXACT integer
+    arithmetic (order-independent sums), a fixed iteration count unrolls
+    into plain CTEs — the co-purchase graph is symmetric, so the dangling
+    branch vanishes and each round is one join + one integer aggregate.
+    """
+    its = []
+    for t in range(1, iterations + 1):
+        its.append(f"""
+    r{t} AS (
+        SELECT nd.node,
+               CAST((15 * {scale}) // (100 * nn.n) + COALESCE(s.c, 0) AS BIGINT) AS r
+        FROM nodes nd CROSS JOIN nn
+        LEFT JOIN (
+            SELECT e.dst AS node, SUM((85 * p.r) // (100 * d.deg)) AS c
+            FROM r{t - 1} p
+            JOIN edges e ON e.src = p.node
+            JOIN deg d ON d.src = e.src
+            GROUP BY e.dst
+        ) s ON s.node = nd.node
+    )""")
+    return f"""
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+        SELECT DISTINCT a.l_partkey AS src, c.l_partkey AS dst
+        FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey
+                         AND a.l_partkey <> c.l_partkey
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    r0 AS (
+        SELECT node, CAST({scale} // nn.n AS BIGINT) AS r
+        FROM nodes CROSS JOIN nn
+    ),{",".join(its)}
+    SELECT node, r AS rank_pico
+    FROM r{iterations}
+    ORDER BY r DESC, node LIMIT 20
+    """
+
+
 @register(
     "g1_pagerank_copurchase",
+    oracle=_pagerank_oracle_sql(),
     doc="PageRank over the co-purchase graph (parts linked when bought in "
     "the same order, both directions): the canonical iterative graph "
-    "algorithm as a DataFrame loop (operators/graph.py) — per round one "
-    "rank-edge join + one map-side-combinable contribution aggregate + a "
-    "one-row dangling-mass broadcast, lineage cut every 3 rounds, driver "
-    "never holds a rank vector. Rows-only: the fixed-point FP iterations "
-    "are not SQL-expressible; tests/test_graph.py replays the whole run "
-    "against a pure-Python reference to 1e-9 and checks the rank "
-    "invariants (sum=1, uniform on symmetric cliques).",
+    "algorithm as a DataFrame loop — per round one rank-edge join + one "
+    "map-side-combinable contribution aggregate, lineage cut every "
+    "round, driver never holds a rank vector. Oracle-checked since "
+    "round 4: ranks update in EXACT integer picorank arithmetic "
+    "(operators/graph.py::pagerank_portable — damping as the ratio "
+    "85/100, truncating division), so sums are order-independent and the "
+    "six iterations unroll into plain DuckDB CTEs; the FP variant "
+    "(::pagerank, 1e-9 pure-Python parity in tests/test_graph.py) "
+    "remains for callers preferring exact mass conservation.",
 )
 def g1_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ecommerce_etl_pipeline_spark.functions.exact_agg import portable_round
-    from ecommerce_etl_pipeline_spark.operators.graph import pagerank
+    from ecommerce_etl_pipeline_spark.operators.graph import pagerank_portable
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     baskets = (
@@ -463,10 +507,10 @@ def g1_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("e")
     ).select("e.src", "e.dst")
     edges = pairs.union(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    ranks = pagerank(edges, iterations=6)
+    ranks = pagerank_portable(edges, iterations=6)
     out = (
-        ranks.select("node", portable_round(F.col("rank") * 1e6, 3).alias("rank_ppm"))
-        .orderBy(F.desc("rank_ppm"), "node")
+        ranks.select("node", F.col("rank").alias("rank_pico"))
+        .orderBy(F.desc("rank_pico"), "node")
         .limit(20)
     )
     # propagate the cache contract to the query result

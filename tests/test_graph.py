@@ -52,3 +52,53 @@ def test_pagerank_uniform_on_symmetric_clique(spark):
     assert len(got) == 4
     for r in got:
         assert abs(r - 0.25) < 1e-12
+
+
+def _ref_pagerank_portable(edges, iterations=6, scale=10**12):
+    """Exact integer replay of operators/graph.py::pagerank_portable —
+    equality is EXACT (==), not tolerance-based: integer arithmetic has no
+    FP order sensitivity, which is what makes g1 oracle-checkable."""
+    edges = sorted(set(edges))
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    out = {}
+    for a, _ in edges:
+        out[a] = out.get(a, 0) + 1
+    n = len(nodes)
+    rank = {v: scale // n for v in nodes}
+    base = (15 * scale) // (100 * n)
+    for _ in range(iterations):
+        recv = {v: 0 for v in nodes}
+        for a, b in edges:
+            recv[b] += (85 * rank[a]) // (100 * out[a])
+        dm = sum(rank[v] for v in nodes if v not in out)
+        rank = {v: base + recv[v] + (85 * dm) // (100 * n) for v in nodes}
+    return rank
+
+
+def test_pagerank_portable_exact_integer_parity(spark):
+    from ecommerce_etl_pipeline_spark.operators.graph import pagerank_portable
+
+    # includes a dangling sink to exercise the integer redistribution path
+    edges = [(1, 2), (2, 3), (3, 1), (1, 4), (3, 4), (2, 1)]
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+    res = pagerank_portable(df, iterations=6)
+    got = {r["node"]: r["rank"] for r in res.collect()}
+    for _c in res.retained_caches:
+        _c.unpersist(blocking=True)
+    want = _ref_pagerank_portable(edges)
+    assert got == want  # bit-exact, every node
+
+
+def test_pagerank_portable_tracks_fp_variant(spark):
+    from ecommerce_etl_pipeline_spark.operators.graph import pagerank_portable
+
+    # picoranks / scale should approximate the FP ranks to ~iterations
+    # truncation steps (each bounded by deg/scale)
+    edges = [(a, b) for a in range(1, 5) for b in range(1, 5) if a != b]
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+    res = pagerank_portable(df, iterations=5)
+    got = {r["node"]: r["rank"] / 1e12 for r in res.collect()}
+    for _c in res.retained_caches:
+        _c.unpersist(blocking=True)
+    for v, r in got.items():
+        assert abs(r - 0.25) < 1e-9, (v, r)

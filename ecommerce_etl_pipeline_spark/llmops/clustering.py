@@ -270,6 +270,53 @@ def kmeans_step(
     )
 
 
+def _assign_literal_centroids(pts: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """Nearest-centroid assignment against a LITERAL centroid matrix:
+    distances to ALL centroids in ONE aggregate pass (the single-fold rule
+    from SCALING.md: one array traversal carrying a k-wide accumulator
+    instead of k interpreted folds), against the column-major literal
+    matrix; accumulator j updates in element order, so each distance is
+    bit-identical to a separate fold. Neutral at demo k=4 (per-iteration
+    job overhead dominates locally); at production cell counts (k in the
+    hundreds) it removes k-1 array re-traversals per row. Argmin =
+    array_min over (dist, index) structs = lexicographic min — same
+    tie-to-lowest-index as assign_to_seeds. ``pts`` must carry ``_pid`` /
+    ``_pv``; returns it with ``_cluster`` added. Shared by the FP and
+    portable trainers (centroid literals are reprs of Python floats, which
+    round-trip exactly, so the fold sees the same doubles DuckDB derives).
+    """
+    k = len(centroids)
+    dim = len(centroids[0])
+    cols = "array(" + ",".join(
+        "array(" + ",".join(f"{centroids[j][i]!r}D" for j in range(k)) + ")"
+        for i in range(dim)
+    ) + ")"
+    zipped = F.zip_with(
+        "_pv",
+        F.sequence(F.lit(1), F.size("_pv")),
+        lambda x, i: F.struct(x.cast("double").alias("x"), i.alias("i")),
+    )
+    dists = F.aggregate(
+        zipped,
+        F.expr(f"array_repeat(0.0D, {k})"),
+        lambda acc, e: F.zip_with(
+            acc,
+            F.element_at(F.expr(cols), e["i"]),
+            # ** 2 (POWER), not x*x: keeps each term bit-identical to
+            # assign_to_seeds' fold, which the step-parity test compares
+            lambda a, c: a + (e["x"] - c) ** 2,
+        ),
+    )
+    best = F.array_min(
+        F.zip_with(
+            F.col("_d"),
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda d, i: F.struct(d.alias("_dist"), i.alias("_c")),
+        )
+    )["_c"]
+    return pts.withColumn("_d", dists).withColumn("_cluster", best).drop("_d")
+
+
 def kmeans_train(
     points: DataFrame,
     *,
@@ -303,45 +350,9 @@ def kmeans_train(
     iterations = 0
     for _ in range(max_iterations):
         iterations += 1
-        # distances to ALL centroids in ONE aggregate pass (the single-
-        # fold rule from SCALING.md: one array traversal carrying a
-        # k-wide accumulator instead of k interpreted folds), against the
-        # column-major literal centroid matrix; accumulator j updates in
-        # element order, so each distance is bit-identical to a separate
-        # fold. Neutral at this demo's k=4 (per-iteration job overhead
-        # dominates locally); at production cell counts (k in the
-        # hundreds) it removes k-1 array re-traversals per row. Argmin =
-        # array_min over (dist, index) structs = lexicographic min —
-        # same tie-to-lowest-index as the old least-chain.
-        cols = "array(" + ",".join(
-            "array(" + ",".join(f"{centroids[j][i]}D" for j in range(k)) + ")"
-            for i in range(dim)
-        ) + ")"
-        zipped = F.zip_with(
-            "_pv",
-            F.sequence(F.lit(1), F.size("_pv")),
-            lambda x, i: F.struct(x.cast("double").alias("x"), i.alias("i")),
+        assigned = _assign_literal_centroids(pts, centroids).select(
+            F.col("_pv"), F.col("_cluster")
         )
-        dists = F.aggregate(
-            zipped,
-            F.expr(f"array_repeat(0.0D, {k})"),
-            lambda acc, e: F.zip_with(
-                acc,
-                F.element_at(F.expr(cols), e["i"]),
-                # ** 2 (POWER), not x*x: keeps each term bit-identical to
-                # assign_to_seeds' fold, which the step-parity test compares
-                lambda a, c: a + (e["x"] - c) ** 2,
-            ),
-        )
-        scored = pts.select("_pid", "_pv", dists.alias("_d"))
-        best = F.array_min(
-            F.zip_with(
-                F.col("_d"),
-                F.sequence(F.lit(0), F.lit(k - 1)),
-                lambda d, i: F.struct(d.alias("_dist"), i.alias("_c")),
-            )
-        )["_c"]
-        assigned = scored.select(F.col("_pv"), best.alias("_cluster"))
         sums = (
             assigned.select("_cluster", F.posexplode("_pv").alias("_d", "_v"))
             .groupBy("_cluster", "_d")
@@ -364,6 +375,63 @@ def kmeans_train(
         if shift < tol:
             break
     return centroids, iterations
+
+
+def kmeans_train_portable(
+    points: DataFrame,
+    *,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iterations: int = 5,
+    nano: int = 10**9,
+) -> list[list[float]]:
+    """Lloyd's k-means whose every cross-engine-sensitive step is made
+    engine-portable — the oracle-checkable twin of :func:`kmeans_train`
+    (same loop and scale shape; the pagerank_portable doctrine applied to
+    a centroid trainer):
+
+    - per-dimension member sums run over NANO-QUANTIZED values
+      (``floor(x*1e9 + 0.5)`` as bigint — txt_unigram_logprob's trick),
+      so the sums are INTEGER and order-independent;
+    - centroid_d = (sum_nano / n) / 1e9, two IEEE double divisions of
+      exactly-representable operands — bit-identical in Python, Spark and
+      DuckDB;
+    - a FIXED iteration count replaces the tol early-stop (a data-driven
+      break cannot unroll into SQL);
+    - assignment distances reuse the literal-matrix single fold, whose
+      left-to-right semantics DuckDB's list_sum replays exactly
+      (ml_kmeans_step's proven parity).
+
+    Cost of portability: ~1e-9 per-dimension truncation per round —
+    invisible to any assignment that isn't already a coin flip. Returns
+    the final centroid matrix (k x dim floats).
+    """
+    pts = points.select(F.col(id_col).alias("_pid"), F.col(vec_col).alias("_pv"))
+    first = pts.orderBy("_pid").limit(k).collect()
+    centroids = [[float(x) for x in r["_pv"]] for r in first]
+    dim = len(centroids[0])
+    q = F.floor(F.col("_v").cast("double") * nano + F.lit(0.5)).cast("bigint")
+    for _ in range(iterations):
+        assigned = _assign_literal_centroids(pts, centroids).select(
+            F.col("_pv"), F.col("_cluster")
+        )
+        sums = (
+            assigned.select("_cluster", F.posexplode("_pv").alias("_d", "_v"))
+            .groupBy("_cluster", "_d")
+            .agg(F.sum(q).alias("_sv"), F.count(F.lit(1)).alias("_n"))
+            .collect()
+        )
+        new_centroids = [list(c) for c in centroids]  # empty clusters keep position
+        counts: dict[int, int] = {}
+        per_dim: dict[int, list[int]] = {}
+        for r in sums:
+            per_dim.setdefault(r["_cluster"], [0] * dim)[r["_d"]] = r["_sv"]
+            counts[r["_cluster"]] = r["_n"]
+        for ci, sv in per_dim.items():
+            new_centroids[ci] = [(x / counts[ci]) / nano for x in sv]
+        centroids = new_centroids
+    return centroids
 
 
 def ivf_topk(

@@ -70,9 +70,10 @@ _DRIVER_WINDOW = [
     "sk_cms_token_counts",
     "sm10_epoch_shuffle",
     "a27_pareto_revenue",
-    # -- 9 re-certifications of round-4-changed semantics: j11's
-    # de-vacuated threshold, and the 8 queries whose draws/hashes moved to
-    # md5-portable forms with full DuckDB oracles (rows-only before)
+    # -- 10 re-certifications of round-4-changed semantics: j11's
+    # de-vacuated threshold, and the 9 queries whose draws/hashes/trainers
+    # moved to engine-portable forms with full DuckDB oracles (rows-only
+    # before; g1's conversion sits in the queued block above)
     "j11_bloom_pruned_join",
     "dd_minhash_pairs",
     "sm1_seeded_sample",
@@ -82,13 +83,13 @@ _DRIVER_WINDOW = [
     "dd_dup_clusters",
     "dd_curation_minhash",
     "sim_lsh_topk",
-    # -- 31 rotated-back greens spanning every §2 family (all have r1/r2
+    "ml_kmeans_train",
+    # -- 30 rotated-back greens spanning every §2 family (all have r1/r2
     # driver hash-matches; unchanged since)
     "a1_daily_sales",
     "a4_customer_ltv",
     "a8_pricing_summary",
     "a16_rollup_hierarchy",
-    "a20_pivot",
     "a22_cube",
     "j1_order_lineitem_join",
     "j2_customer_geo_broadcast",

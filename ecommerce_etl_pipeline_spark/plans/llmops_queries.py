@@ -1583,23 +1583,88 @@ def ml_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmeans_train_oracle_sql(k: int = 4, iterations: int = 5, nano: int = 10**9) -> str:
+    """Unrolled Lloyd replay in DuckDB for ml_kmeans_train: because
+    kmeans_train_portable's centroid updates are integer nano-sums divided
+    in IEEE doubles and its iteration count is fixed, each round unrolls
+    into assignment + update CTEs; the distance list_sum replays the
+    Spark fold left-to-right (ml_kmeans_step's proven parity)."""
+    dist = (
+        "list_sum(list_transform(generate_series(1, len(p.embedding)), "
+        "i -> (CAST(p.embedding[i] AS DOUBLE) - v.cvec[i]) "
+        "* (CAST(p.embedding[i] AS DOUBLE) - v.cvec[i])))"
+    )
+    its = []
+    for t in range(1, iterations + 1):
+        its.append(f"""
+    v{t} AS (SELECT cid, list(c ORDER BY d) AS cvec FROM c{t - 1} GROUP BY cid),
+    a{t} AS (
+        SELECT vec_id, cid FROM (
+            SELECT p.vec_id, v.cid,
+                   ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                                      ORDER BY {dist}, v.cid) AS rn
+            FROM embeddings p CROSS JOIN v{t} v
+        ) WHERE rn = 1
+    ),
+    u{t} AS (
+        SELECT a.cid, t.d,
+               (CAST(SUM(CAST(FLOOR(CAST(e.embedding[t.d] AS DOUBLE) * {nano} + 0.5)
+                              AS BIGINT)) AS DOUBLE)
+                / COUNT(*)) / {nano} AS c
+        FROM a{t} a JOIN embeddings e USING (vec_id),
+             UNNEST(generate_series(1, len(e.embedding))) AS t(d)
+        GROUP BY a.cid, t.d
+    ),
+    c{t} AS (
+        SELECT p.cid, p.d, COALESCE(u.c, p.c) AS c
+        FROM c{t - 1} p LEFT JOIN u{t} u ON u.cid = p.cid AND u.d = p.d
+    )""")
+    return f"""
+    WITH seeds0 AS (
+        SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid
+        FROM embeddings ORDER BY vec_id LIMIT {k}
+    ),
+    c0 AS (
+        SELECT s.cid, t.d, CAST(e.embedding[t.d] AS DOUBLE) AS c
+        FROM seeds0 s JOIN embeddings e USING (vec_id),
+             UNNEST(generate_series(1, len(e.embedding))) AS t(d)
+    ),{",".join(its)},
+    vf AS (SELECT cid, list(c ORDER BY d) AS cvec FROM c{iterations} GROUP BY cid),
+    af AS (
+        SELECT vec_id, cid, dist FROM (
+            SELECT p.vec_id, v.cid, {dist} AS dist,
+                   ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                                      ORDER BY {dist}, v.cid) AS rn
+            FROM embeddings p CROSS JOIN vf v
+        ) WHERE rn = 1
+    )
+    SELECT cid AS cluster, COUNT(*) AS n_members,
+           {sql_round("AVG(dist)", 4)} AS avg_dist,
+           CAST({iterations} AS INTEGER) AS iterations
+    FROM af GROUP BY cid
+    """
+
+
 @register(
     "ml_kmeans_train",
-    oracle=None,  # iterative fixpoint — rows-only; pytest gates monotone inertia
+    oracle=_kmeans_train_oracle_sql(),
     doc="Full Lloyd's k-means as a DataFrame loop "
-    "(llmops/clustering.py::kmeans_train): deterministic lowest-id seeds, "
-    "per-round nearest-centroid assignment against literal centroids, "
-    "centroid recomputation from one k*dim-cell aggregate (the only "
-    "driver-side state is the centroid matrix — hyperparameter-sized, "
-    "like a join statistic), convergence on max centroid shift. The "
-    "result reports each final cluster through kmeans_step, plus the "
-    "iteration count. The iterative-trainer twin of "
-    "connected_components' label-propagation loop; pyspark.ml KMeans is "
-    "the production kernel for the same shape.",
+    "(llmops/clustering.py::kmeans_train_portable): deterministic "
+    "lowest-id seeds, per-round nearest-centroid assignment against "
+    "literal centroids, centroid recomputation from one k*dim-cell "
+    "aggregate (the only driver-side state is the centroid matrix — "
+    "hyperparameter-sized, like a join statistic). Oracle-checked since "
+    "round 4: member sums are nano-quantized INTEGERS (order-independent) "
+    "and the iteration count is fixed, so five Lloyd rounds unroll into "
+    "DuckDB CTEs and the whole training run replays bit-for-bit — the "
+    "pagerank_portable doctrine applied to a centroid trainer. The "
+    "tol-early-stop FP variant (::kmeans_train, monotone-inertia pytest "
+    "gates) remains; pyspark.ml KMeans is the production kernel for the "
+    "same shape.",
 )
 def ml_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids, iters = clustering.kmeans_train(emb, k=4)
+    centroids = clustering.kmeans_train_portable(emb, k=4, iterations=5)
     seeds = spark.createDataFrame(
         [(i, c) for i, c in enumerate(centroids)], "cid INT, cvec ARRAY<DOUBLE>"
     )
@@ -1608,7 +1673,7 @@ def ml_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster",
         "n_members",
         portable_round(F.col("avg_dist"), 4).alias("avg_dist"),
-        F.lit(iters).alias("iterations"),
+        F.lit(5).alias("iterations"),
     )
 
 

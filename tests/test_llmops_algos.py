@@ -929,3 +929,47 @@ def test_last_touch_attribution_edges(spark):
         .collect()
     }
     assert got == {"click": 2, "none": 1}
+
+
+def test_kmeans_train_portable_exact_python_parity(spark):
+    """kmeans_train_portable replays bit-exactly in pure Python: the
+    assignment fold is left-to-right (x-c)^2 accumulation and the centroid
+    update is integer nano-sums divided in IEEE doubles — no FP-order
+    freedom anywhere, which is what makes ml_kmeans_train oracle-checkable."""
+    from ecommerce_etl_pipeline_spark.llmops.clustering import kmeans_train_portable
+
+    vecs = [
+        (0, [1.0, 2.0, 0.5]),
+        (1, [-1.25, 0.75, 3.0]),
+        (2, [0.1, -0.2, 0.3]),
+        (3, [2.0, 2.1, -0.9]),
+        (4, [1.1, 1.9, 0.4]),
+        (5, [-1.3, 0.8, 2.9]),
+        (6, [0.0, -0.1, 0.25]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    got = kmeans_train_portable(df, k=2, iterations=3)
+
+    # pure-Python replay with the same arithmetic
+    cents = [list(vecs[0][1]), list(vecs[1][1])]
+    nano = 10**9
+    import math
+
+    for _ in range(3):
+        sums = [[0] * 3 for _ in cents]
+        counts = [0] * len(cents)
+        for _vid, v in vecs:
+            best, bd = None, None
+            for ci, c in enumerate(cents):
+                d = 0.0
+                for x, cc in zip(v, c):
+                    d = d + (x - cc) ** 2
+                if bd is None or d < bd or (d == bd and ci < best):
+                    best, bd = ci, d
+            counts[best] += 1
+            for di, x in enumerate(v):
+                sums[best][di] += int(math.floor(x * nano + 0.5))
+        for ci in range(len(cents)):
+            if counts[ci]:
+                cents[ci] = [(s / counts[ci]) / nano for s in sums[ci]]
+    assert got == cents  # exact ==, no tolerance

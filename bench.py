@@ -58,9 +58,11 @@ HEADLINE = [
     "dd_curation_pipeline",
 ]
 
-#: Round-3 flagship operators, timed separately so the HEADLINE metric
+#: Round-3/4 flagship operators, timed separately so the HEADLINE metric
 #: stays comparable across rounds (one timed run each, reported under
-#: "extended" — informational, not part of headline_total).
+#: "extended" — informational, not part of headline_total). Round 4 adds
+#: the two oracle-checked iterative loops (integer-exact PageRank and
+#: the nano-quantized k-means trainer) and the portable SimHash banding.
 EXTENDED = [
     "dd_span_excision",
     "dd_semantic_dedup",
@@ -69,6 +71,9 @@ EXTENDED = [
     "u5_cdc_merge",
     "dd_bloom_decontam",
     "sm9_importance_resample",
+    "g1_pagerank_copurchase",
+    "ml_kmeans_train",
+    "dd_simhash_pairs",
 ]
 
 

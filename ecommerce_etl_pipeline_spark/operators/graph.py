@@ -80,7 +80,15 @@ def pagerank(
     for _ in range(iterations):
         prev = ranks
         contribs = (
-            ranks.join(e, ranks.node == e.src)
+            # e carries a sort-merge hint: an edge list is corpus-scaled BY
+            # DEFINITION, but its cached columnar stats undersell the hashed
+            # relation a broadcast would build (~10x row-format + hash-table
+            # blow-up), so a demo-sized autoBroadcastJoinThreshold (64 MiB
+            # session default) would re-broadcast e EVERY round and OOM the
+            # driver. This is the one join where the honest answer is known
+            # statically: never broadcast the edge side; the node-sized rank
+            # frame is the only exchange per round.
+            ranks.join(e.hint("merge"), ranks.node == e.src)
             .join(out_deg, "src")
             .select(F.col("dst").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
             .groupBy("node")
@@ -179,7 +187,15 @@ def pagerank_portable(
     for _ in range(iterations):
         prev = ranks
         contribs = (
-            ranks.join(e, ranks.node == e.src)
+            # e carries a sort-merge hint: an edge list is corpus-scaled BY
+            # DEFINITION, but its cached columnar stats undersell the hashed
+            # relation a broadcast would build (~10x row-format + hash-table
+            # blow-up), so a demo-sized autoBroadcastJoinThreshold (64 MiB
+            # session default) would re-broadcast e EVERY round and OOM the
+            # driver. This is the one join where the honest answer is known
+            # statically: never broadcast the edge side; the node-sized rank
+            # frame is the only exchange per round.
+            ranks.join(e.hint("merge"), ranks.node == e.src)
             .join(out_deg, "src")
             .select(
                 F.col("dst").alias("node"),

@@ -584,16 +584,88 @@ def sim_knn_label_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_label_audit(emb, emb.filter(F.col("vec_id") < 100), k=5)
 
 
+def _bpe_oracle_sql(num_merges: int = 20, min_pair_count: int = 2) -> str:
+    """Unrolled BPE-training replay in DuckDB. The trick that makes the
+    merge fold relational: each word's segmentation rides as a string of
+    \\x01<sym>\\x02-bracketed symbols, and DuckDB's plain ``replace`` —
+    greedy, left-to-right, non-overlapping — applied to the bracketed
+    pair pattern implements EXACTLY llmops/bpe.py::_merge_pair's
+    pending-buffer semantics ("aaa" under (a,a) → ["aa","a"]; per-symbol
+    brackets mean adjacent matches share no boundary chars and symbols
+    can never match inside other symbols). Pair counts are integer sums
+    with lexicographic tie-breaks, so each round's argmax row replays;
+    early stop falls out structurally: a round whose best pair is under
+    min_pair_count yields an EMPTY one-row CTE, the LEFT JOIN keeps the
+    vocabulary unchanged, and every later round stays empty too — the
+    merge list is the union of the non-empty rounds, exactly the loop's
+    break. The corpus is pure single-space ASCII (no \\x01/\\x02, no
+    empty tokens), matching Spark's split semantics; a corpus violating
+    that would need escaping here.
+    """
+    x, y = "chr(1)", "chr(2)"
+    # symbols contain no \x02, so the greedy negated class is exact
+    ptn = f"{x} || '([^' || {y} || ']*)' || {y}"
+    its = []
+    for t in range(1, num_merges + 1):
+        its.append(f"""
+    sy{t} AS MATERIALIZED (
+        -- MATERIALIZED: sy{{t}} is referenced twice (argmax + rewrite);
+        -- inlined CTEs would double the expansion every round — 2^20
+        -- scans of documents by round 20
+        SELECT regexp_extract_all(s, {ptn}, 1) AS sy, cnt, s FROM v{t - 1}
+    ),
+    m{t} AS (
+        SELECT a, b, n FROM (
+            SELECT sy[g.i] AS a, sy[g.i + 1] AS b, SUM(cnt) AS n
+            FROM sy{t}, UNNEST(generate_series(1, len(sy) - 1)) AS g(i)
+            GROUP BY 1, 2
+        ) WHERE n >= {min_pair_count}
+        ORDER BY n DESC, a, b LIMIT 1
+    ),
+    v{t} AS (
+        SELECT CASE WHEN m.a IS NULL THEN v.s
+                    ELSE replace(v.s, {x} || m.a || {y} || {x} || m.b || {y},
+                                      {x} || m.a || m.b || {y}) END AS s,
+               v.cnt
+        FROM sy{t} v LEFT JOIN m{t} m ON TRUE
+    )""")
+    ranks = "\n        UNION ALL ".join(
+        f'SELECT {t} AS "rank", a AS "left", b AS "right", a || b AS merged, '
+        f"CAST(n AS BIGINT) AS pair_count FROM m{t}"
+        for t in range(1, num_merges + 1)
+    )
+    return f"""
+    WITH wc AS (
+        SELECT w, COUNT(*) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY w
+    ),
+    v0 AS (
+        SELECT array_to_string(list_transform(generate_series(1, length(w)),
+                   i -> {x} || substr(w, i, 1) || {y}), '')
+               || {x} || '</w>' || {y} AS s,
+               cnt
+        FROM wc
+    ),{",".join(its)}
+    SELECT CAST("rank" AS INTEGER) AS "rank", "left", "right", merged, pair_count
+    FROM ({ranks})
+    """
+
+
 @register(
     "txt_bpe_merges",
+    oracle=_bpe_oracle_sql(),
     doc="Distributed BPE tokenizer training (Sennrich 2016): 20 merge "
     "rounds over the corpus word-TYPE table — the corpus is shuffled "
     "exactly once (word counts); every round after is one Zipf-small "
     "pair aggregate + a driver-collected argmax + a narrow per-word "
     "merge fold, with localCheckpoint bounding lineage depth. "
-    "Deterministic (ties break lexicographically). Rows-only: the "
-    "iterative argmax loop is not SQL-expressible; pytest replays the "
-    "whole training against a pure-Python reference (tests/test_bpe.py).",
+    "Deterministic (integer counts, lexicographic tie-breaks) — and "
+    "therefore, since round 4, oracle-checked: the 20 rounds unroll "
+    "into DuckDB CTEs where bracketed-symbol strings + greedy replace "
+    "reproduce the merge fold exactly, early stop included "
+    "(_bpe_oracle_sql). pytest additionally replays the whole training "
+    "against a pure-Python reference (tests/test_bpe.py).",
 )
 def txt_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ecommerce_etl_pipeline_spark.llmops import bpe

@@ -133,6 +133,31 @@ def bpe_train(
     return merges
 
 
+def bpe_apply(
+    words: DataFrame,
+    merges: list[tuple[str, str, int]],
+    *,
+    word_col: str = "w",
+) -> DataFrame:
+    """Apply a trained merge list to a word-type table: (w, …) →
+    (w, …, syms) with every merge folded in order — the DISTRIBUTED form
+    of :func:`bpe_encode`, and the tokenizer-application half of the
+    pipeline (train once, tokenize the corpus forever).
+
+    Scale shape: tokenizing a 100 TB corpus never touches the corpus with
+    the merges at all — the merges apply to the Zipf-small word-TYPE
+    table (this function), and the corpus then joins words to their final
+    segmentations. Lineage is localCheckpoint-bounded every 5 merges,
+    same as training.
+    """
+    out = words.withColumn("syms", _initial_symbols(F.col(word_col)))
+    for i, (left, right, _n) in enumerate(merges):
+        out = out.withColumn("syms", _merge_pair(F.col("syms"), left, right))
+        if (i + 1) % 5 == 0:
+            out = out.localCheckpoint(eager=False)
+    return out
+
+
 def bpe_encode(symbols_word: str, merges: list[tuple[str, str, int]]) -> list[str]:
     """Reference (driver-side) encoder for ONE word — applies the learned
     merges in order. Used by tests to cross-check the distributed trainer

@@ -602,9 +602,32 @@ def _bpe_oracle_sql(num_merges: int = 20, min_pair_count: int = 2) -> str:
     empty tokens), matching Spark's split semantics; a corpus violating
     that would need escaping here.
     """
+    body = _bpe_rounds_sql(num_merges, min_pair_count)
+    ranks = "\n        UNION ALL ".join(
+        f'SELECT {t} AS "rank", a AS "left", b AS "right", a || b AS merged, '
+        f"CAST(n AS BIGINT) AS pair_count FROM m{t}"
+        for t in range(1, num_merges + 1)
+    )
+    return f"""
+    WITH {body}
+    SELECT CAST("rank" AS INTEGER) AS "rank", "left", "right", merged, pair_count
+    FROM ({ranks})
+    """
+
+
+_BPE_SYM_PTN = "chr(1) || '([^' || chr(2) || ']*)' || chr(2)"
+
+
+def _bpe_rounds_sql(num_merges: int = 20, min_pair_count: int = 2) -> str:
+    """The shared WITH-clause body of the BPE replays: wc (word counts),
+    v0 (initial bracketed segmentation, word carried), and per round t the
+    m{t} argmax row and v{t} rewritten vocabulary. Consumers append their
+    own final SELECT (merge list for txt_bpe_merges; v{num_merges} joined
+    back to documents for txt_bpe_token_counts — the final round's
+    segmentation IS the trained tokenizer applied to every word)."""
     x, y = "chr(1)", "chr(2)"
     # symbols contain no \x02, so the greedy negated class is exact
-    ptn = f"{x} || '([^' || {y} || ']*)' || {y}"
+    ptn = _BPE_SYM_PTN
     its = []
     for t in range(1, num_merges + 1):
         its.append(f"""
@@ -612,7 +635,7 @@ def _bpe_oracle_sql(num_merges: int = 20, min_pair_count: int = 2) -> str:
         -- MATERIALIZED: sy{{t}} is referenced twice (argmax + rewrite);
         -- inlined CTEs would double the expansion every round — 2^20
         -- scans of documents by round 20
-        SELECT regexp_extract_all(s, {ptn}, 1) AS sy, cnt, s FROM v{t - 1}
+        SELECT w, regexp_extract_all(s, {ptn}, 1) AS sy, cnt, s FROM v{t - 1}
     ),
     m{t} AS (
         SELECT a, b, n FROM (
@@ -623,33 +646,26 @@ def _bpe_oracle_sql(num_merges: int = 20, min_pair_count: int = 2) -> str:
         ORDER BY n DESC, a, b LIMIT 1
     ),
     v{t} AS (
-        SELECT CASE WHEN m.a IS NULL THEN v.s
+        SELECT v.w,
+               CASE WHEN m.a IS NULL THEN v.s
                     ELSE replace(v.s, {x} || m.a || {y} || {x} || m.b || {y},
                                       {x} || m.a || m.b || {y}) END AS s,
                v.cnt
         FROM sy{t} v LEFT JOIN m{t} m ON TRUE
     )""")
-    ranks = "\n        UNION ALL ".join(
-        f'SELECT {t} AS "rank", a AS "left", b AS "right", a || b AS merged, '
-        f"CAST(n AS BIGINT) AS pair_count FROM m{t}"
-        for t in range(1, num_merges + 1)
-    )
-    return f"""
-    WITH wc AS (
+    return f"""wc AS (
         SELECT w, COUNT(*) AS cnt
         FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
         GROUP BY w
     ),
     v0 AS (
-        SELECT array_to_string(list_transform(generate_series(1, length(w)),
+        SELECT w,
+               array_to_string(list_transform(generate_series(1, length(w)),
                    i -> {x} || substr(w, i, 1) || {y}), '')
                || {x} || '</w>' || {y} AS s,
                cnt
         FROM wc
-    ),{",".join(its)}
-    SELECT CAST("rank" AS INTEGER) AS "rank", "left", "right", merged, pair_count
-    FROM ({ranks})
-    """
+    ),{",".join(its)}"""
 
 
 @register(
@@ -675,6 +691,50 @@ def txt_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(i + 1, a, b, a + b, n) for i, (a, b, n) in enumerate(merges)],
         "rank INT, left STRING, right STRING, merged STRING, pair_count BIGINT",
+    )
+
+
+@register(
+    "txt_bpe_token_counts",
+    oracle=f"""
+    WITH {_bpe_rounds_sql()},
+    seg AS (
+        SELECT w, len(regexp_extract_all(s, {_BPE_SYM_PTN}, 1)) AS seg_len
+        FROM v20
+    )
+    SELECT d.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(seg.seg_len) AS BIGINT) AS bpe_tokens
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) d
+    JOIN seg USING (w)
+    GROUP BY d.doc_id
+    """,
+    doc="Corpus tokenization with the TRAINED tokenizer — the token-budget "
+    "primitive every training pipeline runs after BPE training: train 20 "
+    "merges (llmops/bpe.py::bpe_train), apply them to the word-TYPE table "
+    "(::bpe_apply — the corpus itself never meets the merges), then one "
+    "narrow explode + word join + per-document aggregate yields exact "
+    "BPE token counts per document. Scale shape: the expensive fold runs "
+    "on the Zipf-small vocabulary; the corpus pass is explode + join + "
+    "map-side-combinable sum, and the join's vocabulary side is "
+    "unhinted (stats pick broadcast while it fits). Oracle: the shared "
+    "unrolled-BPE CTE body — the final round's segmentation IS the "
+    "tokenizer applied to every word, so token counts replay exactly.",
+)
+def txt_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecommerce_etl_pipeline_spark.llmops import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe.bpe_train(docs, num_merges=20)
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    seg = bpe.bpe_apply(words.select("w").distinct(), merges).select(
+        "w", F.size("syms").alias("seg_len")
+    )
+    return words.join(seg, "w").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("seg_len").cast("bigint").alias("bpe_tokens"),
     )
 
 

@@ -75,3 +75,21 @@ def test_bpe_overlapping_runs_and_early_stop(spark):
     # a corpus with no repeated pair stops immediately
     unique = spark.createDataFrame([(1, "xy")], "doc_id LONG, text STRING")
     assert bpe_train(unique, num_merges=5) == []
+
+
+def test_bpe_apply_matches_driver_encoder(spark):
+    """Distributed tokenizer application (bpe_apply) == the pure-Python
+    per-word encoder (bpe_encode), word for word — the train/apply round
+    trip that txt_bpe_token_counts' oracle relies on."""
+    from ecommerce_etl_pipeline_spark.llmops.bpe import bpe_apply
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    merges = bpe_train(docs, num_merges=12)
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("w")).distinct()
+    )
+    got = {r["w"]: list(r["syms"]) for r in bpe_apply(vocab, merges).collect()}
+    assert len(got) > 0
+    for w, syms in got.items():
+        assert syms == bpe_encode(w, merges), w
+        assert "".join(syms) == w + EOW  # lossless segmentation

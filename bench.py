@@ -22,6 +22,11 @@ protocol in ``warmup``. Because single runs on a shared local[32] box
 still swing with GC/co-tenant load, the JSON also carries
 ``value_median3`` / ``queries_median3``: per-query median of 3 runs in
 the same session — the noise-robust estimate of plan cost.
+
+Cross-round caveat: dd_minhash_pairs switched to the md5-portable hash
+variant in round 4 (the conversion that made it oracle-checkable), which
+costs ~0.2 s more at sf0.1 than the xxhash64 form rounds 1-3 timed —
+read its cross-round delta with that swap in mind.
 """
 
 from __future__ import annotations
@@ -101,6 +106,14 @@ def main() -> None:
         queries[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
     spark.catalog.clearCache()
     queries["a1_daily_sales"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # provenance string reflects the warm_dir ACTUALLY used — on a host
+    # without sf0.001 the fallback warms at the target SF, which makes the
+    # timed first runs cache-warm and must not be mistaken for the r1-r3
+    # protocol
+    warmup_desc = (
+        f"headline@{os.path.basename(warm_dir.rstrip('/'))} + a1@sf "
+        "(pre-compiles codegen/JIT; r1-r3 warmed a1 only)"
+    )
 
     runs: list[dict[str, float]] = []
     for rep in range(3):
@@ -142,7 +155,7 @@ def main() -> None:
                 "value_median3": round(sum(median3.values()), 3),
                 "queries_median3": median3,
                 "extended": extended,
-                "warmup": "headline@sf0.001 + a1@sf (pre-compiles codegen/JIT; r1-r3 warmed a1 only)",
+                "warmup": warmup_desc,
                 "sf": sf,
             }
         )

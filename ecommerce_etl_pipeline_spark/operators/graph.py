@@ -21,14 +21,129 @@ columnar caches and materialized up front — their HOF-explode upstream
 has no honest size statistics, and a mis-estimated broadcast rebuilt
 per round is its own OOM; after materialization every round's join
 strategy is stats-driven (the repo's join doctrine).
+
+The FP (:func:`pagerank`) and integer-exact (:func:`pagerank_portable`)
+variants differ ONLY in their arithmetic — initial rank, per-edge
+contribution, dangling redistribution, rank update — so both are thin
+parameterizations of one shared loop (:func:`_run_rank_loop`), the same
+factoring the k-means twins use via ``_assign_literal_centroids``.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ecommerce_etl_pipeline_spark.operators.parallelism import ensure_parallelism
+
+
+def _prep_graph(
+    edges: DataFrame, src_col: str, dst_col: str
+) -> tuple[DataFrame, DataFrame, DataFrame, int, bool]:
+    """Materialize the loop-invariant frames and bounded scalars shared by
+    every rank loop: deduped edges, node set, out-degrees (all persisted
+    with honest stats — see module docstring failure mode 2), the node
+    count n (baking 1/n in as a literal keeps each round's plan a join +
+    aggregate + one 1-row broadcast instead of two extra crossJoins whose
+    codegen dominated first-run latency), and whether any dangling nodes
+    exist (a graph with none — every symmetric graph, e.g. co-occurrence —
+    skips the per-round dangling aggregate + broadcast entirely, half the
+    jobs per iteration). Both scalars are the kmeans-centroid /
+    bloom-sizing class of bounded driver statistic.
+    """
+    e = (
+        ensure_parallelism(
+            edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    e.count()  # materialize: honest stats + one-time edge-build cost
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
+    n = nodes.count()
+    has_dangling = (
+        nodes.join(out_deg, nodes.node == out_deg.src, "left_anti").count() > 0
+    )
+    return e, nodes, out_deg, n, has_dangling
+
+
+def _run_rank_loop(
+    e: DataFrame,
+    nodes: DataFrame,
+    out_deg: DataFrame,
+    has_dangling: bool,
+    *,
+    init_rank: Column,
+    contrib: Callable[[], Column],
+    zero: Column,
+    redistributed: Callable[[], Column],
+    new_rank: Callable[[Column, Column], Column],
+    iterations: int,
+) -> DataFrame:
+    """The shared PageRank iteration shell. Per round: one rank-edge join
+    + per-destination aggregate of ``contrib()`` (evaluated against the
+    joined rank/deg columns), an optional dangling-mass scalar broadcast
+    (``redistributed()`` sees its ``dm`` column), and
+    ``new_rank(recv, redist)`` over the node frame, with the lineage cut
+    and previous-round block release described in the module docstring.
+    """
+    ranks = nodes.select("node", init_rank.alias("rank")).localCheckpoint()
+    for _ in range(iterations):
+        prev = ranks
+        contribs = (
+            # e carries a sort-merge hint: an edge list is corpus-scaled BY
+            # DEFINITION, but its cached columnar stats undersell the hashed
+            # relation a broadcast would build (~10x row-format + hash-table
+            # blow-up), so a demo-sized autoBroadcastJoinThreshold (64 MiB
+            # session default) would re-broadcast e EVERY round and OOM the
+            # driver. This is the one join where the honest answer is known
+            # statically: never broadcast the edge side; the node-sized rank
+            # frame is the only exchange per round.
+            ranks.join(e.hint("merge"), ranks.node == e.src)
+            .join(out_deg, "src")
+            .select(F.col("dst").alias("node"), contrib().alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("recv"))
+        )
+        base = nodes.join(contribs, "node", "left")
+        if has_dangling:
+            # dangling mass: rank sitting on nodes with no out-edges
+            dangling = (
+                ranks.join(out_deg, ranks.node == out_deg.src, "left_anti")
+                .agg(F.coalesce(F.sum("rank"), zero).alias("dm"))
+            )
+            base = base.crossJoin(F.broadcast(dangling))
+            redist = redistributed()
+        else:
+            redist = zero
+        ranks = base.select(
+            "node",
+            new_rank(F.coalesce(F.col("recv"), zero), redist).alias("rank"),
+        )
+        # eager checkpoint: materializes this round AND cuts lineage.
+        # coalesce first: ranks are node-sized, and under a default
+        # 200-shuffle-partition session ten rounds of 200-partition
+        # checkpoints + reads are pure task-scheduling overhead (AQE
+        # coalesces shuffle READS, not the checkpoint layout).
+        ranks = ranks.coalesce(16).localCheckpoint()
+        # release the previous round's node-sized checkpoint blocks —
+        # localCheckpoint has no public release, so this goes through the
+        # materialized RDD handle; best-effort (worst case the blocks
+        # age out with the session, iterations x |nodes| rows)
+        try:
+            prev._jdf.queryExecution().toRdd().unpersist(False)
+        except Exception:
+            pass
+    ranks.retained_caches = [e, nodes, out_deg]
+    return ranks
 
 
 def pagerank(
@@ -49,86 +164,21 @@ def pagerank(
     node-sized left join to re-attach rank-0 receivers. Nothing the
     driver holds grows with the graph.
     """
-    e = (
-        ensure_parallelism(
-            edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        )
-        .distinct()
-        .persist()
+    e, nodes, out_deg, n, has_dangling = _prep_graph(edges, src_col, dst_col)
+    return _run_rank_loop(
+        e,
+        nodes,
+        out_deg,
+        has_dangling,
+        init_rank=F.lit(1.0 / n),
+        contrib=lambda: F.col("rank") / F.col("deg"),
+        zero=F.lit(0.0),
+        redistributed=lambda: F.col("dm") / F.lit(float(n)),
+        new_rank=lambda recv, redist: (
+            F.lit((1.0 - damping) / n) + F.lit(damping) * (recv + redist)
+        ),
+        iterations=iterations,
     )
-    e.count()  # materialize: honest stats + one-time edge-build cost
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .persist()
-    )
-    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
-    # one bounded driver scalar (the kmeans-centroid / bloom-sizing class
-    # of statistic) — baking 1/n in as a literal keeps each round's plan
-    # a join + aggregate + one 1-row broadcast, instead of two extra
-    # crossJoins whose codegen dominated first-run latency
-    n = nodes.count()
-    # second bounded scalar: a graph with no dangling nodes (every
-    # symmetric graph, e.g. co-occurrence) skips the per-round dangling
-    # aggregate + broadcast entirely — half the jobs per iteration
-    has_dangling = nodes.join(out_deg, nodes.node == out_deg.src, "left_anti").count() > 0
-
-    ranks = nodes.select(
-        "node", F.lit(1.0 / n).alias("rank")
-    ).localCheckpoint()
-    for _ in range(iterations):
-        prev = ranks
-        contribs = (
-            # e carries a sort-merge hint: an edge list is corpus-scaled BY
-            # DEFINITION, but its cached columnar stats undersell the hashed
-            # relation a broadcast would build (~10x row-format + hash-table
-            # blow-up), so a demo-sized autoBroadcastJoinThreshold (64 MiB
-            # session default) would re-broadcast e EVERY round and OOM the
-            # driver. This is the one join where the honest answer is known
-            # statically: never broadcast the edge side; the node-sized rank
-            # frame is the only exchange per round.
-            ranks.join(e.hint("merge"), ranks.node == e.src)
-            .join(out_deg, "src")
-            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
-            .groupBy("node")
-            .agg(F.sum("c").alias("recv"))
-        )
-        base = nodes.join(contribs, "node", "left")
-        if has_dangling:
-            # dangling mass: rank sitting on nodes with no out-edges
-            dangling = (
-                ranks.join(out_deg, ranks.node == out_deg.src, "left_anti")
-                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
-            )
-            base = base.crossJoin(F.broadcast(dangling))
-            redistributed = F.col("dm") / F.lit(float(n))
-        else:
-            redistributed = F.lit(0.0)
-        ranks = base.select(
-            "node",
-            (
-                F.lit((1.0 - damping) / n)
-                + F.lit(damping)
-                * (F.coalesce(F.col("recv"), F.lit(0.0)) + redistributed)
-            ).alias("rank"),
-        )
-        # eager checkpoint: materializes this round AND cuts lineage.
-        # coalesce first: ranks are node-sized, and under a default
-        # 200-shuffle-partition session ten rounds of 200-partition
-        # checkpoints + reads are pure task-scheduling overhead (AQE
-        # coalesces shuffle READS, not the checkpoint layout).
-        ranks = ranks.coalesce(16).localCheckpoint()
-        # release the previous round's node-sized checkpoint blocks —
-        # localCheckpoint has no public release, so this goes through the
-        # materialized RDD handle; best-effort (worst case the blocks
-        # age out with the session, iterations x |nodes| rows)
-        try:
-            prev._jdf.queryExecution().toRdd().unpersist(False)
-        except Exception:
-            pass
-    ranks.retained_caches = [e, nodes, out_deg]
-    return ranks
 
 
 def pagerank_portable(
@@ -162,72 +212,21 @@ def pagerank_portable(
     one rank-edge join, one map-side-combinable integer aggregate, one
     bounded scalar, lineage cut per round.
     """
-    e = (
-        ensure_parallelism(
-            edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        )
-        .distinct()
-        .persist()
-    )
-    e.count()
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .persist()
-    )
-    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
-    n = nodes.count()
-    has_dangling = nodes.join(out_deg, nodes.node == out_deg.src, "left_anti").count() > 0
-
+    e, nodes, out_deg, n, has_dangling = _prep_graph(edges, src_col, dst_col)
     base = (15 * scale) // (100 * n)
-    ranks = nodes.select(
-        "node", F.lit(scale // n).cast("bigint").alias("rank")
-    ).localCheckpoint()
-    for _ in range(iterations):
-        prev = ranks
-        contribs = (
-            # e carries a sort-merge hint: an edge list is corpus-scaled BY
-            # DEFINITION, but its cached columnar stats undersell the hashed
-            # relation a broadcast would build (~10x row-format + hash-table
-            # blow-up), so a demo-sized autoBroadcastJoinThreshold (64 MiB
-            # session default) would re-broadcast e EVERY round and OOM the
-            # driver. This is the one join where the honest answer is known
-            # statically: never broadcast the edge side; the node-sized rank
-            # frame is the only exchange per round.
-            ranks.join(e.hint("merge"), ranks.node == e.src)
-            .join(out_deg, "src")
-            .select(
-                F.col("dst").alias("node"),
-                # integer contribution: (85*r) div (100*deg) — exact, and
-                # the SUM below is an integer sum (order-independent)
-                F.expr("(85 * rank) div (100 * deg)").alias("c"),
-            )
-            .groupBy("node")
-            .agg(F.sum("c").cast("bigint").alias("recv"))
-        )
-        out = nodes.join(contribs, "node", "left")
-        if has_dangling:
-            dangling = (
-                ranks.join(out_deg, ranks.node == out_deg.src, "left_anti")
-                .agg(F.coalesce(F.sum("rank"), F.lit(0)).cast("bigint").alias("dm"))
-            )
-            out = out.crossJoin(F.broadcast(dangling))
-            redistributed = F.expr(f"(85 * dm) div (100 * {n})")
-        else:
-            redistributed = F.lit(0)
-        ranks = out.select(
-            "node",
-            (
-                F.lit(base).cast("bigint")
-                + F.coalesce(F.col("recv"), F.lit(0))
-                + redistributed
-            ).cast("bigint").alias("rank"),
-        )
-        ranks = ranks.coalesce(16).localCheckpoint()
-        try:
-            prev._jdf.queryExecution().toRdd().unpersist(False)
-        except Exception:
-            pass
-    ranks.retained_caches = [e, nodes, out_deg]
-    return ranks
+    return _run_rank_loop(
+        e,
+        nodes,
+        out_deg,
+        has_dangling,
+        init_rank=F.lit(scale // n).cast("bigint"),
+        # integer contribution: (85*r) div (100*deg) — exact, and the
+        # per-destination SUM is an integer sum (order-independent)
+        contrib=lambda: F.expr("(85 * rank) div (100 * deg)"),
+        zero=F.lit(0).cast("bigint"),
+        redistributed=lambda: F.expr(f"(85 * dm) div (100 * {n})"),
+        new_rank=lambda recv, redist: (
+            F.lit(base).cast("bigint") + recv + redist
+        ).cast("bigint"),
+        iterations=iterations,
+    )

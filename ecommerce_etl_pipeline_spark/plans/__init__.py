@@ -44,22 +44,24 @@ for _optional in (
 # §2 families; round 2 promoted the LLM-data-pipeline surface; round 3
 # retired the never-verified tail plus its own new operators. Round 4
 # closes the coverage bar: the 10 queries registered after the round-3
-# window filled get their first driver row (after that, EVERY registered
-# query has >=1 driver CORRECTNESS row across r1-r4), the queries whose
-# semantics changed this round are re-certified (j11's de-vacuated
-# threshold now carries rows; dd_minhash_pairs/sm1/sm2/sm3 moved from
-# rows-only to full oracles via md5-portable draws; a26/dq_psi edges are
-# now 4dp-rounded; u6 re-keys inserts by negation), and the remaining 35
-# slots rotate back r1/r2-green queries spanning every §2 family so the
-# window stays a representative regression sweep. Names listed here but
-# not (yet) registered are skipped harmlessly; everything not listed
-# keeps its original relative order after the curated block.
+# window filled get their first driver row, plus round 4's one NEW query
+# (after that, EVERY registered query has >=1 driver CORRECTNESS row
+# across r1-r4); the queries whose semantics changed this round are
+# re-certified (j11's de-vacuated threshold now carries rows; eleven
+# queries moved from rows-only to full oracles via engine-portable
+# arithmetic; a26/dq_psi edges are now 4dp-rounded; u6 re-keys inserts
+# by negation); and the remaining 29 slots rotate back r1/r2-green
+# queries spanning every §2 family so the window stays a representative
+# regression sweep. Names listed here but not (yet) registered are
+# skipped harmlessly; everything not listed keeps its original relative
+# order after the curated block.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW = [
     # -- 10 queries awaiting their FIRST driver row (registered after the
     # r3 window filled; plans/__init__.py:54-62 at 421df92 documents the
-    # queue). 8 oracle-backed; txt_bpe_merges and g1_pagerank are
-    # rows-only (non-SQL-expressible: iterative trainer / Pregel loop).
+    # queue). All 10 are now oracle-backed: txt_bpe_merges and
+    # g1_pagerank were rows-only when queued, but round 4 attached full
+    # oracles to both (unrolled-CTE replays of the iterative loops).
     "txt_bpe_merges",
     "a26_rfm_segments",
     "j12_association_rules",
@@ -70,6 +72,9 @@ _DRIVER_WINDOW = [
     "sk_cms_token_counts",
     "sm10_epoch_shuffle",
     "a27_pareto_revenue",
+    # -- 1 NEW round-4 query: trained-tokenizer application (registered
+    # this round, so it needs its first driver row like the queued 10)
+    "txt_bpe_token_counts",
     # -- 10 re-certifications of round-4-changed semantics: j11's
     # de-vacuated threshold, and the 9 queries whose draws/hashes/trainers
     # moved to engine-portable forms with full DuckDB oracles (rows-only
@@ -84,12 +89,11 @@ _DRIVER_WINDOW = [
     "dd_curation_minhash",
     "sim_lsh_topk",
     "ml_kmeans_train",
-    # -- 30 rotated-back greens spanning every §2 family (all have r1/r2
+    # -- 29 rotated-back greens spanning every §2 family (all have r1/r2
     # driver hash-matches; unchanged since)
     "a1_daily_sales",
     "a4_customer_ltv",
     "a8_pricing_summary",
-    "a16_rollup_hierarchy",
     "a22_cube",
     "j1_order_lineitem_join",
     "j2_customer_geo_broadcast",

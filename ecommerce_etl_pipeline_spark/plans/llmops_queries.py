@@ -1770,7 +1770,7 @@ def _kmeans_train_oracle_sql(k: int = 4, iterations: int = 5, nano: int = 10**9)
             FROM embeddings p CROSS JOIN vf v
         ) WHERE rn = 1
     )
-    SELECT cid AS cluster, COUNT(*) AS n_members,
+    SELECT CAST(cid AS INTEGER) AS cluster, COUNT(*) AS n_members,
            {sql_round("AVG(dist)", 4)} AS avg_dist,
            CAST({iterations} AS INTEGER) AS iterations
     FROM af GROUP BY cid

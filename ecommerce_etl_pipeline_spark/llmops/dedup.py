@@ -596,11 +596,18 @@ def simhash_of_hashes(hashes_sql: str, bits: int = 64) -> Column:
     long. SQL-expression lambdas because shift amounts are lambda variables
     (the Python shiftleft/shiftright wrappers only take literal ints).
     Bit 63 is excluded so the packed value stays non-negative (no overflow
-    under ANSI)."""
+    under ANSI).
+
+    Single-fold form (the minhash_signature doctrine): ONE traversal of
+    the token-hash array carrying a ``bits``-wide vote accumulator —
+    the previous per-bit ``transform`` ran 64 SEPARATE interpreted folds
+    over the array (64 re-traversals per document). Vote sums are integer
+    and therefore order-independent; the packed value is bit-identical.
+    """
     votes = (
-        f"transform(sequence(0, {bits - 1}), i -> "
-        f"aggregate({hashes_sql}, 0, (acc, h) -> "
-        f"acc + (CASE WHEN shiftright(h, i) & 1 = 1 THEN 1 ELSE -1 END)))"
+        f"aggregate({hashes_sql}, array_repeat(0, {bits}), "
+        f"(acc, h) -> zip_with(acc, sequence(0, {bits - 1}), "
+        f"(a, i) -> a + (CASE WHEN shiftright(h, i) & 1 = 1 THEN 1 ELSE -1 END)))"
     )
     return F.expr(
         f"aggregate(zip_with({votes}, sequence(0, {bits - 1}), "

@@ -95,20 +95,44 @@ def bpe_train(
     text_col: str = "text",
     num_merges: int = 20,
     min_pair_count: int = 2,
+    driver_vocab_rows: int = 200_000,
 ) -> list[tuple[str, str, int]]:
     """Learn up to ``num_merges`` BPE merges from the corpus. Returns the
     ordered merge list [(left, right, pair_count), ...] — the tokenizer
     model. Stops early when no pair reaches ``min_pair_count``.
 
-    Each round: one vocabulary-sized pair aggregate (weighted by word
-    count, map-side combinable) + one driver-collected argmax row, then a
-    narrow per-word-type fold applying the merge. The word-type frame is
-    localCheckpoint()ed every few rounds so the lineage (and plan depth)
-    stays bounded at any merge count.
+    Strategy is STATISTICS-DRIVEN, like a join: the corpus pays exactly
+    one shuffle (the word-type count) either way, and a bounded count of
+    the word-TYPE table picks where the merge loop runs —
+
+    - vocab fits the driver budget (``driver_vocab_rows``): collect the
+      counts and run the merge loop in memory (:func:`_driver_train`).
+      This is what every production tokenizer trainer does (count at
+      corpus scale, merge on one node) and removes ``num_merges``
+      sequential Spark jobs (~10x wall-clock on the test corpus, whose
+      vocabulary is tiny);
+    - vocab exceeds the budget: the distributed loop — each round one
+      vocabulary-sized pair aggregate (weighted by word count, map-side
+      combinable) + one driver-collected argmax row, then a narrow
+      per-word-type fold applying the merge, localCheckpoint()ed every
+      few rounds so lineage (and plan depth) stays bounded at any merge
+      count.
+
+    Both paths implement identical greedy semantics (same argmax
+    tie-breaks, same pending-buffer merge), pinned against each other and
+    against a pure-Python reference in tests/test_bpe.py — which is also
+    what makes the result a pure function of the corpus, replayable in
+    the DuckDB oracles regardless of path.
     """
-    vocab = word_counts(docs, text_col=text_col).select(
-        _initial_symbols(F.col("w")).alias("syms"), "cnt"
-    )
+    wc = word_counts(docs, text_col=text_col)
+    # bounded scalar (the kmeans-centroid / bloom-sizing class): word-TYPE
+    # count, not corpus size
+    if wc.count() <= driver_vocab_rows:
+        rows = wc.collect()
+        return _driver_train(
+            {r["w"]: r["cnt"] for r in rows}, num_merges, min_pair_count
+        )
+    vocab = wc.select(_initial_symbols(F.col("w")).alias("syms"), "cnt")
     merges: list[tuple[str, str, int]] = []
     for i in range(num_merges):
         top = (
@@ -130,6 +154,49 @@ def bpe_train(
             # bound lineage depth: each round nests another fold into the
             # plan; checkpointing keeps analysis/codegen cost O(1) per round
             vocab = vocab.localCheckpoint(eager=False)
+    return merges
+
+
+def _driver_train(
+    wc: dict[str, int], num_merges: int, min_pair_count: int
+) -> list[tuple[str, str, int]]:
+    """In-memory merge loop over a collected word-count dict — semantics
+    identical to the distributed loop (greedy pending-buffer merge, argmax
+    ties broken (count desc, left asc, right asc))."""
+    vocab: dict[str, tuple[tuple[str, ...], int]] = {
+        w: (tuple(list(w) + [EOW]), c) for w, c in wc.items()
+    }
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(num_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, c in vocab.values():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + c
+        if not pairs:
+            break
+        (left, right), n = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if n < min_pair_count:
+            break
+        merges.append((left, right, n))
+        new_vocab: dict[str, tuple[tuple[str, ...], int]] = {}
+        for w, (syms, c) in vocab.items():
+            out: list[str] = []
+            pend: str | None = None
+            for s in syms:
+                if pend is None:
+                    pend = s
+                elif pend == left and s == right:
+                    out.append(left + right)
+                    pend = None
+                else:
+                    out.append(pend)
+                    pend = s
+            if pend is not None:
+                out.append(pend)
+            new_vocab[w] = (tuple(out), c)
+        vocab = new_vocab
     return merges
 
 

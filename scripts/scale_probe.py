@@ -165,6 +165,12 @@ def main() -> None:
     probes = {
         "jaccard_pairs": lambda d: dedup.jaccard_similarity_join(d, threshold=0.5),
         "minhash_pairs": lambda d: dedup.minhash_candidate_pairs(d),
+        # round-4: the md5-portable hash variant is now the REGISTERED
+        # query's form (oracle-checkability) — probe it separately so the
+        # growth table reflects both the scale default and the shipped path
+        "minhash_portable": lambda d: dedup.minhash_candidate_pairs(
+            d, portable=True
+        ),
         "curation_minhash": lambda d: curation.curate(d, cache_exact=True),
         # round-3 additions: window-shuffle (span) and narrow-explode (chunk)
         # shapes — expected ~linear growth

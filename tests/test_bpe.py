@@ -54,20 +54,28 @@ def _ref_train(wc: dict[str, int], num_merges: int, min_pair_count: int = 2):
 
 
 def test_bpe_train_matches_reference_on_real_corpus(spark):
+    """Covers BOTH strategy paths: the driver fast path (vocab under
+    the budget — the default on this corpus) and the distributed merge
+    loop (forced via driver_vocab_rows=0) must produce the identical
+    merge list, which must equal the pure-Python reference."""
     docs = load_table(spark, SF_SMOKE, "documents")
     wc = {r["w"]: r["cnt"] for r in word_counts(docs).collect()}
-    got = bpe_train(docs, num_merges=15)
+    got_driver = bpe_train(docs, num_merges=15)
+    got_dist = bpe_train(docs, num_merges=15, driver_vocab_rows=0)
     want = _ref_train(wc, 15)
-    assert got == want, f"\ngot:  {got}\nwant: {want}"
-    assert len(got) == 15  # real corpus has plenty of repeated pairs
+    assert got_driver == want, f"\ngot:  {got_driver}\nwant: {want}"
+    assert got_dist == want
+    assert len(want) == 15  # real corpus has plenty of repeated pairs
 
 
 def test_bpe_overlapping_runs_and_early_stop(spark):
     # "aaaa" x3: first merge is (a,a); greedy non-overlap gives [aa,aa,</w>]
     docs = spark.createDataFrame([(1, "aaaa aaaa aaaa")], "doc_id LONG, text STRING")
-    merges = bpe_train(docs, num_merges=10)
+    # force the DISTRIBUTED loop so its greedy-merge edge cases stay covered
+    merges = bpe_train(docs, num_merges=10, driver_vocab_rows=0)
     ref = _ref_train({"aaaa": 3}, 10)
     assert merges == ref
+    assert bpe_train(docs, num_merges=10) == ref  # driver path agrees
     assert merges[0][:2] == ("a", "a")
     # encoding replays to full-word tokens via the learned merges
     enc = bpe_encode("aaaa", merges)
@@ -75,6 +83,7 @@ def test_bpe_overlapping_runs_and_early_stop(spark):
     # a corpus with no repeated pair stops immediately
     unique = spark.createDataFrame([(1, "xy")], "doc_id LONG, text STRING")
     assert bpe_train(unique, num_merges=5) == []
+    assert bpe_train(unique, num_merges=5, driver_vocab_rows=0) == []
 
 
 def test_bpe_apply_matches_driver_encoder(spark):

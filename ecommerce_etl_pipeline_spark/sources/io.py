@@ -219,3 +219,38 @@ def upsert_append(target: DataFrame, incoming: DataFrame, keys: list[str]) -> Da
     storage format with real MERGE (Delta/Iceberg).
     """
     return incoming.join(target.select(*keys).distinct(), on=keys, how="left_anti")
+
+
+def write_orc(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
+    """ORC sink (Spark-native columnar alternative to parquet; same
+    predicate-pushdown / column-pruning story via ORC stripe statistics).
+    Exists so a warehouse standardized on ORC can consume this engine's
+    outputs without a conversion hop."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source — schema from the file footer, filters/pruning pushed
+    the same way the parquet scans are (tests assert round-trip parity)."""
+    return spark.read.orc(path)
+
+
+def read_binary_assets(spark: SparkSession, path: str, *, glob: str | None = None) -> DataFrame:
+    """Opaque-binary asset source for the multimodal pipeline: Spark's
+    ``binaryFile`` format yields (path, modificationTime, length, content)
+    with ``content`` as the raw bytes column the decode UDFs
+    (llmops/multimodal.py) consume — the REAL ingestion path for
+    image/audio payloads sitting in an object store, replacing the
+    synthesized fixtures when actual assets exist.
+
+    Scale shape: file listing is distributed, each file is one row; large
+    asset collections should set ``spark.sql.files.maxPartitionBytes`` /
+    use a compacted manifest rather than millions of tiny files (the
+    small-files problem is the same as any scan). ``glob`` filters by
+    pathGlobFilter (e.g. ``*.ppm``) at listing time — pruned before any
+    byte is read.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)

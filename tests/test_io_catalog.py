@@ -153,3 +153,43 @@ def test_pandas_udfs(spark):
     )
     rows = wavg.collect()
     assert len(rows) == 3 and all(r.wavg > 0 for r in rows)
+
+
+def test_orc_sink_roundtrip(spark, tmp_path):
+    from ecommerce_etl_pipeline_spark.sources.io import read_orc, write_orc
+    from tests.oracle import canon_rows
+
+    out = str(tmp_path / "orders_orc")
+    orders = load_table(spark, SF, "orders").limit(100)
+    write_orc(orders, out)
+    back = read_orc(spark, out)
+    # exact round-trip: same rows, same values, schema preserved
+    assert canon_rows(back.toPandas()) == canon_rows(orders.toPandas())
+    assert dict(back.dtypes) == dict(orders.dtypes)
+
+
+def test_binary_asset_source_decodes(spark, tmp_path):
+    """binaryFile ingestion -> existing PPM decoder: the REAL multimodal
+    asset path (files on disk -> opaque binary column -> decode UDF),
+    replacing the synthesized fixtures when actual assets exist."""
+    from ecommerce_etl_pipeline_spark.llmops import multimodal as mm
+    from ecommerce_etl_pipeline_spark.sources.io import read_binary_assets
+
+    assets = tmp_path / "assets"
+    assets.mkdir()
+    fixtures = {}
+    for i in range(4):
+        w, h = 2 + i, 3
+        px = bytes((i * 7 + j) % 256 for j in range(3 * w * h))
+        (assets / f"img_{i}.ppm").write_bytes(mm.encode_ppm(w, h, px))
+        fixtures[f"img_{i}.ppm"] = (w, h, px)
+    (assets / "notes.txt").write_bytes(b"not an image")  # pruned by glob
+
+    df = read_binary_assets(spark, str(assets), glob="*.ppm")
+    rows = df.select("path", "length", "content").collect()
+    assert len(rows) == 4  # the .txt never reached the scan
+    for r in rows:
+        name = r["path"].rsplit("/", 1)[-1]
+        w, h, px = fixtures[name]
+        assert r["length"] == len(mm.encode_ppm(w, h, px))
+        assert mm.decode_ppm(bytes(r["content"])) == (w, h, px)

@@ -41,8 +41,15 @@ def word_counts(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
 
 
 def _initial_symbols(w: F.Column) -> F.Column:
-    """Word → its character symbols + the end-of-word marker."""
-    return F.concat(F.split(w, ""), F.array(F.lit(EOW)))
+    """Word → its character symbols + the end-of-word marker. An EMPTY
+    word type (a corpus with doubled spaces produces one) is just
+    ``[EOW]`` — pinned explicitly because ``split('', '')`` yields
+    ``['']`` and a phantom empty symbol would make the distributed path
+    diverge from the driver trainer, :func:`bpe_encode`, and the DuckDB
+    oracle (whose ``generate_series(1, length(w))`` is naturally empty)."""
+    return F.when(
+        F.length(w) > 0, F.concat(F.split(w, ""), F.array(F.lit(EOW)))
+    ).otherwise(F.array(F.lit(EOW)))
 
 
 def _merge_pair(symbols: F.Column, left: str, right: str) -> F.Column:
@@ -96,41 +103,51 @@ def bpe_train(
     num_merges: int = 20,
     min_pair_count: int = 2,
     driver_vocab_rows: int = 200_000,
+    word_counts_df: DataFrame | None = None,
 ) -> list[tuple[str, str, int]]:
     """Learn up to ``num_merges`` BPE merges from the corpus. Returns the
     ordered merge list [(left, right, pair_count), ...] — the tokenizer
     model. Stops early when no pair reaches ``min_pair_count``.
 
-    Strategy is STATISTICS-DRIVEN, like a join: the corpus pays exactly
-    one shuffle (the word-type count) either way, and a bounded count of
-    the word-TYPE table picks where the merge loop runs —
+    Strategy is STATISTICS-DRIVEN, like a join, and probed with ONE
+    action: ``limit(budget + 1).collect()`` on the word-TYPE table —
 
-    - vocab fits the driver budget (``driver_vocab_rows``): collect the
-      counts and run the merge loop in memory (:func:`_driver_train`).
+    - if at most ``driver_vocab_rows`` rows come back, they ARE the whole
+      vocabulary: run the merge loop in memory (:func:`_driver_train`).
       This is what every production tokenizer trainer does (count at
       corpus scale, merge on one node) and removes ``num_merges``
       sequential Spark jobs (~10x wall-clock on the test corpus, whose
-      vocabulary is tiny);
-    - vocab exceeds the budget: the distributed loop — each round one
+      vocabulary is tiny). The corpus pays exactly its one word-count
+      shuffle — the probe is not a separate ``count()`` job, which would
+      re-execute that shuffle;
+    - otherwise the distributed loop runs — each round one
       vocabulary-sized pair aggregate (weighted by word count, map-side
       combinable) + one driver-collected argmax row, then a narrow
       per-word-type fold applying the merge, localCheckpoint()ed every
       few rounds so lineage (and plan depth) stays bounded at any merge
       count.
 
+    ``word_counts_df`` lets a caller that also needs the word-type table
+    (txt_bpe_token_counts trains AND applies) pass a precomputed —
+    ideally persisted — frame so the corpus is tokenized once across the
+    whole pipeline.
+
     Both paths implement identical greedy semantics (same argmax
-    tie-breaks, same pending-buffer merge), pinned against each other and
-    against a pure-Python reference in tests/test_bpe.py — which is also
-    what makes the result a pure function of the corpus, replayable in
-    the DuckDB oracles regardless of path.
+    tie-breaks, same pending-buffer merge via :func:`_merge_syms`),
+    pinned against each other and against a pure-Python reference in
+    tests/test_bpe.py — which is also what makes the result a pure
+    function of the corpus, replayable in the DuckDB oracles regardless
+    of path.
     """
-    wc = word_counts(docs, text_col=text_col)
-    # bounded scalar (the kmeans-centroid / bloom-sizing class): word-TYPE
-    # count, not corpus size
-    if wc.count() <= driver_vocab_rows:
-        rows = wc.collect()
+    wc = (
+        word_counts_df
+        if word_counts_df is not None
+        else word_counts(docs, text_col=text_col)
+    )
+    head = wc.limit(driver_vocab_rows + 1).collect()
+    if len(head) <= driver_vocab_rows:
         return _driver_train(
-            {r["w"]: r["cnt"] for r in rows}, num_merges, min_pair_count
+            {r["w"]: r["cnt"] for r in head}, num_merges, min_pair_count
         )
     vocab = wc.select(_initial_symbols(F.col("w")).alias("syms"), "cnt")
     merges: list[tuple[str, str, int]] = []
@@ -157,12 +174,35 @@ def bpe_train(
     return merges
 
 
+def _merge_syms(syms: list[str] | tuple[str, ...], left: str, right: str) -> list[str]:
+    """Pure-Python pending-buffer greedy merge — the in-memory twin of the
+    :func:`_merge_pair` fold ("aaa" under (a,a) -> ["aa","a"]). THE single
+    source of the semantics for both :func:`_driver_train` and
+    :func:`bpe_encode`; the independent copy in tests/_ref_train stays
+    separate on purpose (it is the reference the others are pinned to)."""
+    out: list[str] = []
+    pend: str | None = None
+    for s in syms:
+        if pend is None:
+            pend = s
+        elif pend == left and s == right:
+            out.append(left + right)
+            pend = None
+        else:
+            out.append(pend)
+            pend = s
+    if pend is not None:
+        out.append(pend)
+    return out
+
+
 def _driver_train(
     wc: dict[str, int], num_merges: int, min_pair_count: int
 ) -> list[tuple[str, str, int]]:
     """In-memory merge loop over a collected word-count dict — semantics
     identical to the distributed loop (greedy pending-buffer merge, argmax
-    ties broken (count desc, left asc, right asc))."""
+    ties broken (count desc, left asc, right asc)). Empty word types get
+    just [EOW], matching _initial_symbols / the oracle."""
     vocab: dict[str, tuple[tuple[str, ...], int]] = {
         w: (tuple(list(w) + [EOW]), c) for w, c in wc.items()
     }
@@ -180,23 +220,10 @@ def _driver_train(
         if n < min_pair_count:
             break
         merges.append((left, right, n))
-        new_vocab: dict[str, tuple[tuple[str, ...], int]] = {}
-        for w, (syms, c) in vocab.items():
-            out: list[str] = []
-            pend: str | None = None
-            for s in syms:
-                if pend is None:
-                    pend = s
-                elif pend == left and s == right:
-                    out.append(left + right)
-                    pend = None
-                else:
-                    out.append(pend)
-                    pend = s
-            if pend is not None:
-                out.append(pend)
-            new_vocab[w] = (tuple(out), c)
-        vocab = new_vocab
+        vocab = {
+            w: (tuple(_merge_syms(syms, left, right)), c)
+            for w, (syms, c) in vocab.items()
+        }
     return merges
 
 
@@ -232,18 +259,5 @@ def bpe_encode(symbols_word: str, merges: list[tuple[str, str, int]]) -> list[st
     same fold per document (see txt_vocab_encode for the applied form)."""
     syms = list(symbols_word) + [EOW]
     for left, right, _ in merges:
-        out: list[str] = []
-        pend: str | None = None
-        for s in syms:
-            if pend is None:
-                pend = s
-            elif pend == left and s == right:
-                out.append(left + right)
-                pend = None
-            else:
-                out.append(pend)
-                pend = s
-        if pend is not None:
-            out.append(pend)
-        syms = out
+        syms = _merge_syms(syms, left, right)
     return syms

@@ -609,11 +609,16 @@ def simhash_of_hashes(hashes_sql: str, bits: int = 64) -> Column:
         f"(acc, h) -> zip_with(acc, sequence(0, {bits - 1}), "
         f"(a, i) -> a + (CASE WHEN shiftright(h, i) & 1 = 1 THEN 1 ELSE -1 END)))"
     )
+    # outer coalesce: a NULL hash array must still yield simhash 0 (all
+    # votes tie negative), as the per-bit form did — the single fold
+    # propagates NULL through aggregate/zip_with instead, and a NULL
+    # simhash would silently drop the row from the chunk equi-join rather
+    # than banding null-text docs together
     return F.expr(
-        f"aggregate(zip_with({votes}, sequence(0, {bits - 1}), "
+        f"coalesce(aggregate(zip_with({votes}, sequence(0, {bits - 1}), "
         f"(v, i) -> CASE WHEN v > 0 AND i < 63 THEN shiftleft(CAST(1 AS BIGINT), i) "
         f"ELSE CAST(0 AS BIGINT) END), "
-        f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        f"CAST(0 AS BIGINT), (acc, x) -> acc + x), CAST(0 AS BIGINT))"
     )
 
 

@@ -714,10 +714,13 @@ def txt_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     "merges (llmops/bpe.py::bpe_train), apply them to the word-TYPE table "
     "(::bpe_apply — the corpus itself never meets the merges), then one "
     "narrow explode + word join + per-document aggregate yields exact "
-    "BPE token counts per document. Scale shape: the expensive fold runs "
-    "on the Zipf-small vocabulary; the corpus pass is explode + join + "
-    "map-side-combinable sum, and the join's vocabulary side is "
-    "unhinted (stats pick broadcast while it fits). Oracle: the shared "
+    "BPE token counts per document. Scale shape: the corpus is TOKENIZED "
+    "ONCE (a persisted word-type table shared by the training probe, the "
+    "merge application and the final join — retained_caches contract); "
+    "the expensive fold runs on the Zipf-small vocabulary; the corpus "
+    "pass is explode + join + map-side-combinable sum, and the join's "
+    "vocabulary side is unhinted (stats pick broadcast while it fits). "
+    "Oracle: the shared "
     "unrolled-BPE CTE body — the final round's segmentation IS the "
     "tokenizer applied to every word, so token counts replay exactly.",
 )
@@ -725,17 +728,26 @@ def txt_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ecommerce_etl_pipeline_spark.llmops import bpe
 
     docs = load_table(spark, sf_dir, "documents")
-    merges = bpe.bpe_train(docs, num_merges=20)
+    # ONE corpus tokenization serves training, application, and the join:
+    # the persisted word-TYPE table feeds bpe_train (via word_counts_df —
+    # its strategy probe reads the cache, not the corpus), bpe_apply (the
+    # merges meet only this Zipf-small frame), and the per-document sum
+    # below. CACHE CONTRACT (the curate pattern): released via
+    # retained_caches by the caller.
+    wc = bpe.word_counts(docs).persist()
+    merges = bpe.bpe_train(docs, num_merges=20, word_counts_df=wc)
+    seg = bpe.bpe_apply(wc.select("w"), merges).select(
+        "w", F.size("syms").alias("seg_len")
+    )
     words = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
     )
-    seg = bpe.bpe_apply(words.select("w").distinct(), merges).select(
-        "w", F.size("syms").alias("seg_len")
-    )
-    return words.join(seg, "w").groupBy("doc_id").agg(
+    out = words.join(seg, "w").groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_words"),
         F.sum("seg_len").cast("bigint").alias("bpe_tokens"),
     )
+    out.retained_caches = [wc]
+    return out
 
 
 # ---- rows-only checks (hash-seeded candidate generation; not relational) ----

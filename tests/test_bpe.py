@@ -102,3 +102,18 @@ def test_bpe_apply_matches_driver_encoder(spark):
     for w, syms in got.items():
         assert syms == bpe_encode(w, merges), w
         assert "".join(syms) == w + EOW  # lossless segmentation
+
+
+def test_bpe_paths_agree_on_empty_word_types(spark):
+    """Doubled spaces produce the '' word type; both strategy paths (and
+    bpe_encode) must treat it as [EOW] alone — a phantom '' symbol in the
+    distributed path once made the trained merges depend on which path
+    the vocabulary size selected."""
+    docs = spark.createDataFrame(
+        [(1, "ab  ab"), (2, "ab  ab"), (3, " ab")], "doc_id LONG, text STRING"
+    )
+    wc = {r["w"]: r["cnt"] for r in word_counts(docs).collect()}
+    assert "" in wc  # the fixture really exercises the empty type
+    want = _ref_train(wc, 5)
+    assert bpe_train(docs, num_merges=5) == want
+    assert bpe_train(docs, num_merges=5, driver_vocab_rows=0) == want

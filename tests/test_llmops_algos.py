@@ -973,3 +973,18 @@ def test_kmeans_train_portable_exact_python_parity(spark):
             if counts[ci]:
                 cents[ci] = [(s / counts[ci]) / nano for s in sums[ci]]
     assert got == cents  # exact ==, no tolerance
+
+
+def test_simhash_null_text_bands_to_zero(spark):
+    """NULL-text docs must keep simhash 0 (all votes tie negative) — the
+    single-fold rewrite would otherwise propagate NULL and silently drop
+    such rows from the chunk equi-join instead of banding them together."""
+    from ecommerce_etl_pipeline_spark.llmops import dedup
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, None), (3, "some real text here")],
+        "doc_id LONG, text STRING",
+    )
+    pairs = dedup.simhash_near_pairs(docs).collect()
+    got = {(r["doc1"], r["doc2"]): r["hamming"] for r in pairs}
+    assert got.get((1, 2)) == 0  # both null-text docs band together at 0

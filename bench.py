@@ -105,14 +105,24 @@ def main() -> None:
     for name in HEADLINE:
         queries[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
     spark.catalog.clearCache()
+    # Warm the target-SF inputs themselves (full column scan to the noop
+    # sink — count() would be satisfied from footer stats and read no
+    # data): the 13.9-23s first-run spread measured for IDENTICAL code
+    # traced to page-cache state of these files after other host
+    # activity, and the bench's stated object is compute + shuffle, not
+    # disk-cache luck. Applies equally to every timed query.
+    for t in ("orders", "lineitem", "part", "customer", "documents", "embeddings"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").write.format("noop").mode(
+            "overwrite"
+        ).save()
     queries["a1_daily_sales"](spark, sf_dir).write.format("noop").mode("overwrite").save()
     # provenance string reflects the warm_dir ACTUALLY used — on a host
     # without sf0.001 the fallback warms at the target SF, which makes the
     # timed first runs cache-warm and must not be mistaken for the r1-r3
     # protocol
     warmup_desc = (
-        f"headline@{os.path.basename(warm_dir.rstrip('/'))} + a1@sf "
-        "(pre-compiles codegen/JIT; r1-r3 warmed a1 only)"
+        f"headline@{os.path.basename(warm_dir.rstrip('/'))} + table scans + a1 @sf "
+        "(pre-compiles codegen/JIT and warms input page cache; r1-r3 warmed a1 only)"
     )
 
     runs: list[dict[str, float]] = []

@@ -203,3 +203,34 @@ def test_png_fuzz_raises_cleanly(junk, with_sig):
         mm.decode_png(blob)
     except ValueError:
         pass  # the only permitted failure mode
+
+
+# ---------------------------------------------------------------------------
+# BPE merge fold (pure python — the single source of greedy semantics)
+# ---------------------------------------------------------------------------
+
+_syms = st.lists(
+    st.text(st.characters(min_codepoint=97, max_codepoint=99), min_size=1, max_size=2),
+    min_size=0,
+    max_size=12,
+)
+
+
+@given(syms=_syms, left=st.text(st.characters(min_codepoint=97, max_codepoint=99), min_size=1, max_size=2), right=st.text(st.characters(min_codepoint=97, max_codepoint=99), min_size=1, max_size=2))
+@settings(max_examples=200)
+def test_merge_syms_invariants(syms, left, right):
+    from ecommerce_etl_pipeline_spark.llmops.bpe import _merge_syms
+
+    out = _merge_syms(syms, left, right)
+    # lossless: merging never changes the underlying string
+    assert "".join(out) == "".join(syms)
+    # greedy completeness: no adjacent (left, right) pair survives the
+    # pass — every one was either merged or its left half consumed by the
+    # preceding merge (which renames it), so the exact adjacency is gone
+    assert not any(
+        a == left and b == right for a, b in zip(out, out[1:])
+    ), (syms, out)
+    # idempotent on the merged symbol: re-merging cannot shrink further
+    # unless new adjacencies formed — re-run reaches a fixpoint quickly
+    twice = _merge_syms(out, left, right)
+    assert "".join(twice) == "".join(syms)

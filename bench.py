@@ -124,6 +124,11 @@ def main() -> None:
         f"headline@{os.path.basename(warm_dir.rstrip('/'))} + table scans + a1 @sf "
         "(pre-compiles codegen/JIT and warms input page cache; r1-r3 warmed a1 only)"
     )
+    # machine-readable protocol marker (r4 ADVICE): on a host without
+    # sf0.001 the fallback warms every headline plan at the TARGET SF, so
+    # timed first runs are fully result/page-cache warm — a different
+    # protocol that tooling must be able to detect without parsing prose
+    warmup_mode = "sf0.001" if warm_dir != sf_dir else "target-sf-fallback"
 
     runs: list[dict[str, float]] = []
     for rep in range(3):
@@ -166,6 +171,7 @@ def main() -> None:
                 "queries_median3": median3,
                 "extended": extended,
                 "warmup": warmup_desc,
+                "warmup_mode": warmup_mode,
                 "sf": sf,
             }
         )

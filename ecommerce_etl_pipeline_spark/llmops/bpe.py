@@ -130,7 +130,14 @@ def bpe_train(
     ``word_counts_df`` lets a caller that also needs the word-type table
     (txt_bpe_token_counts trains AND applies) pass a precomputed —
     ideally persisted — frame so the corpus is tokenized once across the
-    whole pipeline.
+    whole pipeline. NOTE the reuse assumption when it is NOT persisted:
+    "the corpus pays exactly its one word-count shuffle" then holds only
+    via Spark's shuffle-FILE reuse (the probe and, over budget, the loop
+    re-run the same exchange and hit its map outputs); shuffle reuse does
+    not cover the pre-shuffle scan+tokenize of a transformed frame, so a
+    caller passing an unpersisted derived frame re-pays that scan. Pass a
+    ``.persist()``-ed frame (as both registered BPE queries do) when the
+    corpus scan is the expensive part.
 
     Both paths implement identical greedy semantics (same argmax
     tie-breaks, same pending-buffer merge via :func:`_merge_syms`),

@@ -394,9 +394,11 @@ def kmeans_train_portable(
     - per-dimension member sums run over NANO-QUANTIZED values
       (``floor(x*1e9 + 0.5)`` as bigint — txt_unigram_logprob's trick),
       so the sums are INTEGER and order-independent;
-    - centroid_d = (sum_nano / n) / 1e9, two IEEE double divisions of
-      exactly-representable operands — bit-identical in Python, Spark and
-      DuckDB;
+    - centroid_d = (double(sum_nano) / n) / 1e9 — the integer sum is
+      rounded to a double FIRST (matching the oracle's
+      ``CAST(SUM(..) AS DOUBLE) / COUNT``); int->double conversion and
+      division are both IEEE-defined, so the replay is bit-identical in
+      Python, Spark and DuckDB at any sum magnitude (not just < 2^53);
     - a FIXED iteration count replaces the tol early-stop (a data-driven
       break cannot unroll into SQL);
     - assignment distances reuse the literal-matrix single fold, whose
@@ -429,7 +431,14 @@ def kmeans_train_portable(
             per_dim.setdefault(r["_cluster"], [0] * dim)[r["_d"]] = r["_sv"]
             counts[r["_cluster"]] = r["_n"]
         for ci, sv in per_dim.items():
-            new_centroids[ci] = [(x / counts[ci]) / nano for x in sv]
+            # float(x) FIRST: the oracle divides CAST(sum AS DOUBLE)/count,
+            # i.e. it rounds the integer sum to a double before dividing.
+            # Python's int/int true division instead rounds the exact
+            # rational, which diverges once |sum_nano| >= 2^53 (r4 ADVICE).
+            # Both engines convert int->double round-to-nearest-even and
+            # divide per IEEE 754, so double(sum)/count matches DuckDB at
+            # ANY magnitude — no 2^53 precondition needed.
+            new_centroids[ci] = [(float(x) / counts[ci]) / nano for x in sv]
         centroids = new_centroids
     return centroids
 

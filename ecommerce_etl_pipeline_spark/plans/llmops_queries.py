@@ -687,7 +687,16 @@ def txt_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ecommerce_etl_pipeline_spark.llmops import bpe
 
     docs = load_table(spark, sf_dir, "documents")
-    merges = bpe.bpe_train(docs, num_merges=20)
+    # persist the word-TYPE table so the venue probe and (over-budget) the
+    # merge loop share ONE materialization of the corpus scan+tokenize
+    # (r4 ADVICE: an unpersisted frame re-pays the scan via shuffle-file
+    # reuse only). Training fully materializes here — the merge list is a
+    # driver-side Python value — so the cache is released before return.
+    wc = bpe.word_counts(docs).persist()
+    try:
+        merges = bpe.bpe_train(docs, num_merges=20, word_counts_df=wc)
+    finally:
+        wc.unpersist()
     return spark.createDataFrame(
         [(i + 1, a, b, a + b, n) for i, (a, b, n) in enumerate(merges)],
         "rank INT, left STRING, right STRING, merged STRING, pair_count BIGINT",
@@ -856,11 +865,16 @@ def dd_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY doc_id, i
     ),
     sh AS (
-        SELECT doc_id,
-               CAST(SUM(CASE WHEN v > 0 AND i < 63
-                             THEN (CAST(1 AS BIGINT) << CAST(i AS INTEGER))
+        -- LEFT JOIN from toks so a NULL-text doc (th NULL -> unnest drops
+        -- it from votes) still lands at simhash 0, mirroring the Spark
+        -- path's coalesce (llmops/dedup.py simhash_of_hashes): NULL-text
+        -- docs band together instead of silently vanishing from the oracle
+        SELECT t.doc_id,
+               CAST(SUM(CASE WHEN v.v > 0 AND v.i < 63
+                             THEN (CAST(1 AS BIGINT) << CAST(v.i AS INTEGER))
                              ELSE 0 END) AS BIGINT) AS s
-        FROM votes GROUP BY doc_id
+        FROM toks t LEFT JOIN votes v ON v.doc_id = t.doc_id
+        GROUP BY t.doc_id
     ),
     chunks AS (
         SELECT doc_id, s, c, (s >> CAST(c * 16 AS INTEGER)) & 65535 AS cv

@@ -971,7 +971,9 @@ def test_kmeans_train_portable_exact_python_parity(spark):
                 sums[best][di] += int(math.floor(x * nano + 0.5))
         for ci in range(len(cents)):
             if counts[ci]:
-                cents[ci] = [(s / counts[ci]) / nano for s in sums[ci]]
+                # double(sum) FIRST — matches the oracle's CAST AS DOUBLE
+                # (r4 ADVICE: int/int true division diverges past 2^53)
+                cents[ci] = [(float(s) / counts[ci]) / nano for s in sums[ci]]
     assert got == cents  # exact ==, no tolerance
 
 
@@ -988,3 +990,34 @@ def test_simhash_null_text_bands_to_zero(spark):
     pairs = dedup.simhash_near_pairs(docs).collect()
     got = {(r["doc1"], r["doc2"]): r["hamming"] for r in pairs}
     assert got.get((1, 2)) == 0  # both null-text docs band together at 0
+
+
+def test_simhash_null_text_oracle_parity(spark, tmp_path):
+    """r4 ADVICE (medium): the DuckDB oracle used to DROP null-text docs
+    (unnest of a NULL token-hash list yields no vote rows) while the Spark
+    path coalesces them to simhash 0 — a latent divergence the moment the
+    documents table carries a NULL text. The oracle's LEFT-JOIN fix must
+    keep both engines identical on such a corpus."""
+    import duckdb
+
+    from ecommerce_etl_pipeline_spark.plans import registry
+    from tests.oracle import canon_rows
+
+    rows = [
+        (1, None),
+        (2, None),
+        (3, "the quick brown fox jumps over the lazy dog"),
+        (4, "the quick brown fox jumps over the lazy dog today"),
+        (5, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    path = str(tmp_path / "documents.parquet")
+    docs.coalesce(1).write.mode("overwrite").parquet(path)
+
+    spec = registry.get("dd_simhash_pairs")
+    got = spec.fn(spark, str(tmp_path)).toPandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{path}/*.parquet'")
+    want = con.sql(spec.oracle).df()
+    assert {(r.doc1, r.doc2) for r in got.itertuples()} >= {(1, 2)}
+    assert canon_rows(got) == canon_rows(want)

@@ -64,6 +64,24 @@ def shingle_strings(text: Column, k: int = 3) -> Column:
     return F.array_distinct(shingles(F.split(text, " "), k))
 
 
+def explode_nodup(df: DataFrame, arr: Column, alias: str, *keep) -> DataFrame:
+    """Explode a COMPUTED array without re-computing it: plain ``explode``
+    triggers InferFiltersFromGenerate, which copies the entire array
+    expression into a ``size(expr) > 0 AND expr IS NOT NULL`` filter, and
+    predicate pushdown then runs that copy below the repartition — the
+    per-row-heaviest pass (shingling, hashing) executes twice, once on the
+    unsplit input (measured 2.2x on the exact-Jaccard join at sf0.1).
+    ``explode_outer`` infers nothing; the post-explode null check costs one
+    comparison per row and drops exactly the rows ``explode`` would have.
+
+    Only for arrays whose ELEMENTS are never null (all shingle/token
+    arrays here): a null element would also be dropped, where plain
+    explode keeps it."""
+    return df.select(*keep, F.explode_outer(arr).alias(alias)).filter(
+        F.col(alias).isNotNull()
+    )
+
+
 def _minhash_coeffs(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     rng = random.Random(seed)
     return [
@@ -130,14 +148,18 @@ def minhash_candidate_pairs(
     )
 
     # The shingle-hash arrays feed THREE plan consumers (the signature fold
-    # plus both verify-join sides) and are deliberately NOT cached:
-    # materializing wide array rows into the memory store breaks
-    # whole-stage codegen fusion and pays per-row array serialization —
-    # measured 2.5x SLOWER than recomputing the narrow shingle pass per
-    # consumer (same result as caching the jaccard join's shingle sets; see
-    # SCALING.md "Caching is NOT free"). Only the thin (doc_id, band,
-    # band_hash) rows below are cached — their lineage includes the 64-hash
-    # signature fold, the one genuinely expensive recompute.
+    # plus both verify-join sides). With the xxhash64 scale default they are
+    # deliberately NOT cached: materializing wide array rows into the
+    # memory store breaks whole-stage codegen fusion and pays per-row array
+    # serialization — measured 2.5x SLOWER than recomputing the narrow
+    # shingle pass per consumer (same result as caching the jaccard join's
+    # shingle sets; see SCALING.md "Caching is NOT free"). That tradeoff
+    # FLIPS when the per-shingle hash is md5 (portable mode): recomputing
+    # then means three md5 passes over every shingle, and caching the
+    # arrays once measured ~15% faster end-to-end at sf0.1 — so the cache
+    # is conditional on the hash cost, like a join strategy is on size.
+    if portable:
+        hashes_df = hashes_df.persist()
 
     # Thin banding rows: (doc_id, band, band_hash) only — the 16x band
     # explode and its shuffle never carry the shingle-hash arrays.
@@ -199,9 +221,10 @@ def minhash_candidate_pairs(
     inter = F.size(F.array_intersect("h1", "h2")).cast("double")
     union = (F.size("h1") + F.size("h2") - inter).cast("double")
     out = verified.select("doc1", "doc2", (inter / union).alias("jaccard"))
-    # CACHE CONTRACT (see curation.curate): the banded rows stay resident
-    # after the result materializes; listed for the caller to release.
-    out.retained_caches = [banded]
+    # CACHE CONTRACT (see curation.curate): the banded rows (and in
+    # portable mode the shingle-hash arrays) stay resident after the
+    # result materializes; listed for the caller to release.
+    out.retained_caches = [banded] + ([hashes_df] if portable else [])
     return out
 
 
@@ -324,7 +347,7 @@ def cross_split_contamination(
         F.col(split_col).alias("split"),
         shingle_col.alias("hashes"),
     ).withColumn("set_size", F.size("hashes"))
-    inv = sets.select("doc_id", "split", "set_size", F.explode("hashes").alias("h"))
+    inv = explode_nodup(sets, F.col("hashes"), "h", "doc_id", "split", "set_size")
     # corpus-sized self-join: unhinted — see jaccard_similarity_join for
     # why size statistics pick the scale-correct strategy on their own
     l, r = inv.alias("l"), inv.alias("r")
@@ -388,11 +411,11 @@ def contamination_against(
             F.col(id_col).alias(out_id), shingle_col.alias("hashes")
         ).withColumn(n_col, F.size("hashes"))
 
-    tinv = sets(train, "train_id", "n_t").select(
-        "train_id", "n_t", F.explode("hashes").alias("h")
+    tinv = explode_nodup(
+        sets(train, "train_id", "n_t"), F.col("hashes"), "h", "train_id", "n_t"
     )
-    einv = sets(eval_docs, "eval_id", "n_e").select(
-        "eval_id", "n_e", F.explode("hashes").alias("h")
+    einv = explode_nodup(
+        sets(eval_docs, "eval_id", "n_e"), F.col("hashes"), "h", "eval_id", "n_e"
     )
     thr = F.lit(threshold)
     inter = (
@@ -452,9 +475,7 @@ def bloom_decontaminate(
     # cache each one re-runs the eval explode+distinct shuffle. Exposed
     # via retained_caches (the curate() contract) so callers can release.
     ev_grams = (
-        eval_docs.select(
-            F.explode(shingle_strings(F.col(text_col), shingle_k)).alias("g")
-        )
+        explode_nodup(eval_docs, shingle_strings(F.col(text_col), shingle_k), "g")
         .distinct()
         .cache()
     )
@@ -464,11 +485,13 @@ def bloom_decontaminate(
     words, num_bits = build_bloom_bitmap(
         ev_grams, "g", expected_items=max(n_ev, 1), bits_per_key=bits_per_key
     )
-    train_grams = train.select(
+    # shingle_strings is per-doc distinct, so count(*) below counts
+    # distinct shared n-grams without a count_distinct shuffle
+    train_grams = explode_nodup(
+        train,
+        shingle_strings(F.col(text_col), shingle_k),
+        "g",
         F.col(id_col).alias("train_id"),
-        # shingle_strings is per-doc distinct, so count(*) below counts
-        # distinct shared n-grams without a count_distinct shuffle
-        F.explode(shingle_strings(F.col(text_col), shingle_k)).alias("g"),
     ).filter(might_contain(words, num_bits, F.col("g")))
     out = (
         train_grams.join(F.broadcast(ev_grams), "g", "semi")
@@ -501,14 +524,12 @@ def source_overlap_matrix(
     is bounded by sources^2 per gram — never corpus^2 — and a per-source
     gram-count table that is |sources| rows (broadcast).
     """
-    grams = (
-        ensure_parallelism(docs)
-        .select(
-            F.col(source_col).alias("src"),
-            F.explode(shingle_strings(F.col(text_col), shingle_k)).alias("g"),
-        )
-        .distinct()
-    )
+    grams = explode_nodup(
+        ensure_parallelism(docs),
+        shingle_strings(F.col(text_col), shingle_k),
+        "g",
+        F.col(source_col).alias("src"),
+    ).distinct()
     sizes = grams.groupBy("src").agg(F.count(F.lit(1)).alias("n_grams"))
     l, r = grams.alias("l"), grams.alias("r")
     shared = (
@@ -656,6 +677,12 @@ def simhash_near_pairs(
             F.transform(F.split(F.col(text_col), " "), token_hash)
         ).alias("th"),
     ).select("doc_id", simhash_of_hashes("th").alias("sh"))
+    # the (doc_id, sh) rows are THIN (16 bytes) but their lineage carries
+    # the tokenize + 64-wide vote fold — cache so the self-join's two
+    # sides share one fold pass instead of recomputing it per side (the
+    # minhash banded-rows doctrine; cached size stats also keep the join
+    # strategy choice honest, see minhash_candidate_pairs)
+    sh = sh.cache()
     chunks = sh.select(
         "doc_id",
         "sh",
@@ -685,9 +712,12 @@ def simhash_near_pairs(
         .dropDuplicates(["doc1", "doc2"])
     )
     hamming = F.expr("bit_count(sh1 ^ sh2)")
-    return cand.select("doc1", "doc2", hamming.alias("hamming")).filter(
+    out = cand.select("doc1", "doc2", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+    # CACHE CONTRACT (see curation.curate): listed for the caller to release
+    out.retained_caches = [sh]
+    return out
 
 
 def jaccard_similarity_join(
@@ -735,7 +765,9 @@ def jaccard_similarity_join(
         F.col(id_col).alias("doc_id"),
         shingle_col.alias("hashes"),
     ).withColumn("set_size", F.size("hashes"))
-    inv = sets.select("doc_id", "set_size", F.explode("hashes").alias("h"))
+    # explode_nodup: a plain explode would re-run the whole shingle pass
+    # as an inferred pushed-down filter — measured 2.2x on this join
+    inv = explode_nodup(sets, F.col("hashes"), "h", "doc_id", "set_size")
     # JOIN STRATEGY (all dedup self-joins): UNHINTED, on purpose. Both
     # sides are corpus-sized, and the scale-correct plan differs by scale:
     # at small corpus sizes a broadcast build genuinely fits and wins; at

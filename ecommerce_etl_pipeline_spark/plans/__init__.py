@@ -42,84 +42,76 @@ for _optional in (
 # Driver-window curation. The correctness driver verifies the FIRST 50
 # registered queries (in dict insertion order). Round 1 proved the classic
 # §2 families; round 2 promoted the LLM-data-pipeline surface; round 3
-# retired the never-verified tail plus its own new operators. Round 4
-# closes the coverage bar: the 10 queries registered after the round-3
-# window filled get their first driver row, plus round 4's one NEW query
-# (after that, EVERY registered query has >=1 driver CORRECTNESS row
-# across r1-r4); the queries whose semantics changed this round are
-# re-certified (j11's de-vacuated threshold now carries rows; eleven
-# queries moved from rows-only to full oracles via engine-portable
-# arithmetic; a26/dq_psi edges are now 4dp-rounded; u6 re-keys inserts
-# by negation); and the remaining 29 slots rotate back r1/r2-green
-# queries spanning every §2 family so the window stays a representative
-# regression sweep. Names listed here but not (yet) registered are
-# skipped harmlessly; everything not listed keeps its original relative
-# order after the curated block.
+# retired the never-verified tail; round 4 closed the coverage bar (every
+# registered query has >=1 driver row across r1-r4). Round 5 rotates by
+# STALENESS, per the r4 brief: (a) every query whose semantics or shared
+# helpers changed in round 5 — the shingle builder (zip_with rewrite),
+# explode_nodup, the MinHash aggregate-form signature, the SimHash
+# multi-block banding + NULL-text oracle fix, the PageRank venue pick,
+# the kmeans division-order fix, the BPE persist, and the let1-bound
+# chunk/segment HOFs — is re-certified; (b) the remaining slots take the
+# queries with the OLDEST driver cert (all 26 whose latest row is r1,
+# plus the 4 stalest r2 picks), so after this round no query's latest
+# cert is older than 3 rounds. RULE (caught by the r4 self-review): any
+# NEW query registered in a future round MUST be added to this list (or
+# queued with a comment) or it silently gets no driver row. Names listed
+# here but not (yet) registered are skipped harmlessly; everything not
+# listed keeps its original relative order after the curated block.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW = [
-    # -- 10 queries awaiting their FIRST driver row (registered after the
-    # r3 window filled; plans/__init__.py:54-62 at 421df92 documents the
-    # queue). All 10 are now oracle-backed: txt_bpe_merges and
-    # g1_pagerank were rows-only when queued, but round 4 attached full
-    # oracles to both (unrolled-CTE replays of the iterative loops).
-    "txt_bpe_merges",
-    "a26_rfm_segments",
-    "j12_association_rules",
-    "g1_pagerank_copurchase",
-    "w14_last_touch_attribution",
-    "u6_snapshot_diff",
-    "dq_psi_drift",
-    "sk_cms_token_counts",
-    "sm10_epoch_shuffle",
-    "a27_pareto_revenue",
-    # -- 1 NEW round-4 query: trained-tokenizer application (registered
-    # this round, so it needs its first driver row like the queued 10)
-    "txt_bpe_token_counts",
-    # -- 10 re-certifications of round-4-changed semantics: j11's
-    # de-vacuated threshold, and the 9 queries whose draws/hashes/trainers
-    # moved to engine-portable forms with full DuckDB oracles (rows-only
-    # before; g1's conversion sits in the queued block above)
-    "j11_bloom_pruned_join",
-    "dd_minhash_pairs",
-    "sm1_seeded_sample",
-    "sm2_exact_n_sample",
-    "sm3_ri_cascade_sample",
+    # -- 20 round-5-changed queries (re-certification required)
     "dd_simhash_pairs",
+    "dd_minhash_pairs",
     "dd_dup_clusters",
     "dd_curation_minhash",
-    "sim_lsh_topk",
-    "ml_kmeans_train",
-    # -- 29 rotated-back greens spanning every §2 family (all have r1/r2
-    # driver hash-matches; unchanged since)
-    "a1_daily_sales",
-    "a4_customer_ltv",
-    "a8_pricing_summary",
-    "a22_cube",
-    "j1_order_lineitem_join",
-    "j2_customer_geo_broadcast",
-    "j4_pair_names_lookup",
-    "j6_semi_cascade",
-    "j9_asof_join",
-    "w2_balance_segments",
-    "w3_top_orders_per_customer",
-    "w4_sessionize",
-    "w7_moving_avg_7d",
-    "w8_gapfill_ffill",
-    "n1_json_scalar_extract",
-    "n2_hof_array_aggregate",
-    "n4_pair_expansion_hof",
-    "u1_union_chunks",
-    "u4_unpivot",
-    "p1_projection_filter",
-    "p7_lossy_cast",
-    "o1_global_topk",
-    "sc_age_tenure_segments",
-    "sc_market_position",
-    "sql_grouping_sets",
-    "dd_exact_dedup",
+    "dd_curation_pipeline",
     "dd_jaccard_pairs",
-    "sim_cosine_topk",
-    "txt_quality_scores",
+    "dd_jaccard_clusters",
+    "dd_contamination_report",
+    "dd_eval_decontam",
+    "dd_incremental_dedup",
+    "dd_bloom_decontam",
+    "dd_source_overlap",
+    "dd_winnow_overlap_pairs",
+    "g1_pagerank_copurchase",
+    "ml_kmeans_train",
+    "txt_bpe_merges",
+    "txt_bpe_token_counts",
+    "txt_chunk_overlap",
+    "txt_sequence_packing",
+    "dd_segment_dup_ratio",
+    # -- all 26 queries whose latest driver cert is round 1
+    "a2_priority_analysis",
+    "a3_discount_effectiveness",
+    "a5_nation_stats",
+    "a6_user_behavior",
+    "a7_returnflag_performance",
+    "a10_product_rollup",
+    "a11_brand_price_stats",
+    "a12_price_band_performance",
+    "a13_type_value_counts",
+    "a14_table_profile",
+    "a15_event_time_range",
+    "a16_rollup_hierarchy",
+    "j3_parts_with_sales",
+    "j8_customers_without_orders",
+    "n3_build_explode_roundtrip",
+    "n5_to_json_render",
+    "n6_variant_metadata",
+    "o3_year_histogram",
+    "p6_null_defaults",
+    "sc_currency_roundtrip",
+    "u2_intersect_keys",
+    "u3_except_keys",
+    "w5_cumulative_daily_sales",
+    "w6_event_gaps",
+    "w9_sliding_window",
+    "w10_scd2_intervals",
+    # -- 4 stalest round-2 certs, spanning families
+    "a17_percentiles",
+    "j10_range_band_join",
+    "sim_lsh_recall",
+    "mm_asset_features",
 ]
 
 

@@ -690,17 +690,19 @@ def txt_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist the word-TYPE table so the venue probe and (over-budget) the
     # merge loop share ONE materialization of the corpus scan+tokenize
     # (r4 ADVICE: an unpersisted frame re-pays the scan via shuffle-file
-    # reuse only). Training fully materializes here — the merge list is a
-    # driver-side Python value — so the cache is released before return.
+    # reuse only). Released via retained_caches, NOT an eager unpersist:
+    # Spark's CacheManager keys entries by canonicalized plan, so this wc
+    # and txt_bpe_token_counts' wc SHARE one cache entry — an eager
+    # unpersist here yanked it from under that query when both ran
+    # concurrently in a threaded sweep (observed transient failure).
     wc = bpe.word_counts(docs).persist()
-    try:
-        merges = bpe.bpe_train(docs, num_merges=20, word_counts_df=wc)
-    finally:
-        wc.unpersist()
-    return spark.createDataFrame(
+    merges = bpe.bpe_train(docs, num_merges=20, word_counts_df=wc)
+    out = spark.createDataFrame(
         [(i + 1, a, b, a + b, n) for i, (a, b, n) in enumerate(merges)],
         "rank INT, left STRING, right STRING, merged STRING, pair_count BIGINT",
     )
+    out.retained_caches = [wc]
+    return out
 
 
 @register(

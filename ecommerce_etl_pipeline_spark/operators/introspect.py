@@ -1,0 +1,81 @@
+"""Cost attribution from Spark's public monitoring REST API.
+
+Turns SCALING.md's plan-shape claims into measured numbers: for any
+action, report the exact shuffle read/write bytes, input bytes, and
+executor time of the stages it ran — the quantities that dominate at
+cluster scale. Uses the per-application REST endpoint
+(`/api/v1/applications/<id>/stages`) that every Spark UI serves, so the
+same harness works unchanged against a cluster's history server.
+
+This is an ENGINE DIAGNOSTIC, not a query operator: the numbers come
+from the scheduler, not the data, so there is no DuckDB oracle — the
+committed consumer is scripts/cost_report.py, which writes COSTS.md
+per round.
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+from collections.abc import Callable
+from typing import Any
+
+
+def _api(spark, path: str) -> Any:
+    base = spark.sparkContext.uiWebUrl
+    if not base:
+        raise RuntimeError("Spark UI is disabled; enable spark.ui.enabled for cost reports")
+    with urllib.request.urlopen(f"{base}/api/v1/{path}") as r:
+        return json.load(r)
+
+
+def _app_id(spark) -> str:
+    return _api(spark, "applications")[0]["id"]
+
+
+_STAGE_FIELDS = (
+    "shuffleWriteBytes",
+    "shuffleReadBytes",
+    "shuffleWriteRecords",
+    "shuffleReadRecords",
+    "inputBytes",
+    "inputRecords",
+    "executorRunTime",
+    "numTasks",
+)
+
+
+def _completed_stage_ids(spark, app_id: str) -> set[int]:
+    return {
+        (s["stageId"], s["attemptId"])
+        for s in _api(spark, f"applications/{app_id}/stages?status=complete")
+    }
+
+
+def stage_cost_report(spark, action: Callable[[], None]) -> dict[str, int]:
+    """Run ``action`` and return the summed stage-level cost counters of
+    exactly the stages it executed (snapshot-delta over the completed-
+    stage set, so concurrent history doesn't leak in as long as no OTHER
+    job runs between the snapshots — single-threaded harness use).
+
+    Returned keys: shuffle_write_bytes / shuffle_read_bytes /
+    shuffle_write_records / shuffle_read_records / input_bytes /
+    input_records / executor_run_time_ms / num_tasks / num_stages.
+    """
+    app_id = _app_id(spark)
+    before = _completed_stage_ids(spark, app_id)
+    action()
+    stages = _api(spark, f"applications/{app_id}/stages?status=complete")
+    mine = [s for s in stages if (s["stageId"], s["attemptId"]) not in before]
+    out = {field: sum(int(s.get(field) or 0) for s in mine) for field in _STAGE_FIELDS}
+    return {
+        "shuffle_write_bytes": out["shuffleWriteBytes"],
+        "shuffle_read_bytes": out["shuffleReadBytes"],
+        "shuffle_write_records": out["shuffleWriteRecords"],
+        "shuffle_read_records": out["shuffleReadRecords"],
+        "input_bytes": out["inputBytes"],
+        "input_records": out["inputRecords"],
+        "executor_run_time_ms": out["executorRunTime"],
+        "num_tasks": out["numTasks"],
+        "num_stages": len(mine),
+    }

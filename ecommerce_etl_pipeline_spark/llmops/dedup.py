@@ -1007,9 +1007,16 @@ def semantic_dedup(
     # 3 array folds per pair instead of 1 (measured 3x on the sf0.1
     # within-cluster pairing). Same value either way (sqrt of the same
     # double), so the oracle may keep computing norms inline.
-    assigned = assign_to_seeds(
-        vectors, seeds, id_col=id_col, vec_col=vec_col
-    ).select("id", "cluster", "vec", norm(F.col("vec")).alias("nrm"))
+    # CACHED: the seed-assignment literal-matrix fold runs interpreted
+    # (HOF), and this frame feeds THREE consumers (both pair-join sides
+    # and the final keep/drop join) — uncached, each re-folds every
+    # vector against all n_seeds centroids. Rows are thin (id, cluster,
+    # vec, nrm); released via retained_caches.
+    assigned = (
+        assign_to_seeds(vectors, seeds, id_col=id_col, vec_col=vec_col)
+        .select("id", "cluster", "vec", norm(F.col("vec")).alias("nrm"))
+        .cache()
+    )
     # within-cluster candidate pairs: the self-join key IS the cluster —
     # unhinted per the JOIN STRATEGY doctrine (both sides corpus-sized)
     l, r = assigned.alias("l"), assigned.alias("r")
@@ -1036,5 +1043,5 @@ def semantic_dedup(
         "cluster",
         F.coalesce(F.col("kept"), F.lit(True)).alias("kept"),
     )
-    result.retained_caches = getattr(comps, "retained_caches", [])
+    result.retained_caches = [assigned] + getattr(comps, "retained_caches", [])
     return result

@@ -75,6 +75,28 @@ def shingle_strings(text: Column, k: int = 3) -> Column:
     return F.array_distinct(shingles(F.split(text, " "), k))
 
 
+#: Crossover for the MinHash signature strategy, in Catalyst plan-size
+#: bytes of the input (a FREE statistic — no job): below it the per-row
+#: interpreted HOF fold wins (no exchange, low fixed cost — ~1.0s vs
+#: ~1.8s at sf0.1); above it the explode + 64-codegen'd-min aggregate
+#: wins and keeps winning by orders of magnitude (3s vs 86s at 10x
+#: sf0.1 — interpreted per-element cost is the scale killer). Both
+#: produce bit-identical signatures (parity-pinned), so the pick can
+#: never change a result — the join-strategy doctrine applied to an
+#: expression venue.
+SIG_AGG_MIN_PLAN_BYTES = 2 * 1024 * 1024
+
+
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for a frame's optimized plan — the same
+    statistic join strategy selection reads. Unknown => assume big (the
+    scale-safe default)."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # noqa: BLE001
+        return 1 << 62
+
+
 def explode_nodup(df: DataFrame, arr: Column, alias: str, *keep) -> DataFrame:
     """Explode a COMPUTED array without re-computing it: plain ``explode``
     triggers InferFiltersFromGenerate, which copies the entire array
@@ -172,30 +194,40 @@ def minhash_candidate_pairs(
     if portable:
         hashes_df = hashes_df.persist()
 
-    # Signature via explode + groupBy with num_hashes codegen'd min()
-    # aggregates — NOT the per-row HOF fold (minhash_signature): HOF
-    # lambdas run interpreted, and the fold's num_hashes-wide accumulator
-    # step per shingle measured ~60s on a 3M-posting corpus where this
+    # Signature venue is STATISTICS-DRIVEN (SIG_AGG_MIN_PLAN_BYTES):
+    # small corpora keep the per-row HOF fold (no exchange, low fixed
+    # cost); at scale the signature computes by explode + groupBy with
+    # num_hashes codegen'd min() aggregates — HOF lambdas run
+    # interpreted, and the fold's num_hashes-wide accumulator step per
+    # shingle measured ~60-85s on a 3M-posting corpus where the
     # aggregate form runs in ~2s. min() is duplicate-insensitive, so no
     # array_distinct is needed before exploding, and map-side partial
-    # aggregation collapses each doc's postings before the exchange — the
-    # shuffle carries ONE 64-int row per document per input partition,
-    # i.e. it is doc-count-sized at any corpus scale. Values are
-    # bit-identical to the fold (same (a*h+b) mod P mins; parity-pinned
+    # aggregation collapses each doc's postings before the exchange —
+    # the shuffle carries ONE 64-int row per document per input
+    # partition, i.e. it is doc-count-sized at any corpus scale. Both
+    # venues are bit-identical (same (a*h+b) mod P mins; parity-pinned
     # in tests/test_llmops_algos.py).
-    inv_h = explode_nodup(hashes_df, F.col("hashes"), "_h", "doc_id")
-    coeffs = _minhash_coeffs(num_hashes, seed)
-    mins = [
-        F.min(F.pmod(F.col("_h") * F.lit(a) + F.lit(b), F.lit(MERSENNE_31))).alias(
-            f"_m{i}"
+    if _plan_size_bytes(docs) >= SIG_AGG_MIN_PLAN_BYTES:
+        inv_h = explode_nodup(hashes_df, F.col("hashes"), "_h", "doc_id")
+        coeffs = _minhash_coeffs(num_hashes, seed)
+        mins = [
+            F.min(
+                F.pmod(F.col("_h") * F.lit(a) + F.lit(b), F.lit(MERSENNE_31))
+            ).alias(f"_m{i}")
+            for i, (a, b) in enumerate(coeffs)
+        ]
+        sigs = (
+            inv_h.groupBy("doc_id")
+            .agg(*mins)
+            .select(
+                "doc_id",
+                F.array(*[f"_m{i}" for i in range(num_hashes)]).alias("sig"),
+            )
         )
-        for i, (a, b) in enumerate(coeffs)
-    ]
-    sigs = (
-        inv_h.groupBy("doc_id")
-        .agg(*mins)
-        .select("doc_id", F.array(*[f"_m{i}" for i in range(num_hashes)]).alias("sig"))
-    )
+    else:
+        sigs = hashes_df.select(
+            "doc_id", minhash_signature(F.col("hashes"), num_hashes, seed).alias("sig")
+        )
     # Band key: xxhash64 (8-byte shuffle key) by default; md5 of the same
     # comma-joined slice when portable (string_agg ORDER BY replays it).
     band_key = (

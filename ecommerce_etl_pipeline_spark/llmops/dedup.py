@@ -27,6 +27,12 @@ def shingles(tokens_col: Column, k: int = 3) -> Column:
     """Word k-shingles of a token array (short docs fall back to the
     whole-document shingle).
 
+    CONTRACT: token-array ELEMENTS must be non-null (true of every
+    split()-derived array, i.e. every in-repo caller). The zip_with chain
+    concatenates with ``concat``, which nulls out a shingle containing a
+    NULL token — where the previous concat_ws form silently skipped the
+    null token. Downstream ``explode_nodup`` then drops such shingles.
+
     Built as a chain of k-1 ``zip_with`` concats over k shifted slices —
     NOT ``transform(sequence, i -> concat_ws(slice(tokens, i+1, k)))``:
     in that form ``tokens_col`` is a FREE variable inside the lambda, and

@@ -45,7 +45,23 @@ _STAGE_FIELDS = (
 )
 
 
+def _drain_listeners(spark) -> None:
+    """Block until the async status-listener queue has processed every
+    posted event: the REST status store is fed by AppStatusListener on the
+    'appStatus' queue, so without this a just-finished stage's completion
+    event can still be in flight — the snapshot would undercount this
+    action or, worse, attribute the stage to the NEXT measured one."""
+    try:
+        spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty()
+    except Exception:  # older signature takes a timeout in millis
+        try:
+            spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty(10_000)
+        except Exception:  # noqa: BLE001
+            pass  # best effort; counters may lag one snapshot
+
+
 def _completed_stage_ids(spark, app_id: str) -> set[int]:
+    _drain_listeners(spark)
     return {
         (s["stageId"], s["attemptId"])
         for s in _api(spark, f"applications/{app_id}/stages?status=complete")
@@ -65,6 +81,7 @@ def stage_cost_report(spark, action: Callable[[], None]) -> dict[str, int]:
     app_id = _app_id(spark)
     before = _completed_stage_ids(spark, app_id)
     action()
+    _drain_listeners(spark)
     stages = _api(spark, f"applications/{app_id}/stages?status=complete")
     mine = [s for s in stages if (s["stageId"], s["attemptId"]) not in before]
     out = {field: sum(int(s.get(field) or 0) for s in mine) for field in _STAGE_FIELDS}

@@ -51,7 +51,7 @@ for _optional in (
 # the kmeans division-order fix, the BPE persist, and the let1-bound
 # chunk/segment HOFs — is re-certified; (b) the remaining slots take the
 # queries with the OLDEST driver cert (all 26 whose latest row is r1,
-# plus the 4 stalest r2 picks), so after this round no query's latest
+# plus the 3 stalest r2 picks), so after this round no query's latest
 # cert is older than 3 rounds. RULE (caught by the r4 self-review): any
 # NEW query registered in a future round MUST be added to this list (or
 # queued with a comment) or it silently gets no driver row. Names listed
@@ -59,7 +59,7 @@ for _optional in (
 # listed keeps its original relative order after the curated block.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW = [
-    # -- 20 round-5-changed queries (re-certification required)
+    # -- 21 round-5-changed queries (re-certification required)
     "dd_simhash_pairs",
     "dd_minhash_pairs",
     "dd_dup_clusters",
@@ -80,6 +80,7 @@ _DRIVER_WINDOW = [
     "txt_chunk_overlap",
     "txt_sequence_packing",
     "dd_segment_dup_ratio",
+    "dd_semantic_dedup",
     # -- all 26 queries whose latest driver cert is round 1
     "a2_priority_analysis",
     "a3_discount_effectiveness",
@@ -107,8 +108,9 @@ _DRIVER_WINDOW = [
     "w6_event_gaps",
     "w9_sliding_window",
     "w10_scd2_intervals",
-    # -- 4 stalest round-2 certs, spanning families
-    "a17_percentiles",
+    # -- 3 stalest round-2 certs, spanning families (a17_percentiles gave
+    # its slot to dd_semantic_dedup when a self-review caught that query's
+    # round-5 cache change missing from the re-cert block)
     "j10_range_band_join",
     "sim_lsh_recall",
     "mm_asset_features",

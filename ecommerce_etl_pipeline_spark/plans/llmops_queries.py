@@ -22,7 +22,7 @@ from ecommerce_etl_pipeline_spark.llmops import (
     splits,
     text,
 )
-from ecommerce_etl_pipeline_spark.plans.registry import register
+from ecommerce_etl_pipeline_spark.plans.registry import carry_caches, register
 from ecommerce_etl_pipeline_spark.sources.io import load_table
 
 
@@ -435,9 +435,10 @@ def txt_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dd_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.winnow_overlap_pairs(docs, min_shared=2, max_df=20)
-    return pairs.select(
+    out = pairs.select(
         "doc1", "doc2", "shared_fps", portable_round(F.col("overlap"), 4).alias("overlap")
     )
+    return carry_caches(out, pairs)
 
 
 @register(
@@ -845,9 +846,8 @@ def _minhash_pairs_sql(
 )
 def dd_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.minhash_candidate_pairs(docs, portable=True).filter(
-        F.col("jaccard") >= 0.5
-    )
+    cand = dedup.minhash_candidate_pairs(docs, portable=True)
+    return carry_caches(cand.filter(F.col("jaccard") >= 0.5), cand)
 
 
 @register(
@@ -2043,17 +2043,17 @@ def dd_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ecommerce_etl_pipeline_spark.llmops.clustering import connected_components
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.minhash_candidate_pairs(docs, portable=True).filter(
-        F.col("jaccard") >= 0.5
-    )
+    cand = dedup.minhash_candidate_pairs(docs, portable=True)
+    pairs = cand.filter(F.col("jaccard") >= 0.5)
     comps = connected_components(pairs)
     members = F.transform(
         F.sort_array(F.collect_list("node")), lambda x: x.cast("string")
     )
-    return comps.groupBy("component").agg(
+    out = comps.groupBy("component").agg(
         F.count(F.lit(1)).alias("cluster_size"),
         F.array_join(members, ",").alias("members"),
     )
+    return carry_caches(out, cand, comps)
 
 
 @register(
@@ -2332,7 +2332,8 @@ def dd_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     curated = curation.curate(docs, use_minhash=False)
-    return curated.select("doc_id", F.col("n_tokens").cast("int").alias("n_tokens"))
+    out = curated.select("doc_id", F.col("n_tokens").cast("int").alias("n_tokens"))
+    return carry_caches(out, curated)
 
 
 @register(
@@ -2368,7 +2369,8 @@ def dd_curation_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     curated = curation.curate(docs, use_minhash=True, portable_minhash=True)
-    return curated.select("doc_id", F.col("n_tokens").cast("int").alias("n_tokens"))
+    out = curated.select("doc_id", F.col("n_tokens").cast("int").alias("n_tokens"))
+    return carry_caches(out, curated)
 
 
 @register(

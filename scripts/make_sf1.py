@@ -39,6 +39,9 @@ from pyspark.sql import DataFrame, functions as F  # noqa: E402
 from ecommerce_etl_pipeline_spark.session import get_spark  # noqa: E402
 from ecommerce_etl_pipeline_spark.sources.io import load_table  # noqa: E402
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from scale_probe import resalt_text  # noqa: E402  (shared resalt cadence)
+
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 COPIES = 10
 
@@ -72,19 +75,27 @@ def replicate(df: DataFrame, key_offsets: dict[str, str], copies: int = COPIES,
 
 
 def doc_resalt(df: DataFrame, i: int) -> DataFrame:
-    return df.withColumn(
-        "text", F.regexp_replace(F.col("text"), r"((\S+\s+){4})", f"$1u{i} ")
-    ).withColumn("n_chars", F.length("text"))
+    # resalt cadence shared with scale_probe.replicate_docs (one source of
+    # truth for the duplicate-density shape across both harnesses)
+    return df.withColumn("text", resalt_text(F.col("text"), i)).withColumn(
+        "n_chars", F.length("text")
+    )
 
 
 def emb_resalt(df: DataFrame, i: int) -> DataFrame:
     # deterministic +/- 0.001-scale per-copy, per-dim nudge: keeps copies
     # distinct for ranking without changing the distribution's shape
+    # CAST back to the element type of the source column so sf1's parquet
+    # schema matches every other SF directory (a bare `x + double` would
+    # silently promote array<float> to array<double> and give sf1 a
+    # different float-storage round-trip than the decades it's compared to)
+    elem = df.schema["embedding"].dataType.elementType.simpleString()
     return df.withColumn(
         "embedding",
         F.expr(
-            f"transform(embedding, (x, j) -> x + "
-            f"CAST((pmod(vec_id * 31 + j * 7 + {i} * 13, 2001) - 1000) AS DOUBLE) / 1000000.0)"
+            f"transform(embedding, (x, j) -> CAST(x + "
+            f"CAST((pmod(vec_id * 31 + j * 7 + {i} * 13, 2001) - 1000) AS DOUBLE)"
+            f" / 1000000.0 AS {elem}))"
         ),
     )
 

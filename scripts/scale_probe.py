@@ -32,6 +32,16 @@ from ecommerce_etl_pipeline_spark.sources.io import load_table  # noqa: E402
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def resalt_text(col: F.col, i: int) -> F.col:
+    """Copy-``i`` marker resalt: inject a copy-specific token every 4
+    tokens, rewriting the shingle set so replicas are NOT near-dups of
+    each other. THE single definition of the replicate-with-resalt
+    cadence — shared with scripts/make_sf1.py so the in-memory scale
+    probe and the committed sf1 directory can never drift apart in
+    duplicate-density shape."""
+    return F.regexp_replace(col, r"((\S+\s+){4})", f"$1u{i} ")
+
+
 def replicate_docs(docs: DataFrame, copies: int) -> DataFrame:
     """Union `copies` shifted copies. Every non-first copy gets a marker
     token injected every 4 tokens, which rewrites its shingle set — so
@@ -46,9 +56,7 @@ def replicate_docs(docs: DataFrame, copies: int) -> DataFrame:
         parts.append(
             docs.select(
                 (F.col("doc_id") + F.lit(i * n)).alias("doc_id"),
-                F.regexp_replace(
-                    F.col("text"), r"((\S+\s+){4})", f"$1u{i} "
-                ).alias("text"),
+                resalt_text(F.col("text"), i).alias("text"),
             )
         )
     out = parts[0]

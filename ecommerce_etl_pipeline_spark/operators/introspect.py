@@ -21,11 +21,17 @@ from collections.abc import Callable
 from typing import Any
 
 
+#: Bounded waits everywhere: an unattended round-documentation run must
+#: FAIL on a wedged UI endpoint or listener queue, never hang.
+_HTTP_TIMEOUT_S = 60
+_LISTENER_TIMEOUT_MS = 30_000
+
+
 def _api(spark, path: str) -> Any:
     base = spark.sparkContext.uiWebUrl
     if not base:
         raise RuntimeError("Spark UI is disabled; enable spark.ui.enabled for cost reports")
-    with urllib.request.urlopen(f"{base}/api/v1/{path}") as r:
+    with urllib.request.urlopen(f"{base}/api/v1/{path}", timeout=_HTTP_TIMEOUT_S) as r:
         return json.load(r)
 
 
@@ -33,15 +39,18 @@ def _app_id(spark) -> str:
     return _api(spark, "applications")[0]["id"]
 
 
-_STAGE_FIELDS = (
-    "shuffleWriteBytes",
-    "shuffleReadBytes",
-    "shuffleWriteRecords",
-    "shuffleReadRecords",
-    "inputBytes",
-    "inputRecords",
-    "executorRunTime",
-    "numTasks",
+#: (REST stage field, output key) — ONE mapping drives both the summation
+#: and the rename, so a counter can't be summed-but-dropped or renamed-
+#: but-missing.
+_FIELD_MAP = (
+    ("shuffleWriteBytes", "shuffle_write_bytes"),
+    ("shuffleReadBytes", "shuffle_read_bytes"),
+    ("shuffleWriteRecords", "shuffle_write_records"),
+    ("shuffleReadRecords", "shuffle_read_records"),
+    ("inputBytes", "input_bytes"),
+    ("inputRecords", "input_records"),
+    ("executorRunTime", "executor_run_time_ms"),
+    ("numTasks", "num_tasks"),
 )
 
 
@@ -52,10 +61,10 @@ def _drain_listeners(spark) -> None:
     event can still be in flight — the snapshot would undercount this
     action or, worse, attribute the stage to the NEXT measured one."""
     try:
-        spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty()
-    except Exception:  # older signature takes a timeout in millis
+        spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty(_LISTENER_TIMEOUT_MS)
+    except Exception:  # newer signature is no-arg; bound it with the HTTP timeout
         try:
-            spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty(10_000)
+            spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty()
         except Exception:  # noqa: BLE001
             pass  # best effort; counters may lag one snapshot
 
@@ -84,15 +93,9 @@ def stage_cost_report(spark, action: Callable[[], None]) -> dict[str, int]:
     _drain_listeners(spark)
     stages = _api(spark, f"applications/{app_id}/stages?status=complete")
     mine = [s for s in stages if (s["stageId"], s["attemptId"]) not in before]
-    out = {field: sum(int(s.get(field) or 0) for s in mine) for field in _STAGE_FIELDS}
-    return {
-        "shuffle_write_bytes": out["shuffleWriteBytes"],
-        "shuffle_read_bytes": out["shuffleReadBytes"],
-        "shuffle_write_records": out["shuffleWriteRecords"],
-        "shuffle_read_records": out["shuffleReadRecords"],
-        "input_bytes": out["inputBytes"],
-        "input_records": out["inputRecords"],
-        "executor_run_time_ms": out["executorRunTime"],
-        "num_tasks": out["numTasks"],
-        "num_stages": len(mine),
+    out = {
+        out_key: sum(int(s.get(api_field) or 0) for s in mine)
+        for api_field, out_key in _FIELD_MAP
     }
+    out["num_stages"] = len(mine)
+    return out

@@ -696,6 +696,11 @@ def txt_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and txt_bpe_token_counts' wc SHARE one cache entry — an eager
     # unpersist here yanked it from under that query when both ran
     # concurrently in a threaded sweep (observed transient failure).
+    # CAVEAT, not fully closed: entries are not reference-counted, so a
+    # CONCURRENT sweep that releases each query's retained_caches as it
+    # finishes can still yank the shared entry from the other in-flight
+    # BPE query — the result is a recompute from lineage, not a wrong
+    # answer, but sweeps should release sequentially or at the end.
     wc = bpe.word_counts(docs).persist()
     merges = bpe.bpe_train(docs, num_merges=20, word_counts_df=wc)
     out = spark.createDataFrame(
@@ -1141,10 +1146,11 @@ def dd_jaccard_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     members = F.transform(
         F.sort_array(F.collect_list("node")), lambda x: x.cast("string")
     )
-    return comps.groupBy("component").agg(
+    out = comps.groupBy("component").agg(
         F.count(F.lit(1)).alias("cluster_size"),
         F.array_join(members, ",").alias("members"),
     )
+    return carry_caches(out, comps)
 
 
 @register(

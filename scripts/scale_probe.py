@@ -24,7 +24,7 @@ os.environ.setdefault("PYSPARK_SUBMIT_ARGS", "--driver-memory 16g pyspark-shell"
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import DataFrame, functions as F  # noqa: E402
+from pyspark.sql import Column, DataFrame, functions as F  # noqa: E402
 
 from ecommerce_etl_pipeline_spark.session import get_spark  # noqa: E402
 from ecommerce_etl_pipeline_spark.sources.io import load_table  # noqa: E402
@@ -32,7 +32,7 @@ from ecommerce_etl_pipeline_spark.sources.io import load_table  # noqa: E402
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def resalt_text(col: F.col, i: int) -> F.col:
+def resalt_text(col: Column, i: int) -> Column:
     """Copy-``i`` marker resalt: inject a copy-specific token every 4
     tokens, rewriting the shingle set so replicas are NOT near-dups of
     each other. THE single definition of the replicate-with-resalt

@@ -60,6 +60,14 @@ def get_spark(
         # Lenient casts (invalid → null) mirror pandas to_numeric(errors='coerce'),
         # reference clean_product_v2.py:32.
         .config("spark.sql.ansi.enabled", "false")
+        # The generated-class cache defaults to 100 entries; a long-lived
+        # session running this engine's registry (150+ distinct plans, each
+        # compiling several WholeStageCodegen/projection classes) evicts and
+        # silently RE-compiles hot stages mid-query. Sizing it to hold the
+        # whole registry cut the sf0.1 headline median-of-3 ~13% (round 5);
+        # on a cluster the same thrash recurs per-executor, so this is a
+        # scale default, not a bench tweak.
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

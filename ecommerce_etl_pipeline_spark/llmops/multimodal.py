@@ -27,6 +27,8 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ecommerce_etl_pipeline_spark.operators.parallelism import ensure_parallelism
 from pyspark.sql.types import (
     BinaryType,
     IntegerType,
@@ -357,6 +359,10 @@ def synthesize_media_assets(docs: DataFrame) -> DataFrame:
                 out["source"].append(source)
             yield pd.DataFrame(out)
 
+    # widen before the Python boundary: a single-row-group parquet scan is
+    # ONE partition, i.e. ONE Python worker for the whole corpus; no-op on
+    # an already-wide scan (never shrinks)
+    docs = ensure_parallelism(docs)
     return docs.select("doc_id", "source").mapInPandas(batches, ASSET_SCHEMA)
 
 
@@ -391,6 +397,10 @@ def synthesize_png_assets(docs: DataFrame) -> DataFrame:
                 out["source"].append(source)
             yield pd.DataFrame(out)
 
+    # widen before the Python boundary: a single-row-group parquet scan is
+    # ONE partition, i.e. ONE Python worker for the whole corpus; no-op on
+    # an already-wide scan (never shrinks)
+    docs = ensure_parallelism(docs)
     return docs.select("doc_id", "source").mapInPandas(batches, ASSET_SCHEMA)
 
 

@@ -22,6 +22,7 @@ from ecommerce_etl_pipeline_spark.llmops import (
     splits,
     text,
 )
+from ecommerce_etl_pipeline_spark.operators.parallelism import ensure_parallelism
 from ecommerce_etl_pipeline_spark.plans.registry import carry_caches, register
 from ecommerce_etl_pipeline_spark.sources.io import load_table
 
@@ -383,7 +384,11 @@ def txt_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     "docstring).",
 )
 def txt_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # widen before the interpreted k-gram pass: a single-row-group parquet
+    # scans as ONE partition, serializing ~n·k HOF evaluations per doc onto
+    # one core (measured 17.6s -> ~1s at sf0.1, 32 cores); no-op on an
+    # already-wide scan (never shrinks)
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     k, w = text.WINNOW_K, text.WINNOW_W
     kgrams = docs.filter(F.length("text") >= k + w - 1).select(
         "doc_id", text.kgram_rolling_hashes(F.col("text"), k).alias("kg")
@@ -2588,7 +2593,8 @@ def txt_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cheapest class of quality filter, so it runs before anything wide.",
 )
 def txt_repetition_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # widen the single-row-group scan before the interpreted per-char/per-token pass (see txt_winnow_fingerprints)
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     t = F.col("text")
     base = docs.select(
         "doc_id",
@@ -2978,7 +2984,8 @@ def sm7_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     "next), zero extra tokenization passes.",
 )
 def txt_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # widen the single-row-group scan before the interpreted per-char/per-token pass (see txt_winnow_fingerprints)
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", text.tokens(F.col("text")).alias("t"))
     bg = toks.select(
         "doc_id",
@@ -3068,7 +3075,8 @@ def txt_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     "explosion never leaves the scan stage.",
 )
 def txt_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # widen the single-row-group scan before the interpreted per-char/per-token pass (see txt_winnow_fingerprints)
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     chars = docs.select(
         "doc_id",
         F.explode(

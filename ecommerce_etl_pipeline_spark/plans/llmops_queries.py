@@ -1642,7 +1642,8 @@ def mm_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "document at any corpus size.",
 )
 def txt_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # widen the single-row-group scan before the interpreted chunk/segment HOFs (see txt_winnow_fingerprints)
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id", F.explode(text.chunk_structs(F.col("text"))).alias("c")
     ).select("doc_id", "c.chunk_index", "c.chunk_text", "c.n_chunk_tokens")
@@ -2703,7 +2704,8 @@ def txt_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     "same key, so it reuses the shuffle under AQE.",
 )
 def dd_segment_dup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # widen the single-row-group scan before the interpreted chunk/segment HOFs (see txt_winnow_fingerprints)
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     segs = docs.select(
         "doc_id", F.explode(text.segment_hashes(F.col("text"))).alias("seg_hash")
     )

@@ -102,9 +102,11 @@ def main() -> None:
     warm_dir = "/root/testdata/sf0.001"
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
-    for name in HEADLINE:
+    for name in HEADLINE + EXTENDED:
         queries[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
-    spark.catalog.clearCache()
+        # extended queries may persist() caches keyed to warm_dir inputs;
+        # clear per-plan so nothing donated to the timed runs
+        spark.catalog.clearCache()
     # Warm the target-SF inputs themselves (full column scan to the noop
     # sink — count() would be satisfied from footer stats and read no
     # data): the 13.9-23s first-run spread measured for IDENTICAL code
@@ -121,8 +123,10 @@ def main() -> None:
     # timed first runs cache-warm and must not be mistaken for the r1-r3
     # protocol
     warmup_desc = (
-        f"headline@{os.path.basename(warm_dir.rstrip('/'))} + table scans + a1 @sf "
-        "(pre-compiles codegen/JIT and warms input page cache; r1-r3 warmed a1 only)"
+        f"headline+extended@{os.path.basename(warm_dir.rstrip('/'))} "
+        "+ table scans + a1 @sf (pre-compiles codegen/JIT and warms input "
+        "page cache; r1-r3 warmed a1 only, r4 warmed headline only — the "
+        "extended singles paid their own first-compile there)"
     )
     # machine-readable protocol marker (r4 ADVICE): on a host without
     # sf0.001 the fallback warms every headline plan at the TARGET SF, so

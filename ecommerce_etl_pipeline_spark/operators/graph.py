@@ -40,7 +40,7 @@ from ecommerce_etl_pipeline_spark.operators.parallelism import ensure_parallelis
 
 
 def _prep_graph(
-    edges: DataFrame, src_col: str, dst_col: str
+    edges: DataFrame, src_col: str, dst_col: str, pre_deduped: bool = False
 ) -> tuple[DataFrame, DataFrame, DataFrame, int, bool]:
     """Materialize the loop-invariant frames and bounded scalars shared by
     every rank loop: the degree-annotated edge list, node set, out-degrees
@@ -63,13 +63,15 @@ def _prep_graph(
     Before this, each of the N rounds re-exchanged and re-sorted the full
     edge list (measured ~25% of round cost at sf0.1).
     """
-    e = (
-        ensure_parallelism(
-            edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        )
-        .distinct()
-        .persist()
+    e = ensure_parallelism(
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     )
+    if not pre_deduped:
+        # pre_deduped lets a caller that PROVES distinctness (e.g. the
+        # symmetric mirror: a distinct forward list unioned with its
+        # orientation-disjoint reverse) skip a full-edge-list re-shuffle
+        e = e.distinct()
+    e = e.persist()
     e.count()  # materialize: honest stats + one-time edge-build cost
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -254,9 +256,22 @@ def pagerank_portable(
     iterations: int = 6,
     scale: int = 10**12,
     driver_edge_rows: int = DRIVER_EDGE_ROWS,
+    symmetric: bool = False,
 ) -> DataFrame:
     """PageRank in exact INTEGER arithmetic — the oracle-checkable twin of
     :func:`pagerank` (same loop shape, same state management).
+
+    ``symmetric=True`` declares the input UNDIRECTED with one canonical
+    row per edge (``src < dst`` strictly — no self-loops, no reversed
+    duplicates; violations raise in the driver venue). The operator then
+    distincts, probes, and transfers HALF the rows the directed form
+    would, and materializes the mirrored direction where it's free: an
+    int64 ``concat`` on the driver (venue-identical — the directed edge
+    set is exactly ``forward + reversed``), or a ``union`` feeding
+    :func:`_prep_graph`'s distinct in the distributed venue. Co-occurrence
+    graphs (g1) are symmetric by construction, and at any scale the edge
+    list is the dominant shuffle/transfer term, so canonical-form input
+    is the same halving trick adjacency-list systems ship as standard.
 
     Ranks are integers in ``1/scale`` units (picoranks at the default
     1e12) and every update is integer-exact:
@@ -296,12 +311,39 @@ def pagerank_portable(
     e0 = ensure_parallelism(
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     ).distinct()
-    head = e0.limit(driver_edge_rows + 1).toPandas()
-    if len(head) <= driver_edge_rows and len(head) > 0:
+    budget = driver_edge_rows // 2 if symmetric else driver_edge_rows
+    head = e0.limit(budget + 1).toPandas()
+    if len(head) <= budget and len(head) > 0:
+        if symmetric:
+            import pandas as pd
+
+            if not (head["src"] < head["dst"]).all():
+                raise ValueError(
+                    "pagerank_portable(symmetric=True) requires canonical "
+                    "undirected edges (src < dst strictly); pass the "
+                    "directed list with symmetric=False instead"
+                )
+            head = pd.DataFrame(
+                {
+                    "src": pd.concat([head["src"], head["dst"]], ignore_index=True),
+                    "dst": pd.concat([head["dst"], head["src"]], ignore_index=True),
+                }
+            )
         return _driver_rank_loop_portable(
             edges.sparkSession, head, iterations=iterations, scale=scale
         )
-    e, nodes, out_deg, n, has_dangling = _prep_graph(edges, src_col, dst_col)
+    if symmetric:
+        # over budget: mirror relationally; _prep_graph's distinct dedupes
+        # (a no-op on canonical input — the orientations are disjoint) and
+        # its edge scan reuses the probe's shuffle files
+        directed = e0.union(
+            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        e, nodes, out_deg, n, has_dangling = _prep_graph(
+            directed, "src", "dst", pre_deduped=True
+        )
+    else:
+        e, nodes, out_deg, n, has_dangling = _prep_graph(edges, src_col, dst_col)
     base = (15 * scale) // (100 * n)
     return _run_rank_loop(
         e,

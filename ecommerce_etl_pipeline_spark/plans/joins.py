@@ -506,8 +506,12 @@ def g1_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("e")
     ).select("e.src", "e.dst")
-    edges = pairs.union(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    ranks = pagerank_portable(edges, iterations=6)
+    # pairs are canonical undirected edges by construction (sorted part
+    # set, strict upper-triangle slice => src < dst): hand them to the
+    # operator in canonical form and let IT mirror where mirroring is
+    # free — this halves the edge distinct shuffle and the venue-probe
+    # transfer, the two dominant non-loop terms
+    ranks = pagerank_portable(pairs, iterations=6, symmetric=True)
     out = (
         ranks.select("node", F.col("rank").alias("rank_pico"))
         .orderBy(F.desc("rank_pico"), "node")

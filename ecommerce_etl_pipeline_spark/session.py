@@ -37,6 +37,21 @@ def get_spark(
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"
+    # Size the single local-mode JVM to the host, not Spark's 1g default.
+    # In local mode the "driver" heap IS the executor memory for every
+    # task thread, and 32 threads on 1g spend the suite in GC — measured
+    # round 5: headline med3 13.8s -> 10.6s and the collect-heavy PageRank
+    # single-shot 10.9s -> 3.7s from this setting alone. Builder-time
+    # spark.driver.memory arrives after the JVM launches (the make_sf1 /
+    # scale_probe scripts hit this first), so it must go through
+    # PYSPARK_SUBMIT_ARGS before the first session starts; on a real
+    # cluster this env is absent and --driver-memory/--executor-memory
+    # come from spark-submit as usual.
+    if master.startswith("local"):
+        mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+        os.environ.setdefault(
+            "PYSPARK_SUBMIT_ARGS", f"--driver-memory {mem} pyspark-shell"
+        )
     if shuffle_partitions is None:
         shuffle_partitions = int(
             os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)

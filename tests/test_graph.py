@@ -113,3 +113,50 @@ def test_pagerank_portable_tracks_fp_variant(spark):
         _c.unpersist(blocking=True)
     for v, r in got.items():
         assert abs(r - 0.25) < 1e-9, (v, r)
+
+
+def test_pagerank_portable_symmetric_all_venues_identical(spark):
+    """symmetric=True over canonical (src < dst) undirected edges must be
+    bit-identical to the directed form over forward+reversed, in BOTH
+    venues (driver mirror via int64 concat; distributed mirror via
+    union feeding _prep_graph's distinct)."""
+    from ecommerce_etl_pipeline_spark.operators.graph import pagerank_portable
+
+    und = [(1, 2), (2, 3), (1, 3), (3, 4), (2, 5)]
+    directed = und + [(b, a) for a, b in und]
+    want = _ref_pagerank_portable(directed)
+
+    fwd = spark.createDataFrame(und, "src LONG, dst LONG")
+    res = pagerank_portable(fwd, iterations=6, symmetric=True)  # driver venue
+    assert res.retained_caches == []
+    assert {r["node"]: r["rank"] for r in res.collect()} == want
+
+    res_d = pagerank_portable(
+        fwd, iterations=6, symmetric=True, driver_edge_rows=0
+    )  # distributed venue
+    got_d = {r["node"]: r["rank"] for r in res_d.collect()}
+    for _c in res_d.retained_caches:
+        _c.unpersist(blocking=True)
+    assert got_d == want
+
+    # and the plain directed call agrees too
+    res_dir = pagerank_portable(
+        spark.createDataFrame(directed, "src LONG, dst LONG"), iterations=6
+    )
+    assert {r["node"]: r["rank"] for r in res_dir.collect()} == want
+
+
+def test_pagerank_portable_symmetric_rejects_noncanonical(spark):
+    """Reversed duplicates or self-loops under symmetric=True would
+    double-count contributions after mirroring — the driver venue must
+    refuse rather than silently corrupt ranks."""
+    import pytest
+
+    from ecommerce_etl_pipeline_spark.operators.graph import pagerank_portable
+
+    bad = spark.createDataFrame([(1, 2), (2, 1)], "src LONG, dst LONG")
+    with pytest.raises(ValueError, match="canonical"):
+        pagerank_portable(bad, symmetric=True)
+    loops = spark.createDataFrame([(1, 2), (3, 3)], "src LONG, dst LONG")
+    with pytest.raises(ValueError, match="canonical"):
+        pagerank_portable(loops, symmetric=True)

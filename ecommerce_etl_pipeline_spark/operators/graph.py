@@ -236,8 +236,18 @@ def _driver_rank_loop_portable(
     r = np.full(n, scale // n, dtype=np.int64)
     for _ in range(iterations):
         contrib = (85 * r[si]) // (100 * deg[si])
-        recv = np.zeros(n, dtype=np.int64)
-        np.add.at(recv, di, contrib)  # int64 scatter-add: exact, commutative
+        # scatter-add via bincount(weights=...): 5-10x np.add.at, and still
+        # EXACT — float64 adds integers without rounding below 2^53, and
+        # every partial sum here is bounded by the total rank mass
+        # (~scale = 1e12 << 2^53), so the accumulation is bit-identical to
+        # the int64 scatter-add at any summation order. The guard enforces
+        # the bound if a caller picks a pathological scale.
+        if (85 * int(r.sum())) // 100 >= 2**53:
+            recv = np.zeros(n, dtype=np.int64)
+            np.add.at(recv, di, contrib)  # int64 scatter-add: exact
+        else:
+            recv = np.bincount(di, weights=contrib.astype(np.float64),
+                               minlength=n).astype(np.int64)
         redist = (85 * int(r[dangling].sum())) // (100 * n) if has_dangling else 0
         r = base + recv + redist
     out = spark.createDataFrame(

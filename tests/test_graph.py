@@ -160,3 +160,26 @@ def test_pagerank_portable_symmetric_rejects_noncanonical(spark):
     loops = spark.createDataFrame([(1, 2), (3, 3)], "src LONG, dst LONG")
     with pytest.raises(ValueError, match="canonical"):
         pagerank_portable(loops, symmetric=True)
+
+
+def test_driver_loop_bincount_scatter_is_bit_exact():
+    """The float64 bincount scatter-add must equal the int64 np.add.at
+    scatter bit-for-bit on a dense random graph — every partial sum is
+    below 2^53 so float64 accumulation never rounds (the claim the
+    driver-loop fast path rests on)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    m = 200_000
+    si = rng.integers(0, n, m)
+    di = rng.integers(0, n, m)
+    deg = np.bincount(si, minlength=n).astype(np.int64)
+    r = rng.integers(1, 10**12 // n, n, dtype=np.int64)
+    contrib = (85 * r[si]) // (100 * np.maximum(deg[si], 1))
+    exact = np.zeros(n, dtype=np.int64)
+    np.add.at(exact, di, contrib)
+    fast = np.bincount(
+        di, weights=contrib.astype(np.float64), minlength=n
+    ).astype(np.int64)
+    assert (exact == fast).all()

@@ -99,13 +99,21 @@ def might_contain(
     (no false negatives), true for a stray key with probability ~(1/2)^k·….
 
     Pure bit arithmetic on a broadcast literal array — evaluates inside the
-    probe scan's codegen stage, before any exchange. The bitmap rides as
-    ONE array literal (``F.lit(words)``), not ``F.array`` of num_bits/64
-    element literals: a single Literal(ArrayData) node keeps plan
-    analysis/codegen O(1) in bitmap size (measured ~1.4x on a 2.5k-word
-    bitmap, and the gap grows with bitmap size).
+    probe scan's codegen stage, before any exchange. The bitmap must reach
+    the plan as ONE node: ``F.lit(list)`` expands to num_bits/64 element
+    literals whose py4j construction alone measured 3-4s on a 7.5k-word
+    bitmap (and ``F.lit(np.ndarray)`` still ~1s). Shipping the words as a
+    single CSV string literal that Catalyst constant-folds
+    (``cast(split('..',',') as array<bigint>)``) costs ~4ms to build and
+    folds once per query into the same Literal(ArrayData) — construction
+    is O(bitmap bytes), not O(py4j round-trips). Bitmaps past memory size
+    belong to Spark's own runtime bloomFilter rewrite, not a literal.
     """
-    bitmap = F.lit([int(w) for w in words]).cast("array<bigint>")
+    if words:
+        csv = ",".join(str(int(w)) for w in words)
+        bitmap = F.expr(f"cast(split('{csv}', ',') as array<bigint>)")
+    else:
+        bitmap = F.lit([]).cast("array<bigint>")
     cond = F.lit(True)
     for pos in _bit_positions(key, num_bits, num_hashes):
         word = F.element_at(bitmap, (pos / 64).cast("int") + 1)

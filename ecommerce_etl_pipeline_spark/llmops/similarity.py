@@ -328,7 +328,7 @@ def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
     return F.when(vec.isNull(), F.lit(None).cast("bigint")).otherwise(out)
 
 
-def _project_all(vec: Column, flat: list[list[float]]) -> Column:
+def _project_all(vec: str, flat: list[list[float]]) -> Column:
     """All plane projections in ONE aggregate pass (the single-fold trick
     :func:`random_project` measured 4-6x faster than per-plane folds: HOF
     lambdas run interpreted, so one pass over the input elements carrying a
@@ -337,69 +337,73 @@ def _project_all(vec: Column, flat: list[list[float]]) -> Column:
     sequential left-to-right sum as ``dot(vec, plane_j)``, so sign bits
     packed from these are BIT-IDENTICAL to :func:`lsh_signature`'s.
 
+    ``vec`` is a COLUMN NAME, not a Column: the whole expression is built
+    as SQL text and parsed in ONE F.expr call. The Column-API form of this
+    tree cost ~0.4s of py4j round-trips per call site (and _pack ~0.9s
+    more) — for a 16-table query built twice that was most of the measured
+    "query time" before a single row moved (see SCALING.md round-5 find
+    #5). Semantics and evaluation order are unchanged: same fold, same
+    literals, same codegen after parsing.
+
     Same per-row contracts as lsh_signature: NULL vector → NULL output;
     width mismatch raises (never a silent bucket collapse).
     """
     total = len(flat)
     dim = len(flat[0])
+    # the matrix must stay a NUMERIC-LITERAL nested array: array() of
+    # literals is foldable, so ConstantFolding collapses it to one
+    # Literal(ArrayData) before codegen even though it sits as a free
+    # variable inside the aggregate lambda. The tempting split-string form
+    # (two string tokens instead of 6k+ numeric tokens) is a higher-order
+    # function, which ConstantFolding does NOT fold — it re-evaluated the
+    # 100KB split PER LAMBDA ELEMENT and turned a 1.7s query into 176s.
+    # ANTLR lexing the literals costs ~0.5s per call site; that is the
+    # cheap side of this trade.
     cols = "array(" + ",".join(
         "array(" + ",".join(f"{flat[j][i]}D" for j in range(total)) + ")"
         for i in range(dim)
     ) + ")"
-    zipped = F.zip_with(
-        vec,
-        F.sequence(F.lit(1), F.size(vec)),
-        lambda x, i: F.struct(x.cast("double").alias("x"), i.alias("i")),
+    proj = (
+        f"aggregate("
+        f"zip_with({vec}, sequence(1, size({vec})),"
+        f" (x, i) -> struct(CAST(x AS DOUBLE) AS x, i AS i)),"
+        f" array_repeat(0.0D, {total}),"
+        f" (acc, e) -> zip_with(acc, element_at({cols}, e.i),"
+        f" (a, m) -> a + e.x * m))"
     )
-    proj = F.aggregate(
-        zipped,
-        F.expr(f"array_repeat(0.0D, {total})"),
-        lambda acc, e: F.zip_with(
-            acc,
-            F.element_at(F.expr(cols), e["i"]),
-            lambda a, m: a + e["x"] * m,
-        ),
-    )
-    return (
-        F.when(vec.isNull(), F.lit(None).cast("array<double>"))
-        .when(
-            F.size(vec) != F.lit(dim),
-            F.raise_error(
-                F.concat(
-                    F.lit(f"lsh projections: expected {dim}-dim vector, got "),
-                    F.size(vec).cast("string"),
-                )
-            ).cast("array<double>"),
-        )
-        .otherwise(proj)
+    return F.expr(
+        f"CASE WHEN {vec} IS NULL THEN CAST(NULL AS ARRAY<DOUBLE>) "
+        f"WHEN size({vec}) != {dim} THEN CAST(raise_error(concat("
+        f"'lsh projections: expected {dim}-dim vector, got ', "
+        f"CAST(size({vec}) AS STRING))) AS ARRAY<DOUBLE>) "
+        f"ELSE {proj} END"
     )
 
 
-def _pack_signatures(proj: Column, n_tables: int, n_planes: int) -> Column:
+def _pack_signatures(proj: str, n_tables: int, n_planes: int) -> Column:
     """Pack sign bits of a MATERIALIZED projection column into one bigint
     bucket per table (table t owns projections [t*n_planes, (t+1)*n_planes)).
     Identical bit layout to :func:`lsh_signature` (bit i set iff projection
-    i >= 0). ``proj`` must be a real attribute, not the fold expression —
-    this references it n_tables*n_planes times, and only CollapseProject's
+    i >= 0). ``proj`` is a COLUMN NAME (see _project_all: the expression is
+    SQL text, one parse instead of ~n_tables*n_planes*6 py4j calls) and
+    must name a real attribute, not the fold expression — this references
+    it n_tables*n_planes times, and only CollapseProject's
     used-more-than-once/non-cheap rule keeps the fold from being inlined
-    per reference. NULL proj (NULL vector) → NULL bucket array.
+    per reference. NULL proj (NULL vector) → NULL bucket array. The CASE
+    chain is the same codegen-friendly shape the Column API built.
     """
-    def bucket(t: int) -> Column:
-        out = None
-        for i in range(n_planes):
-            b = (
-                F.when(
-                    F.element_at(proj, t * n_planes + i + 1) >= 0,
-                    F.lit(1 << i),
-                )
-                .otherwise(F.lit(0))
-                .cast("bigint")
-            )
-            out = b if out is None else out + b
-        return out
-
-    return F.when(proj.isNull(), F.lit(None).cast("array<bigint>")).otherwise(
-        F.array(*[bucket(t) for t in range(n_tables)])
+    buckets = []
+    for t in range(n_tables):
+        terms = [
+            f"CAST((CASE WHEN element_at({proj}, {t * n_planes + i + 1}) >= 0 "
+            f"THEN {1 << i} ELSE 0 END) AS BIGINT)"
+            for i in range(n_planes)
+        ]
+        buckets.append(" + ".join(terms))
+    arr = "array(" + ", ".join(buckets) + ")"
+    return F.expr(
+        f"CASE WHEN {proj} IS NULL THEN CAST(NULL AS ARRAY<BIGINT>) "
+        f"ELSE {arr} END"
     )
 
 
@@ -491,12 +495,12 @@ def lsh_topk(
         return df.select(
             F.col(id_col).alias(out_id),
             F.col(vec_col).alias(out_vec),
-            _project_all(F.col(vec_col), planes).alias("_proj"),
+            _project_all(vec_col, planes).alias("_proj"),
         ).select(
             out_id,
             out_vec,
             F.element_at(
-                _pack_signatures(F.col("_proj"), 1, n_planes), 1
+                _pack_signatures("_proj", 1, n_planes), 1
             ).alias("bucket"),
         )
 
@@ -550,11 +554,11 @@ def lsh_topk_multi(
         # emitted n_tables NULL-bucket rows; both vanish at the bucket join.
         return df.select(
             F.col(id_col).alias(out_id),
-            _project_all(F.col(vec_col), flat).alias("_proj"),
+            _project_all(vec_col, flat).alias("_proj"),
         ).select(
             out_id,
             F.posexplode(
-                _pack_signatures(F.col("_proj"), n_tables, n_planes)
+                _pack_signatures("_proj", n_tables, n_planes)
             ).alias("table_id", "bucket"),
         )
 

@@ -307,9 +307,9 @@ def test_folded_signatures_bit_identical_to_literal_path(spark):
     folded = {
         r["vec_id"]: r["sigs"]
         for r in df.select(
-            "vec_id", _project_all(F.col("embedding"), flat).alias("_proj")
+            "vec_id", _project_all("embedding", flat).alias("_proj")
         )
-        .select("vec_id", _pack_signatures(F.col("_proj"), 3, 5).alias("sigs"))
+        .select("vec_id", _pack_signatures("_proj", 3, 5).alias("sigs"))
         .collect()
     }
     literal = {
@@ -329,7 +329,7 @@ def test_folded_signatures_bit_identical_to_literal_path(spark):
     # width mismatch still fails loudly in the folded path
     bad = spark.createDataFrame([(1, [1.0] * 8)], "vec_id LONG, embedding ARRAY<DOUBLE>")
     with pytest.raises((PySparkException, Py4JJavaError)):
-        bad.select(_project_all(F.col("embedding"), flat).alias("p")).collect()
+        bad.select(_project_all("embedding", flat).alias("p")).collect()
 
 
 def test_compression_ratio_null_text(spark):

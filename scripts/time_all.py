@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import json
 import os
+import random
 import sys
 import time
 
@@ -49,9 +50,17 @@ def main() -> None:
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     samples: dict[str, list[float]] = {name: [] for name in _REGISTRY}
     for rep in range(reps):
-        for name, spec in _REGISTRY.items():
+        # deterministically shuffle the order PER REP: the host's co-tenant
+        # load arrives in bursts comparable to one rep's length, so a fixed
+        # order lets the same burst phase hit the same queries every rep
+        # and the median inherits the bias instead of rejecting it
+        order = list(_REGISTRY)
+        random.Random(rep).shuffle(order)
+        for name in order:
             t0 = time.perf_counter()
-            spec.fn(spark, sf).write.format("noop").mode("overwrite").save()
+            _REGISTRY[name].fn(spark, sf).write.format("noop").mode(
+                "overwrite"
+            ).save()
             samples[name].append(round(time.perf_counter() - t0, 3))
             spark.catalog.clearCache()
         print(f"rep {rep} total {sum(v[-1] for v in samples.values()):.1f}s",

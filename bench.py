@@ -103,6 +103,8 @@ def main() -> None:
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
     for name in HEADLINE + EXTENDED:
+        if name not in queries:  # same tolerance as the timed EXTENDED loop
+            continue
         queries[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
         # extended queries may persist() caches keyed to warm_dir inputs;
         # clear per-plan so nothing donated to the timed runs

@@ -328,6 +328,15 @@ def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
     return F.when(vec.isNull(), F.lit(None).cast("bigint")).otherwise(out)
 
 
+def _sql_ident(name: str) -> str:
+    """Backtick-quote a column NAME for SQL-text interpolation, matching
+    F.col's resolution: dots split into nested-field access, every other
+    character (dash, space, keyword) is literal. Without this a vec_col
+    like ``"embedding-v2"`` would parse as a subtraction of two unresolved
+    columns (or silently resolve to something else)."""
+    return ".".join("`" + p.replace("`", "``") + "`" for p in name.split("."))
+
+
 def _project_all(vec: str, flat: list[list[float]]) -> Column:
     """All plane projections in ONE aggregate pass (the single-fold trick
     :func:`random_project` measured 4-6x faster than per-plane folds: HOF
@@ -348,6 +357,7 @@ def _project_all(vec: str, flat: list[list[float]]) -> Column:
     Same per-row contracts as lsh_signature: NULL vector → NULL output;
     width mismatch raises (never a silent bucket collapse).
     """
+    vec = _sql_ident(vec)
     total = len(flat)
     dim = len(flat[0])
     # the matrix must stay a NUMERIC-LITERAL nested array: array() of
@@ -392,6 +402,7 @@ def _pack_signatures(proj: str, n_tables: int, n_planes: int) -> Column:
     per reference. NULL proj (NULL vector) → NULL bucket array. The CASE
     chain is the same codegen-friendly shape the Column API built.
     """
+    proj = _sql_ident(proj)
     buckets = []
     for t in range(n_tables):
         terms = [

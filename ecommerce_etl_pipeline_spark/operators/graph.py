@@ -343,9 +343,21 @@ def pagerank_portable(
             edges.sparkSession, head, iterations=iterations, scale=scale
         )
     if symmetric:
-        # over budget: mirror relationally; _prep_graph's distinct dedupes
-        # (a no-op on canonical input — the orientations are disjoint) and
-        # its edge scan reuses the probe's shuffle files
+        # over budget: the driver venue validates canonical form (src < dst
+        # strictly) on its collected rows; the distributed venue must refuse
+        # the same inputs — a reversed duplicate or self-loop would survive
+        # the mirror below (pre_deduped=True skips _prep_graph's distinct)
+        # and silently double-count. One early-exit filter scan; only the
+        # over-budget path pays it.
+        if not e0.filter(F.col("src") >= F.col("dst")).isEmpty():
+            raise ValueError(
+                "pagerank_portable(symmetric=True) requires canonical "
+                "undirected edges (src < dst strictly); pass the "
+                "directed list with symmetric=False instead"
+            )
+        # mirror relationally; the orientations are disjoint on canonical
+        # input so no distinct is needed, and the edge scan reuses the
+        # probe's shuffle files
         directed = e0.union(
             e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )

@@ -108,13 +108,16 @@ _DRIVER_WINDOW = [
     "w6_event_gaps",
     "w9_sliding_window",
     "w10_scd2_intervals",
-    # -- NOT re-certified here: the round-5 ensure_parallelism widens
-    # (txt_winnow_fingerprints, txt_char_entropy, txt_repetition_battery,
-    # txt_bigram_logprob, mm_png_decode) are physical-plan-only — values
-    # are partition-order-independent (integer-micro sums, per-row
-    # deterministic payloads) and all six touched queries were re-proven
-    # oracle-exact under a vanilla ANSI session in-round; the window stays
-    # on its staleness picks. mm_asset_features is in the window anyway.
+    # -- NOT re-certified here: the round-5 ensure_parallelism widens touch
+    # nine registered queries. Three (txt_chunk_overlap,
+    # dd_segment_dup_ratio, mm_asset_features) are in this window and get a
+    # driver re-cert. The other six (txt_winnow_fingerprints,
+    # txt_char_entropy, txt_repetition_battery, txt_bigram_logprob,
+    # mm_png_decode, mm_frame_sample) are physical-plan-only — values are
+    # partition-order-independent (integer-micro sums, per-row
+    # deterministic payloads) — and all were re-proven oracle-exact under a
+    # vanilla ANSI session in-round (CORRECTNESS_LOCAL_SF01.md, final-tree
+    # 152/152 at both SFs); the window stays on its staleness picks.
     # -- 3 stalest round-2 certs, spanning families (a17_percentiles gave
     # its slot to dd_semantic_dedup when a self-review caught that query's
     # round-5 cache change missing from the re-cert block)

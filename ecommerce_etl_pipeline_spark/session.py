@@ -48,7 +48,19 @@ def get_spark(
     # cluster this env is absent and --driver-memory/--executor-memory
     # come from spark-submit as usual.
     if master.startswith("local"):
-        mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+        mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+        if mem is None:
+            # default: half the host's physical memory, capped at 16g and
+            # floored at Spark's own 1g default — a fixed 16g would push a
+            # small host (graph.py targets 1 GB drivers as the floor) into
+            # swap or an OOM kill instead of GC pressure
+            try:
+                host_mb = (
+                    os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
+                ) // (1024 * 1024)
+            except (ValueError, OSError, AttributeError):
+                host_mb = 0
+            mem = f"{min(16 * 1024, max(1024, host_mb // 2))}m"
         os.environ.setdefault(
             "PYSPARK_SUBMIT_ARGS", f"--driver-memory {mem} pyspark-shell"
         )

@@ -37,8 +37,6 @@ def main() -> None:
     # task per core pays worker fork + pandas/pyarrow import (~10s across
     # 32 cores), a per-SESSION constant that would otherwise land on
     # whichever mm_/arrow query runs first and read as that query's cost
-    import pandas as _pd  # noqa: F401
-
     spark.range(0, 32, 1, 32).mapInPandas(
         lambda it: it, "id LONG"
     ).write.format("noop").mode("overwrite").save()

@@ -160,6 +160,12 @@ def test_pagerank_portable_symmetric_rejects_noncanonical(spark):
     loops = spark.createDataFrame([(1, 2), (3, 3)], "src LONG, dst LONG")
     with pytest.raises(ValueError, match="canonical"):
         pagerank_portable(loops, symmetric=True)
+    # the distributed venue (over-budget path) must refuse the same inputs
+    # it would otherwise silently double-count post-mirror
+    with pytest.raises(ValueError, match="canonical"):
+        pagerank_portable(bad, symmetric=True, driver_edge_rows=0)
+    with pytest.raises(ValueError, match="canonical"):
+        pagerank_portable(loops, symmetric=True, driver_edge_rows=0)
 
 
 def test_driver_loop_bincount_scatter_is_bit_exact():

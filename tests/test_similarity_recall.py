@@ -154,3 +154,23 @@ def test_ivf_recall_on_clustered_data(spark, clustered_embeddings):
         k=10,
     )
     assert _mean_recall(rec) >= 0.9
+
+
+def test_lsh_topk_accepts_non_identifier_column_names(spark, clustered_embeddings):
+    """The SQL-text signature builders must backtick-quote column names:
+    a vec_col like 'embedding-v2' (legal via the DataFrame API) parsed
+    unquoted is a subtraction of two unresolved columns. Results must be
+    identical to the plain-named frame, single- and multi-table."""
+    emb = clustered_embeddings
+    weird = emb.select(
+        F.col("vec_id").alias("vec id"), F.col("embedding").alias("embedding-v2")
+    )
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    wq = weird.filter(F.col("vec id") % 100 == 0)
+    for fn in (similarity.lsh_topk, similarity.lsh_topk_multi):
+        plain = fn(emb, queries, k=5, seed=42).collect()
+        quoted = fn(weird, wq, k=5, id_col="vec id", vec_col="embedding-v2").collect()
+        as_set = lambda rows: {
+            (r["query_id"], r["neighbor_id"], round(r["cosine"], 9)) for r in rows
+        }
+        assert as_set(plain) == as_set(quoted)

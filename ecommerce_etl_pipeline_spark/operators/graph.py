@@ -203,15 +203,16 @@ def pagerank(
     )
 
 
-#: Driver-venue budget for :func:`pagerank_portable`, in DISTINCT edges:
-#: 4M edges collect as ~64 MB of Arrow (two int64 columns) with a ~3x
-#: transient numpy peak — safe in a 1 GB driver, the smallest this engine
-#: targets. Over budget, the distributed loop runs (same semantics).
+#: Driver-venue budget for :func:`pagerank_portable`, in RAW probed rows
+#: (dedup happens driver-side — see the VENUE note there): 4M rows collect
+#: as ~64 MB of Arrow (two int64 columns) with a ~3x transient numpy peak —
+#: safe in a 1 GB driver, the smallest this engine targets. Over budget,
+#: the distributed loop runs (same semantics).
 DRIVER_EDGE_ROWS = 4_000_000
 
 
 def _driver_rank_loop_portable(
-    spark, head, *, iterations: int, scale: int
+    spark, head, *, iterations: int, scale: int, symmetric: bool = False
 ) -> DataFrame:
     """In-memory twin of the distributed integer rank loop — bit-identical
     by construction: every operation is int64 arithmetic (floor div,
@@ -219,35 +220,52 @@ def _driver_rank_loop_portable(
     single rank (pinned against the distributed path and the pure-Python
     reference in tests/test_graph.py). Node ids come from a SORTED unique
     (searchsorted index), so the result is also independent of collect
-    order."""
+    order. ``head`` must hold DISTINCT edges; ``symmetric=True`` mirrors
+    them here as an index concat (node set and degree of the mirrored
+    graph derive from the canonical half, so the unique/searchsorted work
+    is half what materializing the doubled frame would cost)."""
     import numpy as np
     import pandas as pd
 
     src = head["src"].to_numpy()
     dst = head["dst"].to_numpy()
-    node_ids = np.unique(np.concatenate([src, dst]))
+    # hash-unique + sort of the ~n survivors beats np.unique's O(m log m)
+    # sort of all endpoint occurrences ~30x at sf0.1 graph sizes; the
+    # resulting sorted id array is identical
+    node_ids = np.sort(pd.unique(np.concatenate([src, dst])))
     si = np.searchsorted(node_ids, src)
     di = np.searchsorted(node_ids, dst)
+    if symmetric:
+        si, di = np.concatenate([si, di]), np.concatenate([di, si])
     n = int(node_ids.size)
     deg = np.bincount(si, minlength=n).astype(np.int64)
     dangling = deg == 0  # si only holds nodes with out-edges, deg[si] >= 1
     has_dangling = bool(dangling.any())
     base = (15 * scale) // (100 * n)
     r = np.full(n, scale // n, dtype=np.int64)
+    # a node's contribution (85*r)//(100*deg) is constant across its
+    # out-edges, so divide per NODE (O(n)) and gather per edge — the only
+    # O(edges) work per iteration is one gather and one bincount. The
+    # dummy divisor on dangling nodes is never read: si holds only nodes
+    # with out-edges.
+    deg_100 = np.where(dangling, 1, deg) * 100
     for _ in range(iterations):
-        contrib = (85 * r[si]) // (100 * deg[si])
         # scatter-add via bincount(weights=...): 5-10x np.add.at, and still
         # EXACT — float64 adds integers without rounding below 2^53, and
         # every partial sum here is bounded by the total rank mass
         # (~scale = 1e12 << 2^53), so the accumulation is bit-identical to
         # the int64 scatter-add at any summation order. The guard enforces
         # the bound if a caller picks a pathological scale.
+        contrib = (85 * r) // deg_100
         if (85 * int(r.sum())) // 100 >= 2**53:
             recv = np.zeros(n, dtype=np.int64)
-            np.add.at(recv, di, contrib)  # int64 scatter-add: exact
+            np.add.at(recv, di, contrib[si])  # int64 scatter-add: exact
         else:
-            recv = np.bincount(di, weights=contrib.astype(np.float64),
-                               minlength=n).astype(np.int64)
+            # per-node contributions fit float64 exactly (< 2^53), so the
+            # gather can read a pre-cast float array — no O(edges) astype
+            recv = np.bincount(
+                di, weights=contrib.astype(np.float64)[si], minlength=n
+            ).astype(np.int64)
         redist = (85 * int(r[dangling].sum())) // (100 * n) if has_dangling else 0
         r = base + recv + redist
     out = spark.createDataFrame(
@@ -273,11 +291,11 @@ def pagerank_portable(
 
     ``symmetric=True`` declares the input UNDIRECTED with one canonical
     row per edge (``src < dst`` strictly — no self-loops, no reversed
-    duplicates; violations raise in the driver venue). The operator then
-    distincts, probes, and transfers HALF the rows the directed form
-    would, and materializes the mirrored direction where it's free: an
-    int64 ``concat`` on the driver (venue-identical — the directed edge
-    set is exactly ``forward + reversed``), or a ``union`` feeding
+    duplicates; violations raise in either venue). The operator then
+    probes and transfers HALF the rows the directed form would, and
+    materializes the mirrored direction where it's free: an index
+    ``concat`` on the driver (venue-identical — the directed edge set is
+    exactly ``forward + reversed``), or a ``union`` feeding
     :func:`_prep_graph`'s distinct in the distributed venue. Co-occurrence
     graphs (g1) are symmetric by construction, and at any scale the edge
     list is the dominant shuffle/transfer term, so canonical-form input
@@ -304,44 +322,46 @@ def pagerank_portable(
     bounded scalar, lineage cut per round.
 
     VENUE is statistics-driven (the bpe_train discipline): ONE probe
-    action — ``limit(driver_edge_rows + 1).toPandas()`` on the distinct
-    edge list — and if the rows come back within budget they ARE the
-    graph: the loop runs as int64 numpy on the driver
-    (:func:`_driver_rank_loop_portable`), removing ``iterations``
-    sequential Spark jobs (~2.5x wall-clock at sf0.1, where the
-    co-purchase graph is 2.4M edges). Integer arithmetic is order-
-    independent, so both venues are bit-identical — pinned against each
-    other and the pure-Python reference in tests/test_graph.py, and the
-    DuckDB oracle replays either. Over budget, the distributed loop runs;
-    its edge scan reuses the probe's shuffle files. The FP variant
-    (:func:`pagerank`) stays distributed-only: float summation order
-    differs between numpy and Spark partial aggregates, so a driver venue
-    would NOT be bit-identical there.
+    action — ``limit(driver_edge_rows + 1).toPandas()`` on the RAW aliased
+    edge list, no distinct shuffle in the probe — and if the rows come
+    back within budget they ARE the graph: dedup is an O(rows) driver-side
+    hash (pandas drop_duplicates; the loop is order-independent so the
+    kept-row order is irrelevant) and the loop runs as int64 numpy on the
+    driver (:func:`_driver_rank_loop_portable`), removing ``iterations``
+    sequential Spark jobs plus the distinct exchange (~2.5x wall-clock at
+    sf0.1, where the co-purchase graph is 2.4M edges). Integer arithmetic
+    is order-independent, so both venues are bit-identical — pinned
+    against each other and the pure-Python reference in
+    tests/test_graph.py, and the DuckDB oracle replays either. Over
+    budget, the distributed loop runs and dedups relationally — a
+    heavily-duplicated list whose DISTINCT form would have fit the driver
+    budget takes the distributed venue too; that is a venue pick, never a
+    semantics change. The FP variant (:func:`pagerank`) stays
+    distributed-only: float summation order differs between numpy and
+    Spark partial aggregates, so a driver venue would NOT be bit-identical
+    there.
     """
-    e0 = ensure_parallelism(
+    e_raw = ensure_parallelism(
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-    ).distinct()
+    )
     budget = driver_edge_rows // 2 if symmetric else driver_edge_rows
-    head = e0.limit(budget + 1).toPandas()
+    head = e_raw.limit(budget + 1).toPandas()
     if len(head) <= budget and len(head) > 0:
-        if symmetric:
-            import pandas as pd
-
-            if not (head["src"] < head["dst"]).all():
-                raise ValueError(
-                    "pagerank_portable(symmetric=True) requires canonical "
-                    "undirected edges (src < dst strictly); pass the "
-                    "directed list with symmetric=False instead"
-                )
-            head = pd.DataFrame(
-                {
-                    "src": pd.concat([head["src"], head["dst"]], ignore_index=True),
-                    "dst": pd.concat([head["dst"], head["src"]], ignore_index=True),
-                }
+        head = head.drop_duplicates(ignore_index=True)
+        if symmetric and not (head["src"] < head["dst"]).all():
+            raise ValueError(
+                "pagerank_portable(symmetric=True) requires canonical "
+                "undirected edges (src < dst strictly); pass the "
+                "directed list with symmetric=False instead"
             )
         return _driver_rank_loop_portable(
-            edges.sparkSession, head, iterations=iterations, scale=scale
+            edges.sparkSession,
+            head,
+            iterations=iterations,
+            scale=scale,
+            symmetric=symmetric,
         )
+    e0 = e_raw.distinct()
     if symmetric:
         # over budget: the driver venue validates canonical form (src < dst
         # strictly) on its collected rows; the distributed venue must refuse
@@ -349,7 +369,7 @@ def pagerank_portable(
         # the mirror below (pre_deduped=True skips _prep_graph's distinct)
         # and silently double-count. One early-exit filter scan; only the
         # over-budget path pays it.
-        if not e0.filter(F.col("src") >= F.col("dst")).isEmpty():
+        if not e_raw.filter(F.col("src") >= F.col("dst")).isEmpty():
             raise ValueError(
                 "pagerank_portable(symmetric=True) requires canonical "
                 "undirected edges (src < dst strictly); pass the "

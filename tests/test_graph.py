@@ -189,3 +189,31 @@ def test_driver_loop_bincount_scatter_is_bit_exact():
         di, weights=contrib.astype(np.float64), minlength=n
     ).astype(np.int64)
     assert (exact == fast).all()
+
+def test_pagerank_portable_dedupes_raw_input_in_driver_venue(spark):
+    """The venue probe collects RAW rows (no distinct shuffle); the
+    driver-side drop_duplicates must make a duplicated edge list
+    bit-identical to the clean one, in both directed and symmetric form."""
+    from ecommerce_etl_pipeline_spark.operators.graph import pagerank_portable
+
+    und = [(1, 2), (2, 3), (1, 3), (3, 4)]
+    dup = und * 3
+    clean = pagerank_portable(
+        spark.createDataFrame(und, "src LONG, dst LONG"),
+        iterations=4, symmetric=True,
+    ).collect()
+    dirty = pagerank_portable(
+        spark.createDataFrame(dup, "src LONG, dst LONG"),
+        iterations=4, symmetric=True,
+    ).collect()
+    key = lambda rows: {r["node"]: r["rank"] for r in rows}
+    assert key(clean) == key(dirty)
+
+    directed = und + [(b, a) for a, b in und]
+    clean_d = pagerank_portable(
+        spark.createDataFrame(directed, "src LONG, dst LONG"), iterations=4
+    ).collect()
+    dirty_d = pagerank_portable(
+        spark.createDataFrame(directed * 2, "src LONG, dst LONG"), iterations=4
+    ).collect()
+    assert key(clean_d) == key(dirty_d) == key(clean)

@@ -220,10 +220,13 @@ def _driver_rank_loop_portable(
     single rank (pinned against the distributed path and the pure-Python
     reference in tests/test_graph.py). Node ids come from a SORTED unique
     (searchsorted index), so the result is also independent of collect
-    order. ``head`` must hold DISTINCT edges; ``symmetric=True`` mirrors
-    them here as an index concat (node set and degree of the mirrored
-    graph derive from the canonical half, so the unique/searchsorted work
-    is half what materializing the doubled frame would cost)."""
+    order. ``head`` may hold RAW (duplicated) edges — dedup happens here
+    on packed index pairs, one hash-unique over a single int64 key
+    (cheaper than a 2-column drop_duplicates, and the edge SET is all that
+    defines the graph). ``symmetric=True`` mirrors the canonical half as
+    an index concat (node set and degree of the mirrored graph derive from
+    it, so the unique/searchsorted work is half what materializing the
+    doubled frame would cost)."""
     import numpy as np
     import pandas as pd
 
@@ -235,6 +238,10 @@ def _driver_rank_loop_portable(
     node_ids = np.sort(pd.unique(np.concatenate([src, dst])))
     si = np.searchsorted(node_ids, src)
     di = np.searchsorted(node_ids, dst)
+    n0 = np.int64(node_ids.size)
+    # dedupe: si,di < n <= budget*2 <= 8M, so si*n+di < 2^63 never wraps
+    key = pd.unique(si * n0 + di)
+    si, di = key // n0, key % n0
     if symmetric:
         si, di = np.concatenate([si, di]), np.concatenate([di, si])
     n = int(node_ids.size)
@@ -325,7 +332,7 @@ def pagerank_portable(
     action — ``limit(driver_edge_rows + 1).toPandas()`` on the RAW aliased
     edge list, no distinct shuffle in the probe — and if the rows come
     back within budget they ARE the graph: dedup is an O(rows) driver-side
-    hash (pandas drop_duplicates; the loop is order-independent so the
+    hash over packed index pairs (the loop is order-independent so the
     kept-row order is irrelevant) and the loop runs as int64 numpy on the
     driver (:func:`_driver_rank_loop_portable`), removing ``iterations``
     sequential Spark jobs plus the distinct exchange (~2.5x wall-clock at
@@ -347,7 +354,6 @@ def pagerank_portable(
     budget = driver_edge_rows // 2 if symmetric else driver_edge_rows
     head = e_raw.limit(budget + 1).toPandas()
     if len(head) <= budget and len(head) > 0:
-        head = head.drop_duplicates(ignore_index=True)
         if symmetric and not (head["src"] < head["dst"]).all():
             raise ValueError(
                 "pagerank_portable(symmetric=True) requires canonical "

@@ -239,9 +239,15 @@ def _driver_rank_loop_portable(
     si = np.searchsorted(node_ids, src)
     di = np.searchsorted(node_ids, dst)
     n0 = np.int64(node_ids.size)
-    # dedupe: si,di < n <= budget*2 <= 8M, so si*n+di < 2^63 never wraps
-    key = pd.unique(si * n0 + di)
-    si, di = key // n0, key % n0
+    if int(n0) * int(n0) < 2**63:
+        # dedupe: si,di < n, n^2 < 2^63, so si*n+di never wraps
+        key = pd.unique(si * n0 + di)
+        si, di = key // n0, key % n0
+    else:
+        # a caller-raised budget can push n past the packing bound
+        # (~3e9 nodes); fall back to a 2-column hash dedupe
+        kept = pd.DataFrame({"s": si, "d": di}).drop_duplicates()
+        si, di = kept["s"].to_numpy(), kept["d"].to_numpy()
     if symmetric:
         si, di = np.concatenate([si, di]), np.concatenate([di, si])
     n = int(node_ids.size)
@@ -367,15 +373,18 @@ def pagerank_portable(
             scale=scale,
             symmetric=symmetric,
         )
-    e0 = e_raw.distinct()
     if symmetric:
         # over budget: the driver venue validates canonical form (src < dst
         # strictly) on its collected rows; the distributed venue must refuse
         # the same inputs — a reversed duplicate or self-loop would survive
         # the mirror below (pre_deduped=True skips _prep_graph's distinct)
-        # and silently double-count. One early-exit filter scan; only the
-        # over-budget path pays it.
-        if not e_raw.filter(F.col("src") >= F.col("dst")).isEmpty():
+        # and silently double-count. NULL-aware: a row is canonical only
+        # when src < dst is TRUE, so NULL endpoints are refused too (the
+        # driver venue's NaN comparison already refuses them). One
+        # early-exit filter scan; only the over-budget path pays it.
+        if not e_raw.filter(
+            ~F.coalesce(F.col("src") < F.col("dst"), F.lit(False))
+        ).isEmpty():
             raise ValueError(
                 "pagerank_portable(symmetric=True) requires canonical "
                 "undirected edges (src < dst strictly); pass the "
@@ -384,6 +393,7 @@ def pagerank_portable(
         # mirror relationally; the orientations are disjoint on canonical
         # input so no distinct is needed, and the edge scan reuses the
         # probe's shuffle files
+        e0 = e_raw.distinct()
         directed = e0.union(
             e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )

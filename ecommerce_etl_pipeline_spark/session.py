@@ -50,17 +50,40 @@ def get_spark(
     if master.startswith("local"):
         mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
         if mem is None:
-            # default: half the host's physical memory, capped at 16g and
-            # floored at Spark's own 1g default — a fixed 16g would push a
-            # small host (graph.py targets 1 GB drivers as the floor) into
-            # swap or an OOM kill instead of GC pressure
+            # default: half the available physical memory, capped at 16g
+            # and floored at Spark's own 1g default — a fixed 16g would
+            # push a small host (graph.py targets 1 GB drivers as the
+            # floor) into swap or an OOM kill instead of GC pressure.
+            # "Available" is the min of the host total and any cgroup
+            # limit: in a memory-limited container sysconf reports the
+            # HOST's memory, and sizing to it re-creates the OOM kill this
+            # clamp exists to prevent. If no probe works (non-POSIX, no
+            # cgroup), keep the unclamped 16g default rather than
+            # silently dropping to a GC-bound 1g.
             try:
                 host_mb = (
                     os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
                 ) // (1024 * 1024)
             except (ValueError, OSError, AttributeError):
                 host_mb = 0
-            mem = f"{min(16 * 1024, max(1024, host_mb // 2))}m"
+            for limit_file in (
+                "/sys/fs/cgroup/memory.max",  # cgroup v2
+                "/sys/fs/cgroup/memory/memory.limit_in_bytes",  # v1
+            ):
+                try:
+                    with open(limit_file) as fh:
+                        raw = fh.read().strip()
+                    if raw.isdigit():
+                        cg_mb = int(raw) // (1024 * 1024)
+                        host_mb = min(host_mb, cg_mb) if host_mb else cg_mb
+                    break
+                except OSError:
+                    continue
+            mem = (
+                f"{min(16 * 1024, max(1024, host_mb // 2))}m"
+                if host_mb
+                else "16g"
+            )
         os.environ.setdefault(
             "PYSPARK_SUBMIT_ARGS", f"--driver-memory {mem} pyspark-shell"
         )

@@ -217,3 +217,17 @@ def test_pagerank_portable_dedupes_raw_input_in_driver_venue(spark):
         spark.createDataFrame(directed * 2, "src LONG, dst LONG"), iterations=4
     ).collect()
     assert key(clean_d) == key(dirty_d) == key(clean)
+
+def test_pagerank_portable_symmetric_rejects_null_endpoints_both_venues(spark):
+    """A NULL endpoint is non-canonical (src < dst is not TRUE) — both
+    venues must refuse it identically; the distributed guard must be
+    NULL-aware (a plain src >= dst filter lets NULLs through)."""
+    import pytest
+
+    from ecommerce_etl_pipeline_spark.operators.graph import pagerank_portable
+
+    nulled = spark.createDataFrame([(1, 2), (2, 3), (1, None)], "src LONG, dst LONG")
+    with pytest.raises(ValueError, match="canonical"):
+        pagerank_portable(nulled, symmetric=True)  # driver venue
+    with pytest.raises(ValueError, match="canonical"):
+        pagerank_portable(nulled, symmetric=True, driver_edge_rows=0)  # distributed

@@ -380,26 +380,30 @@ def pagerank_portable(
         # the mirror below (pre_deduped=True skips _prep_graph's distinct)
         # and silently double-count. NULL-aware: a row is canonical only
         # when src < dst is TRUE, so NULL endpoints are refused too (the
-        # driver venue's NaN comparison already refuses them). One
-        # early-exit filter scan; only the over-budget path pays it.
-        if not e_raw.filter(
+        # driver venue's NaN comparison already refuses them). The check is
+        # effectively free: e0 is persisted FIRST, so the validation scan
+        # doubles as the cache materialization and the union's two branches
+        # below read the cache instead of re-executing the edge pipeline
+        # twice (what the pre-validation code paid anyway).
+        e0 = e_raw.distinct().persist()
+        if not e0.filter(
             ~F.coalesce(F.col("src") < F.col("dst"), F.lit(False))
         ).isEmpty():
+            e0.unpersist()
             raise ValueError(
                 "pagerank_portable(symmetric=True) requires canonical "
                 "undirected edges (src < dst strictly); pass the "
                 "directed list with symmetric=False instead"
             )
         # mirror relationally; the orientations are disjoint on canonical
-        # input so no distinct is needed, and the edge scan reuses the
-        # probe's shuffle files
-        e0 = e_raw.distinct()
+        # input so no distinct is needed
         directed = e0.union(
             e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         e, nodes, out_deg, n, has_dangling = _prep_graph(
             directed, "src", "dst", pre_deduped=True
         )
+        e0.unpersist()  # superseded by _prep_graph's layout-prepared cache
     else:
         e, nodes, out_deg, n, has_dangling = _prep_graph(edges, src_col, dst_col)
     base = (15 * scale) // (100 * n)

@@ -31,7 +31,7 @@ def shingles(tokens_col: Column, k: int = 3) -> Column:
     split()-derived array, i.e. every in-repo caller). The zip_with chain
     concatenates with ``concat``, which nulls out a shingle containing a
     NULL token — where the previous concat_ws form silently skipped the
-    null token. Downstream ``explode_nodup`` then drops such shingles.
+    null token. Downstream ``explode_nonnull`` then drops such shingles.
 
     Built as a chain of k-1 ``zip_with`` concats over k shifted slices —
     NOT ``transform(sequence, i -> concat_ws(slice(tokens, i+1, k)))``:
@@ -103,7 +103,7 @@ def _plan_size_bytes(df: DataFrame) -> int:
         return 1 << 62
 
 
-def explode_nodup(df: DataFrame, arr: Column, alias: str, *keep) -> DataFrame:
+def explode_nonnull(df: DataFrame, arr: Column, alias: str, *keep) -> DataFrame:
     """Explode a COMPUTED array without re-computing it: plain ``explode``
     triggers InferFiltersFromGenerate, which copies the entire array
     expression into a ``size(expr) > 0 AND expr IS NOT NULL`` filter, and
@@ -214,7 +214,7 @@ def minhash_candidate_pairs(
     # venues are bit-identical (same (a*h+b) mod P mins; parity-pinned
     # in tests/test_llmops_algos.py).
     if _plan_size_bytes(docs) >= SIG_AGG_MIN_PLAN_BYTES:
-        inv_h = explode_nodup(hashes_df, F.col("hashes"), "_h", "doc_id")
+        inv_h = explode_nonnull(hashes_df, F.col("hashes"), "_h", "doc_id")
         coeffs = _minhash_coeffs(num_hashes, seed)
         mins = [
             F.min(
@@ -415,7 +415,7 @@ def cross_split_contamination(
         F.col(split_col).alias("split"),
         shingle_col.alias("hashes"),
     ).withColumn("set_size", F.size("hashes"))
-    inv = explode_nodup(sets, F.col("hashes"), "h", "doc_id", "split", "set_size")
+    inv = explode_nonnull(sets, F.col("hashes"), "h", "doc_id", "split", "set_size")
     # corpus-sized self-join: unhinted — see jaccard_similarity_join for
     # why size statistics pick the scale-correct strategy on their own
     l, r = inv.alias("l"), inv.alias("r")
@@ -479,10 +479,10 @@ def contamination_against(
             F.col(id_col).alias(out_id), shingle_col.alias("hashes")
         ).withColumn(n_col, F.size("hashes"))
 
-    tinv = explode_nodup(
+    tinv = explode_nonnull(
         sets(train, "train_id", "n_t"), F.col("hashes"), "h", "train_id", "n_t"
     )
-    einv = explode_nodup(
+    einv = explode_nonnull(
         sets(eval_docs, "eval_id", "n_e"), F.col("hashes"), "h", "eval_id", "n_e"
     )
     thr = F.lit(threshold)
@@ -543,7 +543,7 @@ def bloom_decontaminate(
     # cache each one re-runs the eval explode+distinct shuffle. Exposed
     # via retained_caches (the curate() contract) so callers can release.
     ev_grams = (
-        explode_nodup(eval_docs, shingle_strings(F.col(text_col), shingle_k), "g")
+        explode_nonnull(eval_docs, shingle_strings(F.col(text_col), shingle_k), "g")
         .distinct()
         .cache()
     )
@@ -555,7 +555,7 @@ def bloom_decontaminate(
     )
     # shingle_strings is per-doc distinct, so count(*) below counts
     # distinct shared n-grams without a count_distinct shuffle
-    train_grams = explode_nodup(
+    train_grams = explode_nonnull(
         train,
         shingle_strings(F.col(text_col), shingle_k),
         "g",
@@ -592,7 +592,7 @@ def source_overlap_matrix(
     is bounded by sources^2 per gram — never corpus^2 — and a per-source
     gram-count table that is |sources| rows (broadcast).
     """
-    grams = explode_nodup(
+    grams = explode_nonnull(
         ensure_parallelism(docs),
         shingle_strings(F.col(text_col), shingle_k),
         "g",
@@ -862,9 +862,9 @@ def jaccard_similarity_join(
         F.col(id_col).alias("doc_id"),
         shingle_col.alias("hashes"),
     ).withColumn("set_size", F.size("hashes"))
-    # explode_nodup: a plain explode would re-run the whole shingle pass
+    # explode_nonnull: a plain explode would re-run the whole shingle pass
     # as an inferred pushed-down filter — measured 2.2x on this join
-    inv = explode_nodup(sets, F.col("hashes"), "h", "doc_id", "set_size")
+    inv = explode_nonnull(sets, F.col("hashes"), "h", "doc_id", "set_size")
     # JOIN STRATEGY (all dedup self-joins): UNHINTED, on purpose. Both
     # sides are corpus-sized, and the scale-correct plan differs by scale:
     # at small corpus sizes a broadcast build genuinely fits and wins; at

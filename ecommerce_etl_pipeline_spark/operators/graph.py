@@ -39,6 +39,20 @@ from pyspark.sql import functions as F
 from ecommerce_etl_pipeline_spark.operators.parallelism import ensure_parallelism
 
 
+def _empty_ranks(e_raw: DataFrame, zero_rank: Column) -> DataFrame:
+    """Zero-row (node, rank) frame with the union-coerced endpoint type —
+    what any rank loop over an empty edge list must return (the loops
+    themselves divide by n and cannot run at n = 0)."""
+    out = (
+        e_raw.select(F.col(e_raw.columns[0]).alias("node"))
+        .union(e_raw.select(F.col(e_raw.columns[1]).alias("node")))
+        .limit(0)
+        .select("node", zero_rank.alias("rank"))
+    )
+    out.retained_caches = []
+    return out
+
+
 def _prep_graph(
     edges: DataFrame, src_col: str, dst_col: str, pre_deduped: bool = False
 ) -> tuple[DataFrame, DataFrame, DataFrame, int, bool]:
@@ -187,6 +201,12 @@ def pagerank(
     driver holds grows with the graph.
     """
     e, nodes, out_deg, n, has_dangling = _prep_graph(edges, src_col, dst_col)
+    if n == 0:
+        for f in (e, nodes, out_deg):
+            f.unpersist()
+        return _empty_ranks(
+            edges.select(src_col, dst_col), F.lit(0.0)
+        )
     return _run_rank_loop(
         e,
         nodes,
@@ -212,7 +232,13 @@ DRIVER_EDGE_ROWS = 4_000_000
 
 
 def _driver_rank_loop_portable(
-    spark, head, *, iterations: int, scale: int, symmetric: bool = False
+    spark,
+    head,
+    *,
+    iterations: int,
+    scale: int,
+    symmetric: bool = False,
+    node_type: str = "LONG",
 ) -> DataFrame:
     """In-memory twin of the distributed integer rank loop — bit-identical
     by construction: every operation is int64 arithmetic (floor div,
@@ -285,6 +311,10 @@ def _driver_rank_loop_portable(
         pd.DataFrame({"node": node_ids, "rank": r}),
         "node LONG, rank LONG",
     )
+    if node_type.lower() not in ("long", "bigint"):
+        # preserve the input id type (the distributed venue inherits it
+        # from the edge frame; the venues must agree on schema)
+        out = out.select(F.col("node").cast(node_type), "rank")
     out.retained_caches = []
     return out
 
@@ -357,9 +387,32 @@ def pagerank_portable(
     e_raw = ensure_parallelism(
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     )
+    # node type = the common (union-coerced) type of the two endpoint
+    # columns — both venues must emit it. The driver venue additionally
+    # requires it to be integral AND the probed rows to be null-free:
+    # toPandas turns a nullable int column into float64/NaN, where
+    # searchsorted/bincount would crash or mis-index, and the distributed
+    # venue's semantics (NULL = a dangling node id) must be preserved.
+    node_type = (
+        e_raw.select(F.col("src").alias("node"))
+        .union(e_raw.select(F.col("dst").alias("node")))
+        .schema["node"]
+        .dataType.simpleString()
+    )
     budget = driver_edge_rows // 2 if symmetric else driver_edge_rows
-    head = e_raw.limit(budget + 1).toPandas()
-    if len(head) <= budget and len(head) > 0:
+    head = None
+    if node_type in ("tinyint", "smallint", "int", "bigint"):
+        head = e_raw.limit(budget + 1).toPandas()
+    if head is not None and len(head) == 0:
+        # empty edge list: both loop venues would divide by n = 0; the
+        # rank frame over zero nodes is well-defined — return it directly
+        return _empty_ranks(e_raw, F.lit(0).cast("bigint"))
+    if (
+        head is not None
+        and len(head) <= budget
+        and not head["src"].isna().any()
+        and not head["dst"].isna().any()
+    ):
         if symmetric and not (head["src"] < head["dst"]).all():
             raise ValueError(
                 "pagerank_portable(symmetric=True) requires canonical "
@@ -372,6 +425,7 @@ def pagerank_portable(
             iterations=iterations,
             scale=scale,
             symmetric=symmetric,
+            node_type=node_type,
         )
     if symmetric:
         # over budget: the driver venue validates canonical form (src < dst
@@ -406,6 +460,10 @@ def pagerank_portable(
         e0.unpersist()  # superseded by _prep_graph's layout-prepared cache
     else:
         e, nodes, out_deg, n, has_dangling = _prep_graph(edges, src_col, dst_col)
+    if n == 0:
+        for f in (e, nodes, out_deg):
+            f.unpersist()
+        return _empty_ranks(e_raw, F.lit(0).cast("bigint"))
     base = (15 * scale) // (100 * n)
     return _run_rank_loop(
         e,

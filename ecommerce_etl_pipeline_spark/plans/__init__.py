@@ -46,7 +46,7 @@ for _optional in (
 # registered query has >=1 driver row across r1-r4). Round 5 rotates by
 # STALENESS, per the r4 brief: (a) every query whose semantics or shared
 # helpers changed in round 5 — the shingle builder (zip_with rewrite),
-# explode_nodup, the MinHash aggregate-form signature, the SimHash
+# explode_nonnull, the MinHash aggregate-form signature, the SimHash
 # multi-block banding + NULL-text oracle fix, the PageRank venue pick,
 # the kmeans division-order fix, the BPE persist, and the let1-bound
 # chunk/segment HOFs — is re-certified; (b) the remaining slots take the

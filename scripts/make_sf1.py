@@ -60,6 +60,22 @@ OFFSETS = {
 
 def replicate(df: DataFrame, key_offsets: dict[str, str], copies: int = COPIES,
               resalt=None) -> DataFrame:
+    # OFFSETS are sf0.1 key maxima; if SPARK_GRAFT_SF_DIR points at a
+    # larger or differently-generated source, shifted keys would silently
+    # collide across copies and corrupt referential integrity (and every
+    # downstream join-selectivity/duplicate-density claim). One cheap agg
+    # per table validates the domain bound and fails loudly instead.
+    bounds = df.agg(
+        *(F.max(col).alias(col) for col in key_offsets)
+    ).first()
+    for col, domain in key_offsets.items():
+        mx = bounds[col]
+        if mx is None or mx >= OFFSETS[domain]:
+            raise ValueError(
+                f"key domain overflow: max({col}) = {mx} >= offset "
+                f"{OFFSETS[domain]} for domain '{domain}' — source at "
+                f"{SRC} is not the sf0.1 layout these offsets assume"
+            )
     parts = [df]
     for i in range(1, copies):
         shifted = df

@@ -231,3 +231,58 @@ def test_pagerank_portable_symmetric_rejects_null_endpoints_both_venues(spark):
         pagerank_portable(nulled, symmetric=True)  # driver venue
     with pytest.raises(ValueError, match="canonical"):
         pagerank_portable(nulled, symmetric=True, driver_edge_rows=0)  # distributed
+
+
+def test_pagerank_empty_and_single_node_graphs(spark):
+    """n = 0 must return an empty (node, rank) frame in every venue (was a
+    ZeroDivisionError in the distributed paths); a single self-edge node
+    keeps the whole rank mass."""
+    from ecommerce_etl_pipeline_spark.operators.graph import pagerank_portable
+
+    empty = spark.createDataFrame([], "src LONG, dst LONG")
+    for out in (
+        pagerank(empty),
+        pagerank_portable(empty),
+        pagerank_portable(empty, driver_edge_rows=0),  # distributed venue
+        pagerank_portable(
+            spark.createDataFrame([], "src STRING, dst STRING")
+        ),  # non-integral ids skip the driver venue entirely
+    ):
+        assert out.columns == ["node", "rank"]
+        assert out.count() == 0
+
+    single = spark.createDataFrame([(7, 7)], "src LONG, dst LONG")
+    rows = pagerank_portable(single, iterations=3).collect()
+    assert len(rows) == 1 and rows[0]["node"] == 7
+    assert rows[0]["rank"] >= 10**12 - 10  # all mass, minus truncation
+
+
+def test_pagerank_portable_nonlong_and_null_ids_match_distributed(spark):
+    """Driver venue must preserve the input id type, and NULL endpoints in
+    directed mode must take the distributed venue (NULL = dangling node id)
+    rather than crash on NaN indices — venues compared where both run."""
+    from ecommerce_etl_pipeline_spark.operators.graph import pagerank_portable
+
+    edges = [(1, 2), (2, 3), (3, 1), (1, 3)]
+    ints = spark.createDataFrame(edges, "src INT, dst INT")
+    drv = pagerank_portable(ints, iterations=4)
+    dist = pagerank_portable(ints, iterations=4, driver_edge_rows=0)
+    assert [(f.name, f.dataType) for f in drv.schema] == [
+        (f.name, f.dataType) for f in dist.schema
+    ]
+    key = lambda df: {r["node"]: r["rank"] for r in df.collect()}
+    assert key(drv) == key(dist)
+
+    strs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src STRING, dst STRING"
+    )
+    out = pagerank_portable(strs, iterations=3)
+    assert out.schema["node"].dataType.simpleString() == "string"
+    assert out.count() == 3
+
+    nulled = spark.createDataFrame(
+        [(1, 2), (2, 3), (None, 3), (2, None)], "src LONG, dst LONG"
+    )
+    via_probe = pagerank_portable(nulled, iterations=3)
+    via_dist = pagerank_portable(nulled, iterations=3, driver_edge_rows=0)
+    assert key(via_probe) == key(via_dist)

@@ -461,7 +461,7 @@ def test_minhash_aggregate_signature_matches_hof_fold(spark):
             "doc_id", dedup.minhash_signature(F.col("hashes"), 64, 42).alias("sig")
         ).collect()
     }
-    inv = dedup.explode_nodup(hashes_df, F.col("hashes"), "_h", "doc_id")
+    inv = dedup.explode_nonnull(hashes_df, F.col("hashes"), "_h", "doc_id")
     mins = [
         F.min(
             F.pmod(F.col("_h") * F.lit(a) + F.lit(b), F.lit(dedup.MERSENNE_31))

@@ -825,6 +825,7 @@ def jaccard_similarity_join(
     threshold: float = 0.5,
     shingle_k: int = 3,
     hashed: bool = True,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram (shingle) Jaccard set-similarity join.
 
@@ -851,6 +852,26 @@ def jaccard_similarity_join(
     bit-identical to a SQL-engine oracle (no cross-engine hash function
     needed, no collision risk) at the cost of a wider exchange — the
     oracle-parity mode; ``hashed=True`` is the 100 TB mode.
+
+    ``max_df`` bounds the index fan-out with LOWER-BOUND accounting:
+    shingles whose document frequency exceeds the cap are dropped from
+    the inverted index (so from candidate generation AND the intersection
+    count) while set sizes stay FULL — the score becomes
+    c_kept / (n1 + n2 - c_kept) <= true Jaccard, so every returned pair
+    provably satisfies the true threshold (exact precision); pairs whose
+    entire support is capped shingles are missed (bounded recall). The
+    join fan-out drops from sum(df^2) to <= max_df * |postings| — LINEAR
+    in corpus size, the property the uncapped exact join lacks. The df
+    aggregate shuffles on the same key as the self-join, so its exchange
+    is co-partitioned. Default None (exact, complete) because the cap is
+    a corpus-shape decision: on the bounded-vocabulary synthetic corpus
+    every df threshold between "no recall" and "no fan-out cut" is
+    measured to be empty (sf1: cap 50 -> 13x fewer joined rows but 0/2560
+    true pairs found; cap 100 -> 2557/2560 pairs but only a 5% cut — see
+    SCALING.md), while on Zipf-shaped real corpora boilerplate is the hot
+    tail and dup support is rare shingles, where a cap keeps recall. For
+    df-skewed corpora prefer :func:`ppjoin_pairs` (exact AND bounded);
+    for recall-complete scale-out prefer the banded MinHash path.
     """
     docs = ensure_parallelism(docs)
     shingle_col = (
@@ -865,6 +886,13 @@ def jaccard_similarity_join(
     # explode_nonnull: a plain explode would re-run the whole shingle pass
     # as an inferred pushed-down filter — measured 2.2x on this join
     inv = explode_nonnull(sets, F.col("hashes"), "h", "doc_id", "set_size")
+    if max_df is not None:
+        # lower-bound accounting (see docstring): cap the INDEX, keep the
+        # FULL set_size already carried on each row. The df aggregate and
+        # the filtered join both key on h — co-partitioned with the
+        # self-join below, no extra shuffle key enters the plan.
+        dfc = inv.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
+        inv = inv.join(dfc.filter(F.col("_df") <= max_df).select("h"), "h")
     # JOIN STRATEGY (all dedup self-joins): UNHINTED, on purpose. Both
     # sides are corpus-sized, and the scale-correct plan differs by scale:
     # at small corpus sizes a broadcast build genuinely fits and wins; at
@@ -905,6 +933,122 @@ def jaccard_similarity_join(
     return inter.select("doc1", "doc2", jac.alias("jaccard")).filter(
         F.col("jaccard") >= threshold
     )
+
+
+def ppjoin_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+    hashed: bool = True,
+) -> DataFrame:
+    """EXACT shingle-Jaccard join via the AllPairs/PPJoin prefix filter
+    (Bayardo et al. 2007; Xiao et al. 2008) — same results as
+    :func:`jaccard_similarity_join`, different candidate generator,
+    built for df-SKEWED (Zipf) corpora.
+
+    Canonical global shingle order = (document frequency asc, shingle
+    asc). A pair with J >= t must share >= ceil(t/(1+t)*(n1+n2)) shingles,
+    so each side must expose a common element within its first
+    n - ceil(t*n) + 1 shingles in that order (the prefix-filter lemma):
+    only PREFIXES enter the index self-join. Because the order puts RARE
+    shingles first, hot (boilerplate) shingles mostly never enter the
+    index — exactly the term that makes the plain inverted index
+    quadratic on Zipf data. A per-match POSITIONAL filter tightens it:
+    the overlap reachable from a match at positions (i, j) is at most
+    1 + min(n1-i-1, n2-j-1); pairs whose best bound misses the required
+    overlap drop inside the join condition. Candidates are then verified
+    with one exact ``array_intersect`` pass per pair (candidate-sized,
+    not corpus-sized).
+
+    Float-boundary discipline: prefix lengths and the positional bound
+    subtract a 1e-9 slack before ceil/compare, so representation error
+    can only ADD candidates (the exact verify discards them), never drop
+    a qualifying pair.
+
+    Scale shape: df aggregate (map-side combinable) + df join, both keyed
+    on the shingle — the same key as the prefix self-join; one shuffle on
+    doc_id builds the (df, shingle)-sorted arrays, cached because the
+    prefix explode and both verification sides consume them (listed on
+    ``retained_caches``, the curate() release contract). Fan-out =
+    sum over shingles of prefix-df^2, where prefix-df counts only docs
+    holding the shingle among their rarest ~(1-t) fraction. Measured on
+    the Zipf fixture vs the plain index join: see SCALING.md round-6.
+    On the bounded-vocab synthetic corpus (uniform df — nothing is
+    "rare") the plain join's map-reduce intersection counting wins
+    instead; both are exact, so the pick never changes results.
+
+    Reference parity: the reference engine has no set-similarity join at
+    all (its src/ transform files are pandas row filters); this operator
+    exists for the llmops dedup surface.
+    """
+    docs = ensure_parallelism(docs)
+    t = float(threshold)
+    shingle_col = (
+        shingle_hashes(F.col(text_col), shingle_k)
+        if hashed
+        else shingle_strings(F.col(text_col), shingle_k)
+    )
+    sets = docs.select(F.col(id_col).alias("doc_id"), shingle_col.alias("hashes"))
+    inv = explode_nonnull(sets, F.col("hashes"), "h", "doc_id")
+    dfc = inv.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    # (df asc, shingle asc) canonical order, materialized once per doc;
+    # sort_array canonicalizes collect_list's arbitrary arrival order, so
+    # the operator is partitioning-deterministic
+    ordered = (
+        inv.join(dfc, "h")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "h"))).alias("arr"))
+        .withColumn("n", F.size("arr"))
+        .withColumn("arr", F.transform("arr", lambda x: x["h"]))
+        .cache()
+    )
+    plen = (
+        F.col("n")
+        - F.ceil(F.lit(t) * F.col("n") - F.lit(1e-9)).cast("int")
+        + 1
+    )
+    pre = ordered.select(
+        "doc_id",
+        "n",
+        F.posexplode(F.slice("arr", F.lit(1), plen)).alias("pos", "h"),
+    )
+    l, r = pre.alias("l"), pre.alias("r")
+    n1, n2 = F.col("l.n"), F.col("r.n")
+    # overlap still reachable from a match at 0-based positions (pos1, pos2)
+    ubound = 1 + F.least(n1 - F.col("l.pos") - 1, n2 - F.col("r.pos") - 1)
+    cand = (
+        l.join(
+            r,
+            (F.col("l.h") == F.col("r.h"))
+            & (F.col("l.doc_id") < F.col("r.doc_id"))
+            # length filter: t*|bigger| <= |smaller| is necessary for J >= t
+            & (F.lit(t) * n1 <= n2 + F.lit(1e-9))
+            & (F.lit(t) * n2 <= n1 + F.lit(1e-9))
+            # positional filter: required overlap t/(1+t)*(n1+n2), cleared
+            # of the division by comparing (1+t)*ubound >= t*(n1+n2)
+            & (F.lit(1.0 + t) * ubound >= F.lit(t) * (n1 + n2) - F.lit(1e-9)),
+        )
+        .select(F.col("l.doc_id").alias("doc1"), F.col("r.doc_id").alias("doc2"))
+        .dropDuplicates(["doc1", "doc2"])
+    )
+    h1 = ordered.select(
+        F.col("doc_id").alias("doc1"), F.col("arr").alias("h1"), F.col("n").alias("n1")
+    )
+    h2 = ordered.select(
+        F.col("doc_id").alias("doc2"), F.col("arr").alias("h2"), F.col("n").alias("n2")
+    )
+    verified = cand.join(h1, "doc1").join(h2, "doc2")
+    inter = F.size(F.array_intersect("h1", "h2")).cast("double")
+    jac = inter / (F.col("n1") + F.col("n2") - inter)
+    out = verified.select("doc1", "doc2", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+    # CACHE CONTRACT (see curation.curate): listed for the caller to release
+    out.retained_caches = [ordered]
+    return out
 
 
 def duplicate_span_stats(

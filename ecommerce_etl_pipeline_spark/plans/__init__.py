@@ -43,87 +43,81 @@ for _optional in (
 # registered queries (in dict insertion order). Round 1 proved the classic
 # §2 families; round 2 promoted the LLM-data-pipeline surface; round 3
 # retired the never-verified tail; round 4 closed the coverage bar (every
-# registered query has >=1 driver row across r1-r4). Round 5 rotates by
-# STALENESS, per the r4 brief: (a) every query whose semantics or shared
-# helpers changed in round 5 — the shingle builder (zip_with rewrite),
-# explode_nonnull, the MinHash aggregate-form signature, the SimHash
-# multi-block banding + NULL-text oracle fix, the PageRank venue pick,
-# the kmeans division-order fix, the BPE persist, and the let1-bound
-# chunk/segment HOFs — is re-certified; (b) the remaining slots take the
-# queries with the OLDEST driver cert (all 26 whose latest row is r1,
-# plus the 3 stalest r2 picks), so after this round no query's latest
-# cert is older than 3 rounds. RULE (caught by the r4 self-review): any
+# registered query has >=1 driver row across r1-r4); round 5 started the
+# standing staleness rotation. Round 6 continues it (r5 cert histogram
+# r5:50/r4:41/r3:36/r2:25): the 2 new round-6 queries, 5 re-certs for
+# round-6-touched code (jaccard max_df branch, graph venue restructure),
+# all 25 r2-latest certs, and 18 of the 36 r3-latest (oracle-backed
+# picks; the other 18 lead r7's rotation at exactly age 3). RULE (caught
+# by the r4 self-review): any
 # NEW query registered in a future round MUST be added to this list (or
 # queued with a comment) or it silently gets no driver row. Names listed
 # here but not (yet) registered are skipped harmlessly; everything not
 # listed keeps its original relative order after the curated block.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW = [
-    # -- 21 round-5-changed queries (re-certification required)
-    "dd_simhash_pairs",
-    "dd_minhash_pairs",
-    "dd_dup_clusters",
-    "dd_curation_minhash",
-    "dd_curation_pipeline",
+    # -- 2 NEW round-6 queries (window rule: new query => window slot)
+    "dd_ppjoin_pairs",
+    "dd_jaccard_df_capped",
+    # -- 5 round-6-touched re-certifications: jaccard_similarity_join
+    # gained the max_df branch (default-path no-op, re-certified anyway
+    # for the three registered consumers + the curation headline), and
+    # operators/graph.py's venue pick was restructured (type-aware probe,
+    # empty-graph guard)
     "dd_jaccard_pairs",
     "dd_jaccard_clusters",
     "dd_contamination_report",
-    "dd_eval_decontam",
-    "dd_incremental_dedup",
-    "dd_bloom_decontam",
-    "dd_source_overlap",
-    "dd_winnow_overlap_pairs",
+    "dd_curation_pipeline",
     "g1_pagerank_copurchase",
-    "ml_kmeans_train",
-    "txt_bpe_merges",
-    "txt_bpe_token_counts",
-    "txt_chunk_overlap",
-    "txt_sequence_packing",
-    "dd_segment_dup_ratio",
-    "dd_semantic_dedup",
-    # -- all 26 queries whose latest driver cert is round 1
-    "a2_priority_analysis",
-    "a3_discount_effectiveness",
-    "a5_nation_stats",
-    "a6_user_behavior",
-    "a7_returnflag_performance",
-    "a10_product_rollup",
-    "a11_brand_price_stats",
-    "a12_price_band_performance",
-    "a13_type_value_counts",
-    "a14_table_profile",
-    "a15_event_time_range",
-    "a16_rollup_hierarchy",
-    "j3_parts_with_sales",
-    "j8_customers_without_orders",
-    "n3_build_explode_roundtrip",
-    "n5_to_json_render",
-    "n6_variant_metadata",
-    "o3_year_histogram",
-    "p6_null_defaults",
-    "sc_currency_roundtrip",
-    "u2_intersect_keys",
-    "u3_except_keys",
-    "w5_cumulative_daily_sales",
-    "w6_event_gaps",
-    "w9_sliding_window",
-    "w10_scd2_intervals",
-    # -- NOT re-certified here: the round-5 ensure_parallelism widens touch
-    # nine registered queries. Three (txt_chunk_overlap,
-    # dd_segment_dup_ratio, mm_asset_features) are in this window and get a
-    # driver re-cert. The other six (txt_winnow_fingerprints,
-    # txt_char_entropy, txt_repetition_battery, txt_bigram_logprob,
-    # mm_png_decode, mm_frame_sample) are physical-plan-only — values are
-    # partition-order-independent (integer-micro sums, per-row
-    # deterministic payloads) — and all were re-proven oracle-exact under a
-    # vanilla ANSI session in-round (CORRECTNESS_LOCAL_SF01.md, final-tree
-    # 152/152 at both SFs); the window stays on its staleness picks.
-    # -- 3 stalest round-2 certs, spanning families (a17_percentiles gave
-    # its slot to dd_semantic_dedup when a self-review caught that query's
-    # round-5 cache change missing from the re-cert block)
-    "j10_range_band_join",
-    "sim_lsh_recall",
-    "mm_asset_features",
+    # -- all 25 queries whose latest driver cert is round 2 (the stalest)
+    "a17_percentiles",
+    "a18_argmax",
+    "a20_pivot",
+    "a23_zscore_outliers",
+    "a24_winsorized_stats",
+    "dd_embedding_neardup",
+    "dd_hash_split",
+    "dq_validation_report",
+    "sc_temporal_features",
+    "sim_quantized_topk",
+    "sm5_stratified_sample",
+    "sm7_temperature_mixture",
+    "sql_correlated_exists",
+    "sql_nation_revenue",
+    "sql_top_revenue_orders",
+    "txt_bigram_logprob",
+    "txt_lang_id_confusion",
+    "txt_pii_redaction",
+    "txt_repetition",
+    "txt_tfidf_top_terms",
+    "txt_token_stats",
+    "txt_unigram_logprob",
+    "txt_vocabulary",
+    "txt_winnow_fingerprints",
+    "w11_salted_hot_keys",
+    # -- 18 round-3-latest picks (oracle-backed ones; the 7 rows-only
+    # queries record err:no_oracle in a driver window by design, so they
+    # stay on their pytest parity/error-bound gates instead — see
+    # VERDICT r5 "What's wrong" #3). The 18 r3 queries left out are
+    # exactly age-3 after this round and lead the r7 rotation.
+    "a19_collect_sorted",
+    "a25_price_histogram",
+    "dd_dedup_summary",
+    "dd_span_excision",
+    "ml_kmeans_step",
+    "mm_frame_sample",
+    "mm_png_decode",
+    "sc_date_arithmetic",
+    "sim_hard_negatives",
+    "sim_rp_rerank",
+    "sm6_mixture_sample",
+    "sm8_weighted_sample",
+    "sm9_importance_resample",
+    "txt_dataset_card",
+    "txt_quality_logit",
+    "u5_cdc_merge",
+    "w12_funnel_conversion",
+    "w13_retention_cohorts",
 ]
 
 

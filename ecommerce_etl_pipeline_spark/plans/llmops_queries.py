@@ -914,7 +914,21 @@ def dd_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 3-word shingle sets + inverted-index intersection counts, in DuckDB. The
 # candidate set is COMPLETE (a pair at jaccard >= t shares >= 1 shingle), so
 # unlike the MinHash/SimHash paths this is exactly oracle-checkable.
-def _jaccard_pairs_sql(src: str = "documents") -> str:
+# max_df replays the LOWER-BOUND df cap (llmops/dedup.py
+# jaccard_similarity_join): the index drops shingles with document
+# frequency over the cap while n1/n2 stay the FULL set sizes — integer
+# counts all the way, so the accounting is engine-portable.
+def _jaccard_pairs_sql(src: str = "documents", max_df: int | None = None) -> str:
+    kept = (
+        f"""(
+        SELECT doc_id, n, s FROM (
+            SELECT doc_id, n, s, COUNT(*) OVER (PARTITION BY s) AS df
+            FROM inv
+        ) WHERE df <= {max_df}
+    )"""
+        if max_df is not None
+        else "inv"
+    )
     return f"""
     WITH toks AS (
         SELECT doc_id, string_split(text, ' ') AS t FROM {src}
@@ -930,7 +944,7 @@ def _jaccard_pairs_sql(src: str = "documents") -> str:
     ), inter AS (
         SELECT l.doc_id AS doc1, r.doc_id AS doc2, l.n AS n1, r.n AS n2,
                COUNT(*) AS c
-        FROM inv l JOIN inv r ON l.s = r.s AND l.doc_id < r.doc_id
+        FROM {kept} l JOIN {kept} r ON l.s = r.s AND l.doc_id < r.doc_id
         GROUP BY 1, 2, 3, 4
     )
     SELECT doc1, doc2, c / (n1 + n2 - c) AS jac
@@ -953,6 +967,55 @@ def _jaccard_pairs_sql(src: str = "documents") -> str:
 def dd_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.jaccard_similarity_join(docs, threshold=0.5, hashed=False)
+    return pairs.select(
+        "doc1", "doc2", portable_round(F.col("jaccard"), 6).alias("jaccard")
+    )
+
+
+@register(
+    "dd_ppjoin_pairs",
+    oracle=f"""
+    SELECT doc1, doc2, {sql_round('jac', 6)} AS jaccard
+    FROM ({_jaccard_pairs_sql()})
+    """,
+    doc="PPJoin/AllPairs prefix-filter set-similarity join — EXACT, so the "
+    "oracle is the plain inverted-index SQL (algorithm-independent): any "
+    "completeness bug in the prefix/positional filters shows up as a "
+    "missing row. The (df asc, shingle asc) canonical order keeps hot "
+    "boilerplate shingles out of the index — the scale path for "
+    "df-SKEWED (Zipf) corpora, where the plain index join's sum(df^2) "
+    "fan-out is dominated by the hot tail (SCALING.md round-6 Zipf "
+    "fixture: measured candidate reduction).",
+)
+def dd_ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ppjoin_pairs(docs, threshold=0.5, hashed=False)
+    out = pairs.select(
+        "doc1", "doc2", portable_round(F.col("jaccard"), 6).alias("jaccard")
+    )
+    return carry_caches(out, pairs)
+
+
+@register(
+    "dd_jaccard_df_capped",
+    oracle=f"""
+    SELECT doc1, doc2, {sql_round('jac', 6)} AS jaccard
+    FROM ({_jaccard_pairs_sql(max_df=5)})
+    """,
+    doc="df-capped exact jaccard join with LOWER-BOUND accounting: shingles "
+    "in more than max_df=5 documents leave the index (candidates and "
+    "intersection counts) while denominators keep FULL set sizes, so "
+    "every returned pair provably clears the true-jaccard threshold and "
+    "the fan-out is bounded by max_df * |postings| (linear). The cap "
+    "BITES at sf0.01 (max shingle df = 7), so the driver verifies the "
+    "accounting itself, not a no-op branch; the DuckDB twin replays the "
+    "df window + cap exactly (integer counts end to end).",
+)
+def dd_jaccard_df_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_similarity_join(
+        docs, threshold=0.5, hashed=False, max_df=5
+    )
     return pairs.select(
         "doc1", "doc2", portable_round(F.col("jaccard"), 6).alias("jaccard")
     )

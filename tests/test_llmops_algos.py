@@ -1061,3 +1061,84 @@ def test_simhash_null_text_oracle_parity(spark, tmp_path):
     want = con.sql(spec.oracle).df()
     assert {(r.doc1, r.doc2) for r in got.itertuples()} >= {(1, 2)}
     assert canon_rows(got) == canon_rows(want)
+
+
+def test_ppjoin_matches_plain_jaccard_join(spark, sf_dir):
+    """PPJoin is EXACT: identical (doc1, doc2, jaccard) rows to the plain
+    inverted-index join on the fixture corpus, in both hash modes."""
+    from ecommerce_etl_pipeline_spark.llmops import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    for hashed in (False, True):
+        plain = {
+            (r.doc1, r.doc2, round(r.jaccard, 9))
+            for r in dedup.jaccard_similarity_join(
+                docs, threshold=0.5, hashed=hashed
+            ).collect()
+        }
+        pp = dedup.ppjoin_pairs(docs, threshold=0.5, hashed=hashed)
+        got = {(r.doc1, r.doc2, round(r.jaccard, 9)) for r in pp.collect()}
+        for c in pp.retained_caches:
+            c.unpersist()
+        assert got == plain, f"hashed={hashed}"
+        assert plain, "fixture corpus should contain true jaccard pairs"
+
+
+def test_ppjoin_exact_on_skewed_boilerplate_corpus(spark):
+    """The prefix filter's target shape: hot boilerplate shingles shared by
+    every doc plus rare doc-specific content. PPJoin must keep EXACT
+    results while its index excludes most hot-shingle postings."""
+    from ecommerce_etl_pipeline_spark.llmops import dedup
+
+    boiler = "terms of service apply all rights reserved contact us"
+    rows = []
+    for i in range(40):
+        body = " ".join(f"w{i}x{j}" for j in range(12))
+        rows.append((2 * i, f"{boiler} {body}"))
+        # even docs get a near-copy (one token changed) -> true pair
+        rows.append((2 * i + 1, f"{boiler} {body[:-4]}zzz"))
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    for thr in (0.5, 0.7):
+        plain = {
+            (r.doc1, r.doc2, round(r.jaccard, 9))
+            for r in dedup.jaccard_similarity_join(
+                docs, threshold=thr, hashed=False
+            ).collect()
+        }
+        pp = dedup.ppjoin_pairs(docs, threshold=thr, hashed=False)
+        got = {(r.doc1, r.doc2, round(r.jaccard, 9)) for r in pp.collect()}
+        for c in pp.retained_caches:
+            c.unpersist()
+        assert got == plain, f"threshold={thr}"
+        assert plain, "skewed corpus should contain true pairs"
+
+
+def test_jaccard_max_df_lower_bound_accounting(spark):
+    """max_df caps the index but keeps full set sizes: returned pairs are a
+    SUBSET of the uncapped result with identical jaccard only when the
+    pair's support is uncapped; a pair whose shared shingles are all hot
+    is missed (never mis-scored above its true jaccard)."""
+    from ecommerce_etl_pipeline_spark.llmops import dedup
+
+    hot = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(i, hot) for i in range(10)]               # hot-support clones
+    rows += [(100, "uniq one two three four five six"),
+             (101, "uniq one two three four five seven")]  # rare support
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    uncapped = {
+        (r.doc1, r.doc2): r.jaccard
+        for r in dedup.jaccard_similarity_join(docs, hashed=False).collect()
+    }
+    capped = {
+        (r.doc1, r.doc2): r.jaccard
+        for r in dedup.jaccard_similarity_join(
+            docs, hashed=False, max_df=5
+        ).collect()
+    }
+    # the rare-support pair survives with its exact score
+    assert capped[(100, 101)] == uncapped[(100, 101)]
+    # hot-clone pairs (support df = 10 > 5) are missed, not mis-scored
+    assert (0, 1) in uncapped and (0, 1) not in capped
+    assert set(capped) <= set(uncapped)
+    for k, v in capped.items():
+        assert v <= uncapped[k] + 1e-12

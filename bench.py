@@ -79,6 +79,7 @@ EXTENDED = [
     "g1_pagerank_copurchase",
     "ml_kmeans_train",
     "dd_simhash_pairs",
+    "dd_ppjoin_pairs",  # round 6: prefix-filter exact join (Zipf scale path)
 ]
 
 

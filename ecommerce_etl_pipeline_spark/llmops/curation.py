@@ -87,12 +87,21 @@ def curate(
     jaccard_threshold: float = 0.5,
     use_minhash: bool = True,
     portable_minhash: bool = False,
+    use_ppjoin: bool = False,
     cache_exact: bool = True,
 ) -> DataFrame:
     """Curated corpus: (doc_id, text, n_tokens) of the documents that
     survive all four stages. ``use_minhash=True`` is the scale path
     (LSH-banded candidates); ``False`` runs the exact shingle-Jaccard join
-    (oracle-friendly, same downstream semantics).
+    (oracle-friendly, same downstream semantics). With
+    ``use_minhash=False, use_ppjoin=True`` the exact stage runs through
+    the PPJoin prefix filter instead of the plain inverted index —
+    IDENTICAL results by construction (dedup.ppjoin_pairs is exact;
+    equality pinned in tests/test_llmops_algos.py), but the candidate
+    fan-out stays linear on df-skewed (Zipf) corpora where the plain
+    index join's sum(df^2) is dominated by hot boilerplate shingles —
+    the exact END-TO-END pipeline a real web corpus runs at scale
+    (SCALING.md round-6 Zipf fixture: 783-5230x candidate cut).
 
     CACHE CONTRACT: with ``cache_exact=True`` the deduped intermediate is
     cached (it feeds both candidate generation and the final anti-join —
@@ -142,6 +151,11 @@ def curate(
         )
         pairs = cand.filter(F.col("jaccard") >= jaccard_threshold)
         pair_caches = getattr(cand, "retained_caches", [])
+    elif use_ppjoin:
+        pairs = dedup.ppjoin_pairs(
+            exact, id_col, text_col, threshold=jaccard_threshold, hashed=False
+        )
+        pair_caches = getattr(pairs, "retained_caches", [])
     else:
         pairs = dedup.jaccard_similarity_join(
             exact, id_col, text_col, threshold=jaccard_threshold, hashed=False

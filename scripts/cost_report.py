@@ -31,6 +31,7 @@ QUERIES = [
     "dd_curation_pipeline", "dd_curation_minhash", "dd_simhash_pairs",
     "dd_bloom_decontam", "dd_span_excision", "dd_semantic_dedup",
     "g1_pagerank_copurchase", "ml_kmeans_train", "txt_bpe_merges",
+    "dd_ppjoin_pairs", "dd_jaccard_df_capped",
 ]
 
 
@@ -89,7 +90,14 @@ def main() -> None:
                 f"| {m['num_tasks']} | {m['num_stages']} "
                 f"| {m['executor_run_time_ms'] / 1000:.1f}s |\n"
             )
-    print("wrote", out_md)
+    # machine-readable twin for scripts/check_costs.py's round-over-round
+    # shuffle-bytes gate (byte counters are run-invariant; exec time isn't)
+    import json
+
+    out_json = os.path.splitext(out_md)[0] + ".json"
+    with open(out_json, "w") as f:
+        json.dump({"sf_dir": sf_dir, "queries": dict(rows)}, f, indent=1)
+    print("wrote", out_md, "and", out_json)
 
 
 if __name__ == "__main__":

@@ -1142,3 +1142,17 @@ def test_jaccard_max_df_lower_bound_accounting(spark):
     assert set(capped) <= set(uncapped)
     for k, v in capped.items():
         assert v <= uncapped[k] + 1e-12
+
+
+def test_curate_ppjoin_variant_identical_to_plain_exact(spark, sf_dir):
+    """use_ppjoin swaps only the candidate generator of the exact near-dup
+    stage; the curated corpus must be row-identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    plain = curation.curate(docs, use_minhash=False)
+    pp = curation.curate(docs, use_minhash=False, use_ppjoin=True)
+    a = {(r.doc_id, r.text, r.n_tokens) for r in plain.collect()}
+    b = {(r.doc_id, r.text, r.n_tokens) for r in pp.collect()}
+    for df in (plain, pp):
+        for c in df.retained_caches:
+            c.unpersist()
+    assert a == b and a

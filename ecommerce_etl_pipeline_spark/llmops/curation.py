@@ -113,6 +113,13 @@ def curate(
     RDDs. ``cache_exact=False`` trades one extra execution of the narrow
     filter+groupBy lineage for zero retained storage.
     """
+    if use_ppjoin and use_minhash:
+        # use_minhash defaults True; a caller opting into the exact PPJoin
+        # path must not silently receive approximate LSH results instead
+        raise ValueError(
+            "use_ppjoin=True requires use_minhash=False (PPJoin is an "
+            "EXACT candidate generator; minhash is the approximate one)"
+        )
     t = F.col(text_col)
 
     # 1+2: narrow, fused, pushed to the scan — prune rows AND columns before

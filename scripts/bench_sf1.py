@@ -83,7 +83,7 @@ GROWTH_BASELINE = {
 TOLERANCE = 0.25
 
 
-def gate(sf01: dict, sf1: dict, growth: dict) -> list[str]:
+def gate(sf1: dict, growth: dict) -> list[str]:
     violations = []
     for name, g in growth.items():
         base = GROWTH_BASELINE.get(name)
@@ -104,9 +104,7 @@ def main() -> int:
         with open(out_path) as f:
             payload = json.load(f)
         payload["baseline"] = GROWTH_BASELINE
-        payload["violations"] = gate(
-            payload["sf01"], payload["sf1"], payload["growth"]
-        )
+        payload["violations"] = gate(payload["sf1"], payload["growth"])
         with open(out_path, "w") as f:
             json.dump(payload, f, indent=1)
         print(json.dumps({"violations": payload["violations"], "out": out_path}))
@@ -122,14 +120,19 @@ def main() -> int:
 
     # codegen/JIT warmup at sf0.001 (plan-keyed, input-independent), then
     # page-cache warm BOTH scale directories (sf1 is cold after generation)
+    warm_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(warm_dir):
+        warm_dir = SF01  # host without the testdata layout: warm at target SF
     for name in names:
-        queries[name](spark, "/root/testdata/sf0.001").write.format("noop").mode(
+        queries[name](spark, warm_dir).write.format("noop").mode(
             "overwrite"
         ).save()
         spark.catalog.clearCache()
     for d in (SF01, SF1):
         for t in ("orders", "lineitem", "part", "customer", "documents",
                   "embeddings", "events"):
+            if not os.path.exists(f"{d}/{t}.parquet"):
+                continue
             spark.read.parquet(f"{d}/{t}.parquet").write.format("noop").mode(
                 "overwrite"
             ).save()
@@ -153,7 +156,7 @@ def main() -> int:
         print(f"{name}: sf0.1={sf01[name]}s sf1={sf1[name]}s growth={g}x"
               + (f" (baseline {base})" if base else " (no baseline — recorded)"),
               flush=True)
-    violations = gate(sf01, sf1, growth)
+    violations = gate(sf1, growth)
 
     payload = {
         "metric": "sf1_growth_gate",

@@ -1,8 +1,10 @@
 #!/usr/bin/env python
-"""Round-over-round shuffle-cost gate (VERDICT r5 "Next round" #6): diff a
+"""Round-over-round plan-cost gate (VERDICT r5 "Next round" #6): diff a
 fresh COSTS.json against the previously committed one and FAIL when any
-query's shuffle-WRITE bytes grew more than 2x at fixed SF without a
-listed justification. Byte counters are run-invariant (unlike wall-clock,
+query's shuffle-WRITE bytes OR input bytes grew more than 2x at fixed SF
+without a listed justification (shuffle growth = a re-shuffle crept into
+the plan; input growth = a scan widened or pushdown/pruning was lost).
+Byte counters are run-invariant (unlike wall-clock,
 which the host's ±40% co-tenant noise makes ungateable), so this catches
 the plan-regression class that bench medians hide — the a10/j1 drift of
 round 4 would have tripped it.
@@ -85,7 +87,8 @@ def main() -> int:
                 note = f" [allowed: {reason}]" if reason and factor <= cap else ""
                 print(f"{name}.{key}: {b} -> {n} ({factor:.2f}x) {status}{note}")
     if violations:
-        print("\nUNGATED SHUFFLE GROWTH:\n  " + "\n  ".join(violations))
+        print("\nUNGATED PLAN-COST GROWTH (shuffle write / input bytes):\n  "
+              + "\n  ".join(violations))
         print("either fix the plan regression or add an ALLOWED_GROWTH entry "
               "with the measured justification")
         return 1

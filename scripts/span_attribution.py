@@ -108,8 +108,9 @@ def stats(spark, df) -> dict:
 def main() -> None:
     spark = get_spark(app_name="span_attribution")
     spark.sparkContext.setLogLevel("ERROR")
-    if not os.path.exists(PINNED):
-        build_pinned(spark)
+    # ALWAYS rebuild: a stale pinned fixture from a previous/different
+    # SF01 source would silently corrupt the decomposition (~20s to build)
+    build_pinned(spark)
     inputs = {
         "sf0.1": spark.read.parquet(f"{SF01}/documents.parquet"),
         "sf1": spark.read.parquet(f"{SF1}/documents.parquet"),

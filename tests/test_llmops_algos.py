@@ -1156,3 +1156,9 @@ def test_curate_ppjoin_variant_identical_to_plain_exact(spark, sf_dir):
         for c in df.retained_caches:
             c.unpersist()
     assert a == b and a
+
+
+def test_curate_rejects_ambiguous_ppjoin_minhash_combo(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    with pytest.raises(ValueError, match="use_minhash=False"):
+        curation.curate(docs, use_ppjoin=True)  # use_minhash defaults True

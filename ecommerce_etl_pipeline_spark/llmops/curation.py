@@ -88,6 +88,7 @@ def curate(
     use_minhash: bool = True,
     portable_minhash: bool = False,
     use_ppjoin: bool = False,
+    exact_hashed: bool = False,
     cache_exact: bool = True,
 ) -> DataFrame:
     """Curated corpus: (doc_id, text, n_tokens) of the documents that
@@ -102,6 +103,12 @@ def curate(
     index join's sum(df^2) is dominated by hot boilerplate shingles —
     the exact END-TO-END pipeline a real web corpus runs at scale
     (SCALING.md round-6 Zipf fixture: 783-5230x candidate cut).
+    ``exact_hashed`` selects the shingle representation for BOTH exact
+    candidate generators: False (default) shuffles raw shingle strings —
+    the oracle-parity mode every registered curation query replays in
+    DuckDB; True shuffles 31-bit hashes — the narrower exchange for
+    at-scale runs (dedup.py's "100 TB mode"; results can differ only via
+    a ~2^-31 per-shingle hash collision).
 
     CACHE CONTRACT: with ``cache_exact=True`` the deduped intermediate is
     cached (it feeds both candidate generation and the final anti-join —
@@ -160,12 +167,14 @@ def curate(
         pair_caches = getattr(cand, "retained_caches", [])
     elif use_ppjoin:
         pairs = dedup.ppjoin_pairs(
-            exact, id_col, text_col, threshold=jaccard_threshold, hashed=False
+            exact, id_col, text_col,
+            threshold=jaccard_threshold, hashed=exact_hashed,
         )
         pair_caches = getattr(pairs, "retained_caches", [])
     else:
         pairs = dedup.jaccard_similarity_join(
-            exact, id_col, text_col, threshold=jaccard_threshold, hashed=False
+            exact, id_col, text_col,
+            threshold=jaccard_threshold, hashed=exact_hashed,
         )
         pair_caches = getattr(pairs, "retained_caches", [])
     components = connected_components(pairs)

@@ -1,17 +1,30 @@
 #!/usr/bin/env python
 """Standing second-decade gate (VERDICT r5 "Next round" #3): measure the
 headline + extended sets at sf0.1 AND sf1 in ONE session, emit
-BENCH_SF1_r{N}.json, and FAIL when any query's sf0.1->sf1 growth factor
-regresses more than 25% over the recorded baseline — the machine check
-that would have caught the SimHash 62x before a human read the timings.
+BENCH_SF1_r{N}.json, and FAIL a query when BOTH its sf0.1->sf1 growth
+factor regresses more than 25% over the recorded baseline AND its
+absolute sf1 time sits more than 12.5% over the baseline sf1 seconds —
+the machine check that would have caught the SimHash 62x before a human
+read the timings. A baseline query MISSING from the run is itself a
+violation (silent coverage loss is the r4 driver-window bug class).
+
+Why two-sided: the growth ratio's denominator is the sf0.1 time, so a
+round that merely speeds up the small scale inflates the ratio with no
+regression (r6 measured g1 at 8 -> 10.3x ratio while its sf1 absolute
+time FELL 34-41s -> 21.7s — a venue-flip query's ratio is not an
+exponent). The absolute arm alone would instead swing with the host's
+±40% cross-session drift. Requiring both keeps false alarms out while a
+real regression (growth up AND sf1 seconds past the baseline band)
+still trips; the residual blind spot — a genuine slowdown exactly
+cancelled by a faster host — shrinks every round because the measured
+values ratchet into the next round's baselines.
 
 Both scales run in the same session so the growth RATIO cancels host
-co-tenant drift (the ±40% that makes cross-session absolute seconds
-unusable); per-query medians-of-N (default 3) absorb per-run noise.
-Baselines are the r5 SCALING.md growth table, taken at the TOP of each
-recorded band (bands exist because r5 measured across sessions); a
-query measured here for the first time is recorded but not gated, and
-its r6 value becomes the r7 baseline.
+co-tenant drift; per-query medians-of-N (default 3) absorb per-run
+noise. Baselines are the r5 SCALING.md growth table, taken at the TOP
+of each recorded band (bands exist because r5 measured across
+sessions); a query measured here for the first time is recorded but not
+gated, and its r6 value becomes the r7 baseline.
 
 sf1 does not exist in /root/testdata — it is built once per round with
 scripts/make_sf1.py (deterministic replicate-with-resalt of the driver's
@@ -85,15 +98,22 @@ TOLERANCE = 0.25
 
 def gate(sf1: dict, growth: dict) -> list[str]:
     violations = []
+    for name in GROWTH_BASELINE:
+        if name not in growth:
+            violations.append(
+                f"{name}: in GROWTH_BASELINE but NOT MEASURED — dropped "
+                "from bench.HEADLINE/EXTENDED or unregistered (silent "
+                "coverage loss)"
+            )
     for name, g in growth.items():
         base = GROWTH_BASELINE.get(name)
         if base is None:
             continue
         bg, bs = base
-        if g > bg * (1 + TOLERANCE) and sf1[name] > bs * (1 + TOLERANCE):
+        if g > bg * (1 + TOLERANCE) and sf1[name] > bs * (1 + TOLERANCE / 2):
             violations.append(
-                f"{name}: growth {g}x > {bg}x AND sf1 {sf1[name]}s > {bs}s "
-                f"(both past {1 + TOLERANCE}x tolerance)"
+                f"{name}: growth {g}x > {bg}x * {1 + TOLERANCE} AND "
+                f"sf1 {sf1[name]}s > {bs}s * {1 + TOLERANCE / 2}"
             )
     return violations
 
@@ -110,6 +130,13 @@ def main() -> int:
         print(json.dumps({"violations": payload["violations"], "out": out_path}))
         return 1 if payload["violations"] else 0
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    if os.path.basename(SF01.rstrip("/")) != "sf0.1":
+        # GROWTH_BASELINE is specifically the sf0.1 -> sf1 table; gating
+        # ratios from any other source SF would be nonsense (the same
+        # env-mismatch hazard make_sf1.py's key-domain assert guards)
+        print(f"SPARK_GRAFT_SF_DIR={SF01} is not an sf0.1 directory — "
+              "baselines would not apply; refusing", file=sys.stderr)
+        return 2
     if not os.path.isdir(SF1):
         print(f"{SF1} missing — run: python scripts/make_sf1.py", file=sys.stderr)
         return 2

@@ -69,6 +69,12 @@ def main() -> int:
               "cross-SF byte comparison is meaningless; skipping gate")
         return 0
     violations = []
+    for name in old["queries"]:
+        if name not in new["queries"]:
+            # a query vanishing from the report is the silent-coverage-loss
+            # class, not a pass — it may be hiding the very regression the
+            # gate exists to catch
+            violations.append(f"{name}: in baseline but MISSING from fresh run")
     for name, m in new["queries"].items():
         o = old["queries"].get(name)
         if o is None:
@@ -76,7 +82,10 @@ def main() -> int:
             continue
         for key in ("shuffle_write_bytes", "input_bytes"):
             b, n = o[key], m[key]
-            if b < FLOOR_BYTES and n < FLOOR_BYTES:
+            if abs(n - b) < FLOOR_BYTES:
+                # absolute deltas below the floor are scheduler/AQE noise
+                # even when the RATIO is large (a 990B baseline tripling
+                # is not a plan regression); real explosions clear this
                 continue
             factor = n / max(b, 1)
             cap, reason = ALLOWED_GROWTH.get(name, (2.0, None))

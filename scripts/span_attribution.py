@@ -87,21 +87,25 @@ def stats(spark, df) -> dict:
             )
         ).alias("pos", "win"),
     )
-    total = occ.count()
-    dup_occ = (
+    # one pass: per-window counts, then one aggregate yields total windows
+    # AND dup stats (occ's tokenize+posexplode lineage executes once, not
+    # once per statistic)
+    row = (
         occ.groupBy("win")
         .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") > 1)
         .agg(
-            F.coalesce(F.sum("c"), F.lit(0)).alias("dup_occurrences"),
-            F.count(F.lit(1)).alias("dup_windows"),
+            F.coalesce(F.sum("c"), F.lit(0)).alias("windows"),
+            F.coalesce(
+                F.sum(F.when(F.col("c") > 1, F.col("c"))), F.lit(0)
+            ).alias("dup_occurrences"),
+            F.count(F.when(F.col("c") > 1, True)).alias("dup_windows"),
         )
         .collect()[0]
     )
     return {
-        "windows": total,
-        "dup_occurrences": dup_occ["dup_occurrences"],
-        "dup_windows": dup_occ["dup_windows"],
+        "windows": row["windows"],
+        "dup_occurrences": row["dup_occurrences"],
+        "dup_windows": row["dup_windows"],
     }
 
 

@@ -118,6 +118,13 @@ _DRIVER_WINDOW = [
     "u5_cdc_merge",
     "w12_funnel_conversion",
     "w13_retention_cohorts",
+    # -- QUEUED for the r7 window (registered late in r6 after the 50
+    # slots were rotated): ml_logreg_train, ml_logreg_eval. In-round
+    # proof: oracle-checked at sf0.001 + sf0.01 + sf0.1 under a vanilla
+    # ANSI session (CORRECTNESS_LOCAL_SF01.md 156/156), bit-identical to
+    # a pure-Python replay (tests/test_llmops_algos.py::
+    # test_logreg_trainer_matches_pure_python_replay), partitioning-
+    # deterministic (DETERMINISM.md).
 ]
 
 

@@ -15,6 +15,7 @@ from pyspark.sql.window import Window
 
 from ecommerce_etl_pipeline_spark.functions.exact_agg import portable_round, sql_round
 from ecommerce_etl_pipeline_spark.llmops import (
+    classifier,
     clustering,
     dedup,
     multimodal,
@@ -3218,3 +3219,141 @@ def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_topk(emb, q, k=10),
         k=10,
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-classifier TRAINING (llmops/classifier.py) — the full
+# gradient-descent loop replays in DuckDB via the integer-nano doctrine:
+# fast-sigmoid link (no transcendentals, every op exactly-rounded IEEE),
+# per-row gradients quantized to bigint nanos (order-independent sums),
+# floor-division weight updates (Python // == DuckDB //), fixed
+# iteration count unrolled into materialized CTEs.
+# ---------------------------------------------------------------------------
+_CLS_D = 5
+_CLS_ITER = 12
+_CLS_LR_NUM = 16
+_CLS_LR_DEN = 1
+
+
+def _logreg_sql() -> tuple[str, str]:
+    """(WITH-clause prefix, name of the final weight CTE)."""
+    feats = f"""
+        SELECT 1.0 AS x0,
+               CAST({_LANG_HITS['en']} AS DOUBLE) / nn AS x1,
+               CAST({_LANG_HITS['es']} AS DOUBLE) / nn AS x2,
+               pp / cc AS x3,
+               least(nn, 100.0) / 100.0 AS x4,
+               CASE WHEN nn >= 40 AND pp / cc <= 0.2 THEN 1 ELSE 0 END AS y
+        FROM (
+            SELECT text,
+                   CAST(greatest(len(string_split(text, ' ')), 1) AS DOUBLE) AS nn,
+                   CAST(greatest(length(text), 1) AS DOUBLE) AS cc,
+                   CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
+                        AS DOUBLE) AS pp
+            FROM documents
+        )"""
+    parts = [
+        f"feats AS MATERIALIZED ({feats})",
+        "cnt AS (SELECT COUNT(*) AS n FROM feats)",
+        "w0 AS (SELECT "
+        + ", ".join(f"CAST(0 AS BIGINT) AS w{j}" for j in range(_CLS_D))
+        + ")",
+    ]
+    for t in range(1, _CLS_ITER + 1):
+        z = " + ".join(
+            f"f.x{j} * (w.w{j} / 1000000000.0)" for j in range(_CLS_D)
+        )
+        g_cols = ", ".join(
+            "CAST(SUM(CAST(floor(((0.5 + z / (2.0 * (1.0 + abs(z)))) - y)"
+            f" * x{j} * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS g{j}"
+            for j in range(_CLS_D)
+        )
+        # MATERIALIZED is load-bearing: w{t-1} is referenced by BOTH
+        # g{t} and w{t}, and DuckDB inline-expands non-materialized CTEs
+        # per reference — 2^iterations plan blowup (the unrolled-loop
+        # gotcha from the portable-numerics doctrine)
+        parts.append(
+            f"g{t} AS MATERIALIZED (SELECT {g_cols} FROM "
+            f"(SELECT f.*, ({z}) AS z FROM feats f CROSS JOIN w{t - 1} w))"
+        )
+        w_cols = ", ".join(
+            f"w.w{j} - ({_CLS_LR_NUM} * g.g{j}) // ({_CLS_LR_DEN} * c.n) AS w{j}"
+            for j in range(_CLS_D)
+        )
+        parts.append(
+            f"w{t} AS MATERIALIZED (SELECT {w_cols} FROM w{t - 1} w "
+            f"CROSS JOIN g{t} g CROSS JOIN cnt c)"
+        )
+    return "WITH " + ",\n".join(parts), f"w{_CLS_ITER}"
+
+
+_CLS_WITH, _CLS_WFINAL = _logreg_sql()
+
+
+@register(
+    "ml_logreg_train",
+    oracle=_CLS_WITH + "\n" + "\nUNION ALL ".join(
+        f"SELECT {j} AS feature, w{j} AS weight_nano FROM {_CLS_WFINAL}"
+        for j in range(_CLS_D)
+    ),
+    doc="Quality-classifier training (the FineWeb-style distillation "
+    "stage): 12 gradient-descent rounds of a fast-sigmoid linear scorer "
+    "over 5 integer-ratio features (bias, en/es stopword ratios, punct "
+    "ratio, capped length), labels from the heuristic judge. Each round "
+    "is ONE map-side-combinable aggregate to d=5 integer-nano gradient "
+    "sums (bounded driver statistic, the kmeans-centroid class); the "
+    "ENTIRE loop replays in DuckDB as unrolled materialized CTEs — "
+    "weights are bit-identical integers, not approximately-equal floats.",
+)
+def ml_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w, feats = classifier.train_linear_scorer(
+        docs, iterations=_CLS_ITER, lr_num=_CLS_LR_NUM, lr_den=_CLS_LR_DEN
+    )
+    out = spark.createDataFrame(
+        [(j, int(w[j])) for j in range(len(w))], "feature INT, weight_nano LONG"
+    )
+    return carry_caches(out, feats)
+
+
+@register(
+    "ml_logreg_eval",
+    oracle=_CLS_WITH + f""",
+    scored AS (
+        SELECT y, CASE WHEN (0.5 + z / (2.0 * (1.0 + abs(z)))) >= 0.5
+                       THEN 1 ELSE 0 END AS p
+        FROM (SELECT f.*, ({" + ".join(
+            f"f.x{j} * (w.w{j} / 1000000000.0)" for j in range(_CLS_D)
+        )}) AS z FROM feats f CROSS JOIN {_CLS_WFINAL} w)
+    )
+    SELECT CAST(SUM(p * y) AS BIGINT) AS tp,
+           CAST(SUM(p * (1 - y)) AS BIGINT) AS fp,
+           CAST(SUM((1 - p) * y) AS BIGINT) AS fn,
+           CAST(SUM((1 - p) * (1 - y)) AS BIGINT) AS tn,
+           {sql_round("AVG(CASE WHEN p = y THEN 1.0 ELSE 0.0 END)", 6)}
+               AS accuracy
+    FROM scored
+    """,
+    doc="Train-then-evaluate round trip for the quality classifier: the "
+    "trained weights (same unrolled loop as ml_logreg_train) score the "
+    "corpus in one narrow pass and the confusion matrix aggregates to a "
+    "single row — the quality-gate calibration report a curation "
+    "pipeline publishes before enabling the classifier filter.",
+)
+def ml_logreg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w, feats = classifier.train_linear_scorer(
+        docs, iterations=_CLS_ITER, lr_num=_CLS_LR_NUM, lr_den=_CLS_LR_DEN
+    )
+    scored = classifier.score_with_weights(docs, w)
+    p, y = F.col("predicted"), F.col("y")
+    out = scored.agg(
+        F.sum(p * y).alias("tp"),
+        F.sum(p * (1 - y)).alias("fp"),
+        F.sum((1 - p) * y).alias("fn"),
+        F.sum((1 - p) * (1 - y)).alias("tn"),
+        portable_round(
+            F.avg(F.when(p == y, F.lit(1.0)).otherwise(F.lit(0.0))), 6
+        ).alias("accuracy"),
+    )
+    return carry_caches(out, feats)

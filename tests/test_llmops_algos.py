@@ -1162,3 +1162,55 @@ def test_curate_rejects_ambiguous_ppjoin_minhash_combo(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     with pytest.raises(ValueError, match="use_minhash=False"):
         curation.curate(docs, use_ppjoin=True)  # use_minhash defaults True
+
+
+def test_logreg_trainer_matches_pure_python_replay(spark):
+    """The distributed trainer must be bit-identical to a pure-Python
+    replay (integer-nano gradient sums are order-independent; fast
+    sigmoid and feature ratios are IEEE-exact) — the pagerank parity
+    discipline applied to gradient descent."""
+    import math
+
+    from ecommerce_etl_pipeline_spark.llmops import classifier
+
+    texts = [
+        " ".join(f"tok{i}w{j}" for j in range(5 + 7 * i)) for i in range(12)
+    ] + [
+        "the a and of to in is " * 8,     # stopword-heavy, long
+        "x! y? z., ;;; ::: !!!",           # punctuation-heavy
+        "el la de que y en los corto",     # es stopwords, short
+    ]
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                                 "doc_id LONG, text STRING")
+    w, feats = classifier.train_linear_scorer(docs, iterations=5)
+    for c in feats.retained_caches:
+        c.unpersist()
+
+    # pure-python twin over the same feature definitions
+    EN = ["the", "a", "and", "of", "to", "in", "is"]
+    ES = ["el", "la", "de", "que", "y", "en", "los"]
+    rows = []
+    for t in texts:
+        toks = t.split(" ")
+        n = float(max(len(toks), 1))
+        chars = float(max(len(t), 1))
+        punct = float(sum(1 for ch in t if not (ch.islower() and ch.isascii()
+                                                or ch.isdigit() or ch == " ")))
+        x = (1.0, sum(tk in EN for tk in toks) / n,
+             sum(tk in ES for tk in toks) / n, punct / chars,
+             min(n, 100.0) / 100.0)
+        y = 1.0 if (n >= 40 and punct / chars <= 0.2) else 0.0
+        rows.append((x, y))
+    ref = [0] * 5
+    for _ in range(5):
+        G = [0] * 5
+        for x, y in rows:
+            z = 0.0
+            for j in range(5):
+                z = z + x[j] * (ref[j] / 1e9)
+            p = 0.5 + z / (2.0 * (1.0 + abs(z)))
+            for j in range(5):
+                G[j] += math.floor((p - y) * x[j] * 1e9 + 0.5)
+        ref = [ref[j] - classifier.trunc_div(16 * G[j], len(rows))
+               for j in range(5)]
+    assert w == ref

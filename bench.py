@@ -80,6 +80,7 @@ EXTENDED = [
     "ml_kmeans_train",
     "dd_simhash_pairs",
     "dd_ppjoin_pairs",  # round 6: prefix-filter exact join (Zipf scale path)
+    "ml_logreg_train",  # round 6: quality-classifier trainer (12 GD rounds)
 ]
 
 

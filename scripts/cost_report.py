@@ -31,7 +31,7 @@ QUERIES = [
     "dd_curation_pipeline", "dd_curation_minhash", "dd_simhash_pairs",
     "dd_bloom_decontam", "dd_span_excision", "dd_semantic_dedup",
     "g1_pagerank_copurchase", "ml_kmeans_train", "txt_bpe_merges",
-    "dd_ppjoin_pairs", "dd_jaccard_df_capped",
+    "dd_ppjoin_pairs", "dd_jaccard_df_capped", "ml_logreg_train",
 ]
 
 

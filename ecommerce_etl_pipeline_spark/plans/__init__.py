@@ -119,12 +119,14 @@ _DRIVER_WINDOW = [
     "w12_funnel_conversion",
     "w13_retention_cohorts",
     # -- QUEUED for the r7 window (registered late in r6 after the 50
-    # slots were rotated): ml_logreg_train, ml_logreg_eval. In-round
-    # proof: oracle-checked at sf0.001 + sf0.01 + sf0.1 under a vanilla
-    # ANSI session (CORRECTNESS_LOCAL_SF01.md 156/156), bit-identical to
-    # a pure-Python replay (tests/test_llmops_algos.py::
-    # test_logreg_trainer_matches_pure_python_replay), partitioning-
-    # deterministic (DETERMINISM.md).
+    # slots were rotated): ml_logreg_train, ml_logreg_eval,
+    # dd_curation_ppjoin. In-round proof: oracle-checked at sf0.001 +
+    # sf0.01 + sf0.1 under a vanilla ANSI session
+    # (CORRECTNESS_LOCAL_SF01.md 157/157), logreg bit-identical to a
+    # pure-Python replay (tests/test_llmops_algos.py::
+    # test_logreg_trainer_matches_pure_python_replay), curation-ppjoin
+    # row-identical to dd_curation_pipeline by construction (equality
+    # also pytest-pinned), partitioning-deterministic (DETERMINISM.md).
 ]
 
 

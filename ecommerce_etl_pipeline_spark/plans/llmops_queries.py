@@ -2413,6 +2413,42 @@ def dd_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dd_curation_ppjoin",
+    oracle=f"""
+    WITH RECURSIVE {_CURATED_BASE_SQL},
+    pairs AS ({_jaccard_pairs_sql('curated_exact')}),
+    edges AS (
+        SELECT doc1 AS a, doc2 AS b FROM pairs
+        UNION SELECT doc2, doc1 FROM pairs
+    ),
+    reach(node, r) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.a, re.r FROM edges e JOIN reach re ON e.b = re.node
+    )
+    SELECT doc_id, n_tokens FROM curated_exact
+    WHERE doc_id NOT IN (
+        SELECT node FROM (SELECT node, MIN(r) AS c FROM reach GROUP BY node)
+        WHERE node <> c
+    )
+    """,
+    doc="END-TO-END curation with the PPJoin prefix-filter join as stage "
+    "4's exact candidate generator — the df-skewed-corpus form of "
+    "dd_curation_pipeline. PPJoin is exact, so the oracle is the SAME "
+    "plain-inverted-index SQL: any completeness bug in the prefix or "
+    "positional filters surfaces as a row diff in the curated corpus "
+    "itself, the strongest end-to-end check the operator can get.",
+)
+def dd_curation_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecommerce_etl_pipeline_spark.llmops import curation
+
+    docs = load_table(spark, sf_dir, "documents")
+    curated = curation.curate(docs, use_minhash=False, use_ppjoin=True)
+    out = curated.select("doc_id", F.col("n_tokens").cast("int").alias("n_tokens"))
+    return carry_caches(out, curated)
+
+
+@register(
     "dd_curation_minhash",
     oracle=f"""
     WITH RECURSIVE {_CURATED_BASE_SQL},

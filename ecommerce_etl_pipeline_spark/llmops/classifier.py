@@ -108,7 +108,11 @@ def train_linear_scorer(
     next round's plan as repr-exact double literals, so each round's
     per-row math is bit-identical to the SQL oracle's.
     """
-    t = F.col(text_col)
+    # NULL text folds to '' BEFORE feature extraction (mirrored in the
+    # oracle's feats CTE): without it a NULL row propagates NULL features
+    # on the Spark side while SQL CASE/aggregate semantics count it
+    # differently — the SimHash NULL-text divergence class
+    t = F.coalesce(F.col(text_col), F.lit(""))
     xs = quality_feature_exprs(t)
     d = len(xs)
     feats = ensure_parallelism(docs).select(
@@ -120,6 +124,10 @@ def train_linear_scorer(
     feats.retained_caches = [feats] if cache else []
     n_rows = feats.count()
     w = [0] * d
+    if n_rows == 0:
+        # the weight update divides by n_rows; zero rows = zero gradient
+        # signal, so the zero-initialized weights ARE the fixpoint
+        return w, feats
     for _ in range(iterations):
         # z folds left-to-right; the oracle writes the same chain order
         z = F.lit(float(w[0]) / NANO) * F.col("x0")
@@ -143,20 +151,41 @@ def train_linear_scorer(
     return w, feats
 
 
+def _z_from(cols: list[Column], weights_nano: list[int]) -> Column:
+    z = F.lit(float(weights_nano[0]) / NANO) * cols[0]
+    for j in range(1, len(cols)):
+        z = z + F.lit(float(weights_nano[j]) / NANO) * cols[j]
+    return z
+
+
 def score_with_weights(
     docs: DataFrame, weights_nano: list[int], text_col: str = "text"
 ) -> DataFrame:
-    """Apply trained weights: one narrow pass, weights as literals.
-    Returns (doc_id passthrough columns +) score, predicted, y."""
-    t = F.col(text_col)
-    xs = quality_feature_exprs(t)
-    z = F.lit(float(weights_nano[0]) / NANO) * xs[0]
-    for j in range(1, len(xs)):
-        z = z + F.lit(float(weights_nano[j]) / NANO) * xs[j]
-    score = fast_sigmoid(z)
+    """Apply trained weights to RAW documents: one narrow pass, weights as
+    literals. Returns all input columns + score, predicted, y. For
+    post-training evaluation prefer :func:`evaluate_scorer` on the cached
+    feature frame — this form re-tokenizes from the raw text."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    score = fast_sigmoid(_z_from(quality_feature_exprs(t), weights_nano))
     return docs.select(
         "*",
         score.alias("score"),
         (score >= 0.5).cast("int").alias("predicted"),
         heuristic_quality_label(t).alias("y"),
+    )
+
+
+def evaluate_scorer(feats: DataFrame, weights_nano: list[int]) -> DataFrame:
+    """Confusion matrix + accuracy from the TRAINED feature frame — the
+    frame train_linear_scorer already cached, so evaluation costs one
+    cache scan, not a second tokenize/regex pass over the corpus (at the
+    100 TB design point the re-scan would double the query)."""
+    cols = [F.col(f"x{j}") for j in range(len(weights_nano))]
+    p = (fast_sigmoid(_z_from(cols, weights_nano)) >= 0.5).cast("int")
+    y = F.col("y")
+    return feats.agg(
+        F.sum(p * y).alias("tp"),
+        F.sum(p * (1 - y)).alias("fp"),
+        F.sum((1 - p) * y).alias("fn"),
+        F.sum((1 - p) * (1 - y)).alias("tn"),
     )

@@ -3262,8 +3262,10 @@ def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # gradient-descent loop replays in DuckDB via the integer-nano doctrine:
 # fast-sigmoid link (no transcendentals, every op exactly-rounded IEEE),
 # per-row gradients quantized to bigint nanos (order-independent sums),
-# floor-division weight updates (Python // == DuckDB //), fixed
-# iteration count unrolled into materialized CTEs.
+# TRUNCATING-division weight updates (DuckDB's integer // truncates
+# toward zero like Spark's div; Python's // floors, so the driver uses
+# classifier.trunc_div), fixed iteration count unrolled into
+# materialized CTEs.
 # ---------------------------------------------------------------------------
 _CLS_D = 5
 _CLS_ITER = 12
@@ -3286,7 +3288,7 @@ def _logreg_sql() -> tuple[str, str]:
                    CAST(greatest(length(text), 1) AS DOUBLE) AS cc,
                    CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
                         AS DOUBLE) AS pp
-            FROM documents
+            FROM (SELECT coalesce(text, '') AS text FROM documents)
         )"""
     parts = [
         f"feats AS MATERIALIZED ({feats})",
@@ -3381,15 +3383,16 @@ def ml_logreg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     w, feats = classifier.train_linear_scorer(
         docs, iterations=_CLS_ITER, lr_num=_CLS_LR_NUM, lr_den=_CLS_LR_DEN
     )
-    scored = classifier.score_with_weights(docs, w)
-    p, y = F.col("predicted"), F.col("y")
-    out = scored.agg(
-        F.sum(p * y).alias("tp"),
-        F.sum(p * (1 - y)).alias("fp"),
-        F.sum((1 - p) * y).alias("fn"),
-        F.sum((1 - p) * (1 - y)).alias("tn"),
+    # score from the CACHED feature frame (one cache scan) — not from the
+    # raw corpus, which would re-pay the tokenize/regex feature pass
+    n = F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn")
+    out = classifier.evaluate_scorer(feats, w).select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
         portable_round(
-            F.avg(F.when(p == y, F.lit(1.0)).otherwise(F.lit(0.0))), 6
+            (F.col("tp") + F.col("tn")).cast("double") / n.cast("double"), 6
         ).alias("accuracy"),
     )
     return carry_caches(out, feats)

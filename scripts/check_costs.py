@@ -82,10 +82,13 @@ def main() -> int:
             continue
         for key in ("shuffle_write_bytes", "input_bytes"):
             b, n = o[key], m[key]
-            if abs(n - b) < FLOOR_BYTES:
-                # absolute deltas below the floor are scheduler/AQE noise
-                # even when the RATIO is large (a 990B baseline tripling
-                # is not a plan regression); real explosions clear this
+            if abs(n - b) < FLOOR_BYTES and n < 4 * FLOOR_BYTES:
+                # sub-floor absolute deltas on still-tiny values are
+                # scheduler/AQE noise even when the RATIO is large (a
+                # 990B baseline tripling is not a plan regression); the
+                # second conjunct bounds the maximal silent drift to
+                # <16KB absolute — anything that grows PAST that is
+                # gated by ratio no matter how small the baseline was
                 continue
             factor = n / max(b, 1)
             cap, reason = ALLOWED_GROWTH.get(name, (2.0, None))

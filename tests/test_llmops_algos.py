@@ -1214,3 +1214,25 @@ def test_logreg_trainer_matches_pure_python_replay(spark):
         ref = [ref[j] - classifier.trunc_div(16 * G[j], len(rows))
                for j in range(5)]
     assert w == ref
+
+
+def test_logreg_trainer_empty_and_null_text_corpus(spark):
+    """Zero rows: zero weights are the fixpoint (no ZeroDivisionError);
+    NULL text folds to '' on both engines (the SimHash NULL-text class)."""
+    from ecommerce_etl_pipeline_spark.llmops import classifier
+
+    empty = spark.createDataFrame([], "doc_id LONG, text STRING")
+    w, feats = classifier.train_linear_scorer(empty, iterations=3)
+    for c in feats.retained_caches:
+        c.unpersist()
+    assert w == [0] * 5
+
+    nulled = spark.createDataFrame(
+        [(1, None), (2, "the a and of to in is " * 10)],
+        "doc_id LONG, text STRING",
+    )
+    w2, feats2 = classifier.train_linear_scorer(nulled, iterations=3)
+    conf = classifier.evaluate_scorer(feats2, w2).collect()[0]
+    for c in feats2.retained_caches:
+        c.unpersist()
+    assert conf["tp"] + conf["fp"] + conf["fn"] + conf["tn"] == 2

@@ -88,6 +88,23 @@ def fast_sigmoid(z: Column) -> Column:
     return F.lit(0.5) + z / (F.lit(2.0) * (F.lit(1.0) + F.abs(z)))
 
 
+def featurize(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The d=5 feature frame + heuristic label — the input both training
+    and held-out evaluation consume (one narrow map per corpus pass).
+
+    NULL text folds to '' BEFORE feature extraction (mirrored in the
+    oracle's feats CTE): without it a NULL row propagates NULL features
+    on the Spark side while SQL CASE/aggregate semantics count it
+    differently — the SimHash NULL-text divergence class.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    xs = quality_feature_exprs(t)
+    return ensure_parallelism(docs).select(
+        *(x.alias(f"x{j}") for j, x in enumerate(xs)),
+        heuristic_quality_label(t).alias("y"),
+    )
+
+
 def train_linear_scorer(
     docs: DataFrame,
     text_col: str = "text",
@@ -108,17 +125,8 @@ def train_linear_scorer(
     next round's plan as repr-exact double literals, so each round's
     per-row math is bit-identical to the SQL oracle's.
     """
-    # NULL text folds to '' BEFORE feature extraction (mirrored in the
-    # oracle's feats CTE): without it a NULL row propagates NULL features
-    # on the Spark side while SQL CASE/aggregate semantics count it
-    # differently — the SimHash NULL-text divergence class
-    t = F.coalesce(F.col(text_col), F.lit(""))
-    xs = quality_feature_exprs(t)
-    d = len(xs)
-    feats = ensure_parallelism(docs).select(
-        *(x.alias(f"x{j}") for j, x in enumerate(xs)),
-        heuristic_quality_label(t).alias("y"),
-    )
+    feats = featurize(docs, text_col)
+    d = len(quality_feature_exprs(F.lit("")))
     if cache:
         feats = feats.cache()
     feats.retained_caches = [feats] if cache else []
@@ -134,16 +142,25 @@ def train_linear_scorer(
         for j in range(1, d):
             z = z + F.lit(float(w[j]) / NANO) * F.col(f"x{j}")
         resid = fast_sigmoid(z) - F.col("y")
+        # gradient sums widen to DECIMAL(38,0): per-row quantized
+        # gradients are exact integers bounded by ±NANO (|resid| <= 1 and
+        # every feature is in [0,1]), so a LONG sum would overflow ANSI at
+        # ~9.2e9 rows — well inside the 100 TB design point (~1e10-1e11
+        # docs). Decimal sums of exact integers stay exact and map-side
+        # combinable; the update itself runs in unbounded Python ints.
         grads = feats.select(
             *(
                 F.sum(
-                    F.floor(resid * F.col(f"x{j}") * F.lit(float(NANO)) + F.lit(0.5))
+                    F.floor(
+                        resid * F.col(f"x{j}") * F.lit(float(NANO)) + F.lit(0.5)
+                    ).cast("decimal(38,0)")
                 ).alias(f"g{j}")
                 for j in range(d)
             )
         ).collect()[0]
-        # TRUNCATING division — matches DuckDB's integer //; |G| <= n*1e9
-        # and |w| stays O(1e9 * iterations): no overflow anywhere near 2^63
+        # TRUNCATING division — matches DuckDB's integer // (the oracle
+        # widens to HUGEINT for the lr_num * G product for the same
+        # >5.8e8-row reason)
         w = [
             w[j] - trunc_div(lr_num * int(grads[f"g{j}"]), lr_den * n_rows)
             for j in range(d)
@@ -162,13 +179,16 @@ def score_with_weights(
     docs: DataFrame, weights_nano: list[int], text_col: str = "text"
 ) -> DataFrame:
     """Apply trained weights to RAW documents: one narrow pass, weights as
-    literals. Returns all input columns + score, predicted, y. For
+    literals. Returns all input columns + score, predicted, y (RESERVED
+    output names — input columns with those names are dropped first, or
+    the select would emit ambiguous duplicates downstream). For
     post-training evaluation prefer :func:`evaluate_scorer` on the cached
     feature frame — this form re-tokenizes from the raw text."""
     t = F.coalesce(F.col(text_col), F.lit(""))
     score = fast_sigmoid(_z_from(quality_feature_exprs(t), weights_nano))
+    keep = [c for c in docs.columns if c not in ("score", "predicted", "y")]
     return docs.select(
-        "*",
+        *keep,
         score.alias("score"),
         (score >= 0.5).cast("int").alias("predicted"),
         heuristic_quality_label(t).alias("y"),

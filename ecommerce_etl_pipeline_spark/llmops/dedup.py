@@ -886,11 +886,17 @@ def jaccard_similarity_join(
     # explode_nonnull: a plain explode would re-run the whole shingle pass
     # as an inferred pushed-down filter — measured 2.2x on this join
     inv = explode_nonnull(sets, F.col("hashes"), "h", "doc_id", "set_size")
+    capped_cache = []
     if max_df is not None:
         # lower-bound accounting (see docstring): cap the INDEX, keep the
         # FULL set_size already carried on each row. The df aggregate and
         # the filtered join both key on h — co-partitioned with the
-        # self-join below, no extra shuffle key enters the plan.
+        # self-join below, no extra shuffle key enters the plan. ``inv``
+        # is cached because it feeds BOTH the df aggregate and the capped
+        # join back — uncached, the tokenize+shingle+explode lineage would
+        # execute twice (released via retained_caches, curate() contract).
+        inv = inv.cache()
+        capped_cache = [inv]
         dfc = inv.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
         inv = inv.join(dfc.filter(F.col("_df") <= max_df).select("h"), "h")
     # JOIN STRATEGY (all dedup self-joins): UNHINTED, on purpose. Both
@@ -930,9 +936,11 @@ def jaccard_similarity_join(
         .agg(F.count(F.lit(1)).alias("c"))
     )
     jac = F.col("c") / (F.col("n1") + F.col("n2") - F.col("c"))
-    return inter.select("doc1", "doc2", jac.alias("jaccard")).filter(
+    out = inter.select("doc1", "doc2", jac.alias("jaccard")).filter(
         F.col("jaccard") >= threshold
     )
+    out.retained_caches = capped_cache
+    return out
 
 
 def ppjoin_pairs(

@@ -56,77 +56,77 @@ for _optional in (
 # listed keeps its original relative order after the curated block.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW = [
-    # -- 2 NEW round-6 queries (window rule: new query => window slot)
-    "dd_ppjoin_pairs",
+    # -- round-6 trio, registered after r6's window rotated (r6 VERDICT
+    # brief #1: these MUST lead r7) + the NEW r7 query (window rule:
+    # new query => window slot)
+    "ml_logreg_train",
+    "ml_logreg_eval",
+    "dd_curation_ppjoin",
+    "ml_logreg_holdout",
+    # -- round-7-touched re-certification: jaccard_similarity_join's
+    # max_df branch now caches the inverted index (ADVICE r6 #3) and the
+    # logreg oracle widened its gradient sums to HUGEINT with the n=0
+    # guard (ADVICE r6 #1/#2) — the two train/eval certs above cover the
+    # oracle change; this covers the cache change on the capped branch
     "dd_jaccard_df_capped",
-    # -- 5 round-6-touched re-certifications: jaccard_similarity_join
-    # gained the max_df branch (default-path no-op, re-certified anyway
-    # for the three registered consumers + the curation headline), and
-    # operators/graph.py's venue pick was restructured (type-aware probe,
-    # empty-graph guard)
-    "dd_jaccard_pairs",
-    "dd_jaccard_clusters",
-    "dd_contamination_report",
-    "dd_curation_pipeline",
-    "g1_pagerank_copurchase",
-    # -- all 25 queries whose latest driver cert is round 2 (the stalest)
-    "a17_percentiles",
-    "a18_argmax",
-    "a20_pivot",
-    "a23_zscore_outliers",
-    "a24_winsorized_stats",
-    "dd_embedding_neardup",
-    "dd_hash_split",
-    "dq_validation_report",
-    "sc_temporal_features",
-    "sim_quantized_topk",
-    "sm5_stratified_sample",
-    "sm7_temperature_mixture",
-    "sql_correlated_exists",
-    "sql_nation_revenue",
-    "sql_top_revenue_orders",
-    "txt_bigram_logprob",
-    "txt_lang_id_confusion",
-    "txt_pii_redaction",
-    "txt_repetition",
-    "txt_tfidf_top_terms",
-    "txt_token_stats",
-    "txt_unigram_logprob",
-    "txt_vocabulary",
-    "txt_winnow_fingerprints",
-    "w11_salted_hot_keys",
-    # -- 18 round-3-latest picks (oracle-backed ones; the 7 rows-only
-    # queries record err:no_oracle in a driver window by design, so they
-    # stay on their pytest parity/error-bound gates instead — see
-    # VERDICT r5 "What's wrong" #3). The 18 r3 queries left out are
-    # exactly age-3 after this round and lead the r7 rotation.
-    "a19_collect_sorted",
-    "a25_price_histogram",
-    "dd_dedup_summary",
-    "dd_span_excision",
-    "ml_kmeans_step",
-    "mm_frame_sample",
-    "mm_png_decode",
-    "sc_date_arithmetic",
-    "sim_hard_negatives",
-    "sim_rp_rerank",
-    "sm6_mixture_sample",
-    "sm8_weighted_sample",
-    "sm9_importance_resample",
-    "txt_dataset_card",
-    "txt_quality_logit",
-    "u5_cdc_merge",
-    "w12_funnel_conversion",
-    "w13_retention_cohorts",
-    # -- QUEUED for the r7 window (registered late in r6 after the 50
-    # slots were rotated): ml_logreg_train, ml_logreg_eval,
-    # dd_curation_ppjoin. In-round proof: oracle-checked at sf0.001 +
-    # sf0.01 + sf0.1 under a vanilla ANSI session
-    # (CORRECTNESS_LOCAL_SF01.md 157/157), logreg bit-identical to a
-    # pure-Python replay (tests/test_llmops_algos.py::
-    # test_logreg_trainer_matches_pure_python_replay), curation-ppjoin
-    # row-identical to dd_curation_pipeline by construction (equality
-    # also pytest-pinned), partitioning-deterministic (DETERMINISM.md).
+    # -- the 11 oracle-backed round-3-latest certs (exactly age 3 —
+    # the other 7 r3-latest are the rows-only set that stays out of
+    # windows by design: sk_hll, sk_approx, sim_ivf_recall/topk,
+    # sim_cosine_topk_arrow, sm4_generated_transactions,
+    # txt_compression_ratio — pytest parity/error-bound gated instead)
+    "sc_string_functions",
+    "sim_knn_label_audit",
+    "sim_label_centroids",
+    "sim_rp_topk",
+    "txt_char_entropy",
+    "txt_fingerprints",
+    "txt_freq_spectrum",
+    "txt_repetition_battery",
+    "txt_shard_manifest",
+    "txt_source_scorecard",
+    "txt_vocab_encode",
+    # -- 34 of the 41 round-4-latest certs (age 2 -> re-certed before
+    # they hit the age-3 boundary). The 7 deferred to lead r8 are
+    # exactly the BENCH headline set (a1_daily_sales, a4_customer_ltv,
+    # a8_pricing_summary, j1_order_lineitem_join, j9_asof_join,
+    # w4_sessionize, w7_moving_avg_7d): they run every round in bench +
+    # the local dual-scale sweep, so they carry the strongest
+    # non-driver signal while waiting. Steady state: 151 oracle-backed
+    # queries / 50 slots ~= age <= 3 for everything.
+    "a22_cube",
+    "a26_rfm_segments",
+    "a27_pareto_revenue",
+    "dd_exact_dedup",
+    "dq_psi_drift",
+    "j11_bloom_pruned_join",
+    "j12_association_rules",
+    "j2_customer_geo_broadcast",
+    "j4_pair_names_lookup",
+    "j6_semi_cascade",
+    "n1_json_scalar_extract",
+    "n2_hof_array_aggregate",
+    "n4_pair_expansion_hof",
+    "o1_global_topk",
+    "p1_projection_filter",
+    "p7_lossy_cast",
+    "sc_age_tenure_segments",
+    "sc_market_position",
+    "sim_cosine_topk",
+    "sim_lsh_topk",
+    "sk_cms_token_counts",
+    "sm10_epoch_shuffle",
+    "sm1_seeded_sample",
+    "sm2_exact_n_sample",
+    "sm3_ri_cascade_sample",
+    "sql_grouping_sets",
+    "txt_quality_scores",
+    "u1_union_chunks",
+    "u4_unpivot",
+    "u6_snapshot_diff",
+    "w14_last_touch_attribution",
+    "w2_balance_segments",
+    "w3_top_orders_per_customer",
+    "w8_gapfill_ffill",
 ]
 
 

@@ -1017,9 +1017,10 @@ def dd_jaccard_df_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.jaccard_similarity_join(
         docs, threshold=0.5, hashed=False, max_df=5
     )
-    return pairs.select(
+    out = pairs.select(
         "doc1", "doc2", portable_round(F.col("jaccard"), 6).alias("jaccard")
     )
+    return carry_caches(out, pairs)
 
 
 @register(
@@ -3273,9 +3274,13 @@ _CLS_LR_NUM = 16
 _CLS_LR_DEN = 1
 
 
-def _logreg_sql() -> tuple[str, str]:
-    """(WITH-clause prefix, name of the final weight CTE)."""
-    feats = f"""
+def _cls_feats_sql(where: str = "") -> str:
+    """The d=5 feature + label SELECT (one per corpus split): mirrors
+    classifier.featurize literally; ``where`` filters `documents` (the
+    holdout split predicate references doc_id, so it applies BEFORE the
+    text projection)."""
+    pred = f" WHERE {where}" if where else ""
+    return f"""
         SELECT 1.0 AS x0,
                CAST({_LANG_HITS['en']} AS DOUBLE) / nn AS x1,
                CAST({_LANG_HITS['es']} AS DOUBLE) / nn AS x2,
@@ -3288,10 +3293,15 @@ def _logreg_sql() -> tuple[str, str]:
                    CAST(greatest(length(text), 1) AS DOUBLE) AS cc,
                    CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
                         AS DOUBLE) AS pp
-            FROM (SELECT coalesce(text, '') AS text FROM documents)
+            FROM (SELECT coalesce(text, '') AS text FROM documents{pred})
         )"""
+
+
+def _logreg_sql(where: str = "") -> tuple[str, str]:
+    """(WITH-clause prefix, name of the final weight CTE). ``where``
+    restricts training to a split of `documents` (holdout evaluation)."""
     parts = [
-        f"feats AS MATERIALIZED ({feats})",
+        f"feats AS MATERIALIZED ({_cls_feats_sql(where)})",
         "cnt AS (SELECT COUNT(*) AS n FROM feats)",
         "w0 AS (SELECT "
         + ", ".join(f"CAST(0 AS BIGINT) AS w{j}" for j in range(_CLS_D))
@@ -3301,9 +3311,12 @@ def _logreg_sql() -> tuple[str, str]:
         z = " + ".join(
             f"f.x{j} * (w.w{j} / 1000000000.0)" for j in range(_CLS_D)
         )
+        # per-row gradients stay BIGINT; the SUM widens to HUGEINT to
+        # match the Spark side's decimal(38,0) sums (a BIGINT sum
+        # overflows at ~9.2e9 rows of ±1e9 worst-case contributions)
         g_cols = ", ".join(
             "CAST(SUM(CAST(floor(((0.5 + z / (2.0 * (1.0 + abs(z)))) - y)"
-            f" * x{j} * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS g{j}"
+            f" * x{j} * 1000000000.0 + 0.5) AS BIGINT)) AS HUGEINT) AS g{j}"
             for j in range(_CLS_D)
         )
         # MATERIALIZED is load-bearing: w{t-1} is referenced by BOTH
@@ -3314,8 +3327,14 @@ def _logreg_sql() -> tuple[str, str]:
             f"g{t} AS MATERIALIZED (SELECT {g_cols} FROM "
             f"(SELECT f.*, ({z}) AS z FROM feats f CROSS JOIN w{t - 1} w))"
         )
+        # HUGEINT product (lr_num * G overflows BIGINT past ~5.8e17 |G|);
+        # coalesce + greatest guard the empty-split degenerate case the
+        # Spark trainer short-circuits (n=0 => zero gradient => w stays
+        # 0, exactly what coalesce(NULL,0) // greatest(0,1) yields); the
+        # weight itself casts back to BIGINT (|w| is O(1e9*iterations))
         w_cols = ", ".join(
-            f"w.w{j} - ({_CLS_LR_NUM} * g.g{j}) // ({_CLS_LR_DEN} * c.n) AS w{j}"
+            f"CAST(w.w{j} - ({_CLS_LR_NUM} * coalesce(g.g{j}, 0)) // "
+            f"greatest({_CLS_LR_DEN} * c.n, 1) AS BIGINT) AS w{j}"
             for j in range(_CLS_D)
         )
         parts.append(
@@ -3393,6 +3412,79 @@ def ml_logreg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tn",
         portable_round(
             (F.col("tp") + F.col("tn")).cast("double") / n.cast("double"), 6
+        ).alias("accuracy"),
+    )
+    return carry_caches(out, feats)
+
+
+# deterministic 80/20 train/holdout split for the classifier: the
+# dd_hash_split primitive (md5(salt||id) thresholded), so membership is a
+# pure function of doc_id — frozen eval set under corpus growth
+_CLS_SPLIT_SALT = "cls-holdout:v1"
+_CLS_TRAIN_FRAC = 0.8
+_CLS_SPLIT_THRESHOLD = int(_CLS_TRAIN_FRAC * splits.HASH_SPACE)
+_CLS_TRAIN_PRED = (
+    splits.sql_hash_uint32("doc_id", _CLS_SPLIT_SALT)
+    + f" < {_CLS_SPLIT_THRESHOLD}"
+)
+_CLS_HOLD_WITH, _CLS_HOLD_WFINAL = _logreg_sql(where=_CLS_TRAIN_PRED)
+
+
+@register(
+    "ml_logreg_holdout",
+    oracle=_CLS_HOLD_WITH + f""",
+    feats_holdout AS MATERIALIZED (
+        {_cls_feats_sql("NOT (" + _CLS_TRAIN_PRED + ")")}
+    ),
+    scored AS (
+        SELECT y, CASE WHEN (0.5 + z / (2.0 * (1.0 + abs(z)))) >= 0.5
+                       THEN 1 ELSE 0 END AS p
+        FROM (SELECT f.*, ({" + ".join(
+            f"f.x{j} * (w.w{j} / 1000000000.0)" for j in range(_CLS_D)
+        )}) AS z FROM feats_holdout f CROSS JOIN {_CLS_HOLD_WFINAL} w)
+    )
+    SELECT (SELECT CAST(n AS BIGINT) FROM cnt) AS n_train,
+           CAST(COUNT(*) AS BIGINT) AS n_holdout,
+           CAST(SUM(p * y) AS BIGINT) AS tp,
+           CAST(SUM(p * (1 - y)) AS BIGINT) AS fp,
+           CAST(SUM((1 - p) * y) AS BIGINT) AS fn,
+           CAST(SUM((1 - p) * (1 - y)) AS BIGINT) AS tn,
+           {sql_round("AVG(CASE WHEN p = y THEN 1.0 ELSE 0.0 END)", 6)}
+               AS accuracy
+    FROM scored
+    """,
+    doc="HELD-OUT evaluation of the quality classifier — the number a "
+    "FineWeb-style distillation gate actually publishes (train-set "
+    "accuracy flatters the scorer). Deterministic md5 80/20 split on "
+    "doc_id (the dd_hash_split primitive: membership never moves under "
+    "corpus growth), train the 12-round scorer on the 80% only, score "
+    "the unseen 20% in one narrow pass. Both the training loop and the "
+    "holdout confusion matrix replay bit-exactly in DuckDB (same "
+    "unrolled materialized CTEs with the split predicate in the feats "
+    "CTE).",
+)
+def ml_logreg_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = splits.hash_uint32(F.col("doc_id"), _CLS_SPLIT_SALT)
+    train = docs.filter(h < F.lit(_CLS_SPLIT_THRESHOLD))
+    holdout = docs.filter(~(h < F.lit(_CLS_SPLIT_THRESHOLD)))
+    w, feats = classifier.train_linear_scorer(
+        train, iterations=_CLS_ITER, lr_num=_CLS_LR_NUM, lr_den=_CLS_LR_DEN
+    )
+    # n_train from the CACHED train feature frame (one cache statistic);
+    # holdout features are a fresh narrow pass over the unseen split
+    n_train = feats.count()
+    conf = classifier.evaluate_scorer(classifier.featurize(holdout), w)
+    n_hold = F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn")
+    out = conf.select(
+        F.lit(n_train).cast("long").alias("n_train"),
+        n_hold.cast("long").alias("n_holdout"),
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        portable_round(
+            (F.col("tp") + F.col("tn")).cast("double") / n_hold.cast("double"), 6
         ).alias("accuracy"),
     )
     return carry_caches(out, feats)

@@ -57,7 +57,12 @@ def make_corpus(n_docs: int, seed: int) -> pa.Table:
     cum = np.cumsum(weights / weights.sum())
 
     def draw(k: int) -> np.ndarray:
-        return np.searchsorted(cum, rng.random(k)).astype(np.int64)
+        # clip: float rounding of the normalized cumsum can leave
+        # cum[-1] < 1.0, and a draw above it would index one past the
+        # declared vocabulary (no-op on the committed fixtures — their
+        # max token id is verified < vocab — but guards regeneration)
+        idx = np.searchsorted(cum, rng.random(k))
+        return np.minimum(idx, vocab - 1).astype(np.int64)
 
     docs: list[np.ndarray] = []
     for i in range(n_docs):

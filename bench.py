@@ -81,6 +81,9 @@ EXTENDED = [
     "dd_simhash_pairs",
     "dd_ppjoin_pairs",  # round 6: prefix-filter exact join (Zipf scale path)
     "ml_logreg_train",  # round 6: quality-classifier trainer (12 GD rounds)
+    "ml_logreg_holdout",  # round 7: held-out eval (train 80%, score unseen 20%)
+    "dd_jaccard_df_capped",  # round 7: linear-fan-out capped exact jaccard
+    "dd_curation_ppjoin",  # round 7: end-to-end ppjoin curation pipeline
 ]
 
 

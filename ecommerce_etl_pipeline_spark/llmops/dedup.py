@@ -943,7 +943,7 @@ def jaccard_similarity_join(
     return out
 
 
-def ppjoin_pairs(
+def ppjoin_candidates(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -951,46 +951,18 @@ def ppjoin_pairs(
     threshold: float = 0.5,
     shingle_k: int = 3,
     hashed: bool = True,
-) -> DataFrame:
-    """EXACT shingle-Jaccard join via the AllPairs/PPJoin prefix filter
-    (Bayardo et al. 2007; Xiao et al. 2008) — same results as
-    :func:`jaccard_similarity_join`, different candidate generator,
-    built for df-SKEWED (Zipf) corpora.
+) -> tuple[DataFrame, DataFrame]:
+    """The PPJoin candidate-generation stage, exposed separately so the
+    standing Zipf gate (scripts/check_zipf.py) can count candidates — the
+    operator's core scale claim is that this frame grows ~10x/decade on a
+    Zipf corpus where the plain inverted index grows 55-68x, and a
+    regression in the prefix/positional filters shows here as superlinear
+    candidate growth BEFORE it shows as wall-clock.
 
-    Canonical global shingle order = (document frequency asc, shingle
-    asc). A pair with J >= t must share >= ceil(t/(1+t)*(n1+n2)) shingles,
-    so each side must expose a common element within its first
-    n - ceil(t*n) + 1 shingles in that order (the prefix-filter lemma):
-    only PREFIXES enter the index self-join. Because the order puts RARE
-    shingles first, hot (boilerplate) shingles mostly never enter the
-    index — exactly the term that makes the plain inverted index
-    quadratic on Zipf data. A per-match POSITIONAL filter tightens it:
-    the overlap reachable from a match at positions (i, j) is at most
-    1 + min(n1-i-1, n2-j-1); pairs whose best bound misses the required
-    overlap drop inside the join condition. Candidates are then verified
-    with one exact ``array_intersect`` pass per pair (candidate-sized,
-    not corpus-sized).
-
-    Float-boundary discipline: prefix lengths and the positional bound
-    subtract a 1e-9 slack before ceil/compare, so representation error
-    can only ADD candidates (the exact verify discards them), never drop
-    a qualifying pair.
-
-    Scale shape: df aggregate (map-side combinable) + df join, both keyed
-    on the shingle — the same key as the prefix self-join; one shuffle on
-    doc_id builds the (df, shingle)-sorted arrays, cached because the
-    prefix explode and both verification sides consume them (listed on
-    ``retained_caches``, the curate() release contract). Fan-out =
-    sum over shingles of prefix-df^2, where prefix-df counts only docs
-    holding the shingle among their rarest ~(1-t) fraction. Measured on
-    the Zipf fixture vs the plain index join: see SCALING.md round-6.
-    On the bounded-vocab synthetic corpus (uniform df — nothing is
-    "rare") the plain join's map-reduce intersection counting wins
-    instead; both are exact, so the pick never changes results.
-
-    Reference parity: the reference engine has no set-similarity join at
-    all (its src/ transform files are pandas row filters); this operator
-    exists for the llmops dedup surface.
+    Returns ``(cand, ordered)``: distinct (doc1, doc2) candidate pairs
+    surviving the prefix + length + positional filters, and the CACHED
+    per-doc (df asc, shingle asc)-ordered shingle arrays the verification
+    stage reuses (caller owns the release).
     """
     docs = ensure_parallelism(docs)
     t = float(threshold)
@@ -1041,6 +1013,62 @@ def ppjoin_pairs(
         )
         .select(F.col("l.doc_id").alias("doc1"), F.col("r.doc_id").alias("doc2"))
         .dropDuplicates(["doc1", "doc2"])
+    )
+    return cand, ordered
+
+
+def ppjoin_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+    hashed: bool = True,
+) -> DataFrame:
+    """EXACT shingle-Jaccard join via the AllPairs/PPJoin prefix filter
+    (Bayardo et al. 2007; Xiao et al. 2008) — same results as
+    :func:`jaccard_similarity_join`, different candidate generator,
+    built for df-SKEWED (Zipf) corpora.
+
+    Canonical global shingle order = (document frequency asc, shingle
+    asc). A pair with J >= t must share >= ceil(t/(1+t)*(n1+n2)) shingles,
+    so each side must expose a common element within its first
+    n - ceil(t*n) + 1 shingles in that order (the prefix-filter lemma):
+    only PREFIXES enter the index self-join. Because the order puts RARE
+    shingles first, hot (boilerplate) shingles mostly never enter the
+    index — exactly the term that makes the plain inverted index
+    quadratic on Zipf data. A per-match POSITIONAL filter tightens it:
+    the overlap reachable from a match at positions (i, j) is at most
+    1 + min(n1-i-1, n2-j-1); pairs whose best bound misses the required
+    overlap drop inside the join condition. Candidates are then verified
+    with one exact ``array_intersect`` pass per pair (candidate-sized,
+    not corpus-sized).
+
+    Float-boundary discipline: prefix lengths and the positional bound
+    subtract a 1e-9 slack before ceil/compare, so representation error
+    can only ADD candidates (the exact verify discards them), never drop
+    a qualifying pair.
+
+    Scale shape: df aggregate (map-side combinable) + df join, both keyed
+    on the shingle — the same key as the prefix self-join; one shuffle on
+    doc_id builds the (df, shingle)-sorted arrays, cached because the
+    prefix explode and both verification sides consume them (listed on
+    ``retained_caches``, the curate() release contract). Fan-out =
+    sum over shingles of prefix-df^2, where prefix-df counts only docs
+    holding the shingle among their rarest ~(1-t) fraction. Measured on
+    the Zipf fixture vs the plain index join: see SCALING.md round-6.
+    On the bounded-vocab synthetic corpus (uniform df — nothing is
+    "rare") the plain join's map-reduce intersection counting wins
+    instead; both are exact, so the pick never changes results.
+
+    Reference parity: the reference engine has no set-similarity join at
+    all (its src/ transform files are pandas row filters); this operator
+    exists for the llmops dedup surface.
+    """
+    cand, ordered = ppjoin_candidates(
+        docs, id_col, text_col,
+        threshold=threshold, shingle_k=shingle_k, hashed=hashed,
     )
     h1 = ordered.select(
         F.col("doc_id").alias("doc1"), F.col("arr").alias("h1"), F.col("n").alias("n1")

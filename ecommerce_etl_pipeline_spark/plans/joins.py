@@ -152,9 +152,13 @@ def j3_parts_with_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rows at 100 TB; the name dim broadcasts twice under different aliases. "
     "Position-pairs over the sorted multiset are exactly the self-join's "
     "a.l_partkey < b.l_partkey multiplicity: the tail slice is all y >= x, "
-    "so filtering y > x BEFORE building pair structs drops equal pairs "
-    "while they are still bare longs (HOF lambdas run interpreted — "
-    "cheaper filter elements beat discarding built structs).",
+    "so filtering y > x BEFORE building pairs drops equal pairs while "
+    "they are still bare longs (HOF lambdas run interpreted — cheaper "
+    "filter elements beat discarding built values). The pair travels the "
+    "count shuffle PACKED into one long (x << 32 | y — exact bitwise, "
+    "partkeys are 32-bit) and unpacks after the aggregate: the pair "
+    "shuffle is j4's data term (~1.2M rows/sf0.1, 12.5x at sf1), so "
+    "halving the key width halves the dominant exchange.",
 )
 def j4_pair_names_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
@@ -172,16 +176,18 @@ def j4_pair_names_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     flatten(transform(parts, (x, i) ->
                         transform(
                             filter(slice(parts, i + 2, size(parts) - i - 1), y -> y > x),
-                            y -> struct(x AS product1, y AS product2))))
+                            y -> shiftleft(bigint(x), 32) + y)))
                     """
                 )
-            ).alias("pair")
+            ).alias("pk")
         )
-        .groupBy(
-            F.col("pair.product1").alias("product1"),
-            F.col("pair.product2").alias("product2"),
-        )
+        .groupBy("pk")
         .agg(F.count(F.lit(1)).alias("pair_count"))
+        .select(
+            F.shiftright("pk", 32).alias("product1"),
+            F.col("pk").bitwiseAND(F.lit(4294967295)).alias("product2"),
+            "pair_count",
+        )
     )
     names = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
     p1 = F.broadcast(names.select(F.col("p_partkey").alias("product1"),

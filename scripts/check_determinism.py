@@ -11,12 +11,20 @@ constant so seeded per-partition randomness (sm1/sm2/sm4) stays
 comparable; only the SHUFFLE layout varies, which is exactly the degree
 of freedom a cluster re-plan changes.
 
+On success the script WRITES the result block (query count, tree hash,
+date, sf) between the AUTO markers in DETERMINISM.md — the artifact is
+owned by the gate the way COSTS.json is owned by cost_report.py, so its
+committed text can never lag the tree it certifies (the r6 staleness
+finding). A failing run leaves the artifact untouched.
+
 Usage: python scripts/check_determinism.py [sf_dir] [n_threads]
 """
 
 from __future__ import annotations
 
+import datetime
 import os
+import subprocess
 import sys
 from concurrent.futures import ThreadPoolExecutor
 
@@ -76,8 +84,50 @@ def main() -> int:
             print(f"DIFF {name}: {len(ra)} vs {len(rb)} rows; first diffs {diff}")
         else:
             print(f"OK   {name}")
-    print(f"\n{len(_REGISTRY) - len(fails)}/{len(_REGISTRY)} partition-stable; fails: {fails}")
+    total = len(_REGISTRY)
+    print(f"\n{total - len(fails)}/{total} partition-stable; fails: {fails}")
+    if not fails:
+        _write_artifact(total, sf)
     return 1 if fails else 0
+
+
+#: delimiters of the machine-owned block in DETERMINISM.md
+_BEGIN, _END = "<!-- AUTO:result -->", "<!-- /AUTO:result -->"
+
+
+def _write_artifact(total: int, sf: str) -> None:
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "DETERMINISM.md",
+    )
+    head = subprocess.run(
+        ["git", "rev-parse", "--short", "HEAD"],
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(path),
+    ).stdout.strip() or "unknown"
+    dirty = subprocess.run(
+        ["git", "status", "--porcelain"],
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(path),
+    ).stdout.strip()
+    block = (
+        f"{_BEGIN}\n"
+        f"**{total}/{total} partition-stable, zero diffs** — written by\n"
+        f"`scripts/check_determinism.py` on "
+        f"{datetime.date.today().isoformat()} against tree `{head}`"
+        f"{' (+uncommitted changes)' if dirty else ''}, sf_dir `{sf}`.\n"
+        f"{_END}"
+    )
+    text = open(path).read()
+    if _BEGIN in text and _END in text:
+        pre = text.split(_BEGIN)[0]
+        post = text.split(_END)[1]
+        open(path, "w").write(pre + block + post)
+        print(f"DETERMINISM.md result block updated ({total}/{total}, tree {head})")
+    else:
+        print("WARNING: AUTO markers missing in DETERMINISM.md — not updated")
 
 
 if __name__ == "__main__":

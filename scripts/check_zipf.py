@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Standing Zipf decade gate for the PPJoin prefix filter (VERDICT r6
+"Next round" #3): on the committed deterministic Zipf fixtures
+(localdata/zipf0.1 -> zipf1, one decade of corpus growth) assert that
+
+1. the DISTINCT candidate-pair count out of the prefix+length+positional
+   filters matches its pinned value EXACTLY on each decade — the fixtures
+   and the hashed shingle pipeline are deterministic, so any drift means
+   the filters changed (a loosened filter shows as superlinear candidate
+   growth long before it shows as wall-clock; a tightened one risks
+   dropped pairs, which assertion 3 catches);
+2. the decade growth ratio of that count stays ~linear (<= MAX_RATIO) —
+   the operator's core scale claim (SCALING.md round-6: prefix index
+   10.0x/10.2x per decade where the plain inverted index grows 55-68x);
+3. the verified output pair counts match the plain-index ground truth
+   pinned from the round-6 equality measurement (440 / 4362).
+
+Expected values were measured on the committed fixtures (seed 20260815)
+in round 7 and cross-checked against SCALING.md round-6's pair column.
+A legitimate change to threshold/shingle_k/ordering must update them in
+the same commit — that is the point.
+
+Usage: python scripts/check_zipf.py        (~40s, local[16])
+Exit 1 on any assertion failure.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+from ecommerce_etl_pipeline_spark.llmops import dedup  # noqa: E402
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+#: fixture -> (distinct candidate pairs, verified output pairs)
+EXPECTED = {
+    "zipf0.1": (454, 440),
+    "zipf1": (4592, 4362),
+}
+#: one decade of corpus growth may grow candidates at most this much
+#: (measured 10.11x; linear would be 10x, the plain index does 55x)
+MAX_RATIO = 12.0
+
+
+def main() -> int:
+    spark = (
+        SparkSession.builder.master("local[16]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .appName("check_zipf")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    measured: dict[str, tuple[int, int]] = {}
+    fails: list[str] = []
+    for name, (exp_cand, exp_pairs) in EXPECTED.items():
+        path = os.path.join(ROOT, "localdata", name, "documents.parquet")
+        if not os.path.exists(path):
+            fails.append(f"{name}: fixture missing at {path} — run scripts/make_zipf.py")
+            continue
+        docs = spark.read.parquet(path)
+        cand, ordered = dedup.ppjoin_candidates(docs, threshold=0.5, hashed=True)
+        n_cand = cand.count()
+        n_pairs = dedup.ppjoin_pairs(docs, threshold=0.5, hashed=True).count()
+        ordered.unpersist()
+        measured[name] = (n_cand, n_pairs)
+        if n_cand != exp_cand:
+            fails.append(f"{name}: candidates {n_cand} != pinned {exp_cand}")
+        if n_pairs != exp_pairs:
+            fails.append(f"{name}: pairs {n_pairs} != pinned {exp_pairs}")
+        print(f"{name}: candidates={n_cand} (pinned {exp_cand}) "
+              f"pairs={n_pairs} (pinned {exp_pairs})", flush=True)
+    if "zipf0.1" in measured and "zipf1" in measured:
+        ratio = measured["zipf1"][0] / max(measured["zipf0.1"][0], 1)
+        print(f"decade candidate growth: {ratio:.2f}x (max {MAX_RATIO}x)")
+        if ratio > MAX_RATIO:
+            fails.append(f"candidate growth {ratio:.2f}x > {MAX_RATIO}x — "
+                         "prefix/positional filter regression")
+    print(json.dumps({"measured": measured, "fails": fails}))
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1236,3 +1236,66 @@ def test_logreg_trainer_empty_and_null_text_corpus(spark):
     for c in feats2.retained_caches:
         c.unpersist()
     assert conf["tp"] + conf["fp"] + conf["fn"] + conf["tn"] == 2
+
+
+def test_logreg_oracle_empty_corpus_matches_spark_fixpoint():
+    """ADVICE r6 #2: the oracle's weight update divides by the corpus
+    count — on an EMPTY documents table the coalesce(G,0) //
+    greatest(n,1) guard must reproduce the Spark trainer's short-circuit
+    (zero weights), not a division-by-zero."""
+    import duckdb
+
+    from ecommerce_etl_pipeline_spark.plans.llmops_queries import (
+        _CLS_D,
+        _CLS_WFINAL,
+        _CLS_WITH,
+    )
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    rows = con.execute(
+        _CLS_WITH + "\n" + "\nUNION ALL ".join(
+            f"SELECT {j} AS feature, w{j} AS weight_nano FROM {_CLS_WFINAL}"
+            for j in range(_CLS_D)
+        )
+    ).fetchall()
+    assert sorted(rows) == [(j, 0) for j in range(_CLS_D)]
+
+
+def test_score_with_weights_drops_reserved_input_columns(spark):
+    """ADVICE r6 #5: an input frame already carrying score/predicted/y
+    must not yield duplicate output columns — reserved names win."""
+    from ecommerce_etl_pipeline_spark.llmops import classifier
+
+    docs = spark.createDataFrame(
+        [(1, "the a and of to in is " * 10, 99.0)],
+        "doc_id LONG, text STRING, score DOUBLE",
+    )
+    out = classifier.score_with_weights(docs, [0, 0, 0, 0, 0])
+    assert out.columns.count("score") == 1
+    row = out.collect()[0]
+    assert row["score"] == 0.5  # zero weights => sigmoid(0), not the input 99.0
+    assert row["y"] == 1
+
+
+def test_logreg_holdout_split_is_deterministic_partition(spark, sf_dir):
+    """The 80/20 md5 split behind ml_logreg_holdout: disjoint, exhaustive,
+    and a pure function of doc_id (re-evaluation yields identical
+    membership)."""
+    from ecommerce_etl_pipeline_spark.llmops import splits
+    from ecommerce_etl_pipeline_spark.plans.llmops_queries import (
+        _CLS_SPLIT_SALT,
+        _CLS_SPLIT_THRESHOLD,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = splits.hash_uint32(F.col("doc_id"), _CLS_SPLIT_SALT)
+    train = {r[0] for r in docs.filter(h < _CLS_SPLIT_THRESHOLD).select("doc_id").collect()}
+    hold = {r[0] for r in docs.filter(~(h < _CLS_SPLIT_THRESHOLD)).select("doc_id").collect()}
+    every = {r[0] for r in docs.select("doc_id").collect()}
+    assert train | hold == every
+    assert not (train & hold)
+    train2 = {r[0] for r in docs.filter(h < _CLS_SPLIT_THRESHOLD).select("doc_id").collect()}
+    assert train2 == train
+    # 80/20 within sampling tolerance on the sf fixture
+    assert 0.6 < len(train) / max(len(every), 1) < 0.95

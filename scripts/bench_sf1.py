@@ -65,33 +65,52 @@ SF1 = os.path.join(
 #: r6: g1's ratio rose 8 -> 10.3x while its sf1 absolute time fell
 #: 34-41s -> 21.7s — an improvement, not a regression). Queries absent
 #: here are recorded, not gated.
+#: Round-7 ratchet: every baseline is now max(r6, r7 measured) * 1.15 —
+#: the two-round band top (the r5 values had drifted 2-6x loose, which
+#: defeats the gate; see VERDICT r6 #5). Exceptions: j4 uses r7-only
+#: (the packed-pair shuffle IS the new steady state — carrying its
+#: pre-fix band would embed the regression allowance), and
+#: dd_span_excision drops its conservative r5 5-11x band after the
+#: second clean round (r6 attribution: host noise, no plan/density
+#: term; r6 4.34x/6.9s, r7 2.96x/9.0s).
 GROWTH_BASELINE = {
-    "a1_daily_sales": (1.7, 0.62),
-    "a4_customer_ltv": (1.5, 0.88),
-    "a8_pricing_summary": (5.4, 4.3),
-    "a10_product_rollup": (1.7, 1.3),
-    "j1_order_lineitem_join": (4.1, 4.5),
-    "j4_pair_names_lookup": (4.0, 6.7),
-    "j9_asof_join": (2.0, 1.4),
-    "w4_sessionize": (1.5, 0.7),
-    "w7_moving_avg_7d": (1.5, 0.7),
-    "n2_hof_array_aggregate": (5.1, 3.8),
-    "dd_exact_dedup": (1.9, 0.5),
-    "dd_minhash_pairs": (2.8, 3.3),
-    "txt_quality_scores": (3.1, 1.3),
-    "sim_cosine_topk": (1.3, 0.75),
-    # the exact-oracle curation variant carries the inverted-index
+    "a1_daily_sales": (1.5, 0.6),
+    "a4_customer_ltv": (1.3, 0.8),
+    "a8_pricing_summary": (2.1, 1.8),
+    "a10_product_rollup": (1.8, 1.5),
+    "j1_order_lineitem_join": (2.1, 2.5),
+    "j4_pair_names_lookup": (3.4, 6.3),
+    "j9_asof_join": (2.4, 1.6),
+    "w4_sessionize": (1.7, 0.7),
+    "w7_moving_avg_7d": (1.5, 0.6),
+    "n2_hof_array_aggregate": (3.0, 2.5),
+    "dd_exact_dedup": (1.5, 0.4),
+    "dd_minhash_pairs": (4.3, 5.1),
+    "txt_quality_scores": (3.5, 1.5),
+    "sim_cosine_topk": (1.6, 0.8),
+    # the exact-oracle curation variants carry the inverted-index
     # sum(df^2) term, quadratic BY CONSTRUCTION on the bounded-vocab
-    # synthetic corpus (SCALING.md round-6: every exact alternative was
-    # measured and is no better there; the banded dd_curation_minhash at
-    # 1.4x is the registered 100 TB route, PPJoin the Zipf-corpus route)
-    "dd_curation_pipeline": (15.0, 66.0),
-    "dd_span_excision": (11.0, 19.0),
-    "dd_semantic_dedup": (5.0, 25.5),
-    "dd_bloom_decontam": (5.4, 19.0),
-    "g1_pagerank_copurchase": (8.0, 41.0),
-    "ml_kmeans_train": (1.9, 5.0),
-    "dd_simhash_pairs": (4.4, 5.3),
+    # synthetic sf1 corpus (uniform df — nothing is "rare", so the
+    # prefix filter cannot prune either: dd_curation_ppjoin's 16.8x
+    # here is that same worst shape, NOT a ppjoin regression — its
+    # Zipf-corpus linearity is gated exactly in scripts/check_zipf.py;
+    # the banded dd_curation_minhash is the registered 100 TB route)
+    "dd_curation_pipeline": (9.0, 21.8),
+    "dd_curation_ppjoin": (19.3, 61.9),
+    "dd_span_excision": (5.0, 10.3),
+    "dd_semantic_dedup": (4.4, 21.0),
+    "dd_bloom_decontam": (2.0, 3.4),
+    "g1_pagerank_copurchase": (12.5, 27.8),
+    "ml_kmeans_train": (1.6, 5.3),
+    "dd_simhash_pairs": (5.1, 5.3),
+    "dd_ppjoin_pairs": (14.7, 27.4),
+    "ml_logreg_train": (1.2, 3.4),
+    "ml_logreg_holdout": (1.2, 3.9),
+    "dd_jaccard_df_capped": (1.7, 2.2),
+    "sim_rp_rerank": (1.3, 2.3),
+    "txt_chunk_overlap": (1.4, 0.5),
+    "u5_cdc_merge": (1.4, 1.0),
+    "sm9_importance_resample": (1.5, 1.4),
 }
 TOLERANCE = 0.25
 

@@ -30,7 +30,17 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 #: Justified growth: query -> (max allowed factor, reason). Entries are
 #: round-scoped — remove them once the new baseline is committed.
-ALLOWED_GROWTH: dict[str, tuple[float, str]] = {}
+ALLOWED_GROWTH: dict[str, tuple[float, str]] = {
+    # r7: the max_df branch caches the exploded inverted index (ADVICE
+    # r6 #3 — the uncached lineage executed the tokenize+shingle+explode
+    # pass TWICE). The InMemoryTableScan reads back at uncompressed
+    # in-memory width and Spark counts that as input_bytes, so the 7KB
+    # parquet-pruned figure became ~36MB of cache reads — an accounting
+    # shift, not a plan regression (wall measured: cached 3.0s vs
+    # uncached 4.5s median at sf0.1; shuffle write 1.54x, under the
+    # default cap)
+    "dd_jaccard_df_capped": (6000.0, "cached inverted index counts as input at in-memory width"),
+}
 
 #: Below this baseline, byte deltas are scheduler noise, not plans.
 FLOOR_BYTES = 4 * 1024

@@ -32,6 +32,7 @@ QUERIES = [
     "dd_bloom_decontam", "dd_span_excision", "dd_semantic_dedup",
     "g1_pagerank_copurchase", "ml_kmeans_train", "txt_bpe_merges",
     "dd_ppjoin_pairs", "dd_jaccard_df_capped", "ml_logreg_train",
+    "ml_logreg_holdout", "dd_curation_ppjoin",
 ]
 
 

@@ -126,7 +126,7 @@ def train_linear_scorer(
     per-row math is bit-identical to the SQL oracle's.
     """
     feats = featurize(docs, text_col)
-    d = len(quality_feature_exprs(F.lit("")))
+    d = len(feats.columns) - 1  # x0..x{d-1} plus the label column y
     if cache:
         feats = feats.cache()
     feats.retained_caches = [feats] if cache else []
@@ -203,9 +203,18 @@ def evaluate_scorer(feats: DataFrame, weights_nano: list[int]) -> DataFrame:
     cols = [F.col(f"x{j}") for j in range(len(weights_nano))]
     p = (fast_sigmoid(_z_from(cols, weights_nano)) >= 0.5).cast("int")
     y = F.col("y")
+    # coalesce: SUM over an EMPTY frame is NULL in both engines, but the
+    # empty-eval-set degenerate should report a 0-count confusion matrix
+    # (mirrored by coalesce in the registered oracles) — the n=0 parity
+    # class the training-side greatest/coalesce guard closes
     return feats.agg(
-        F.sum(p * y).alias("tp"),
-        F.sum(p * (1 - y)).alias("fp"),
-        F.sum((1 - p) * y).alias("fn"),
-        F.sum((1 - p) * (1 - y)).alias("tn"),
+        *(
+            F.coalesce(F.sum(expr), F.lit(0)).alias(name)
+            for name, expr in (
+                ("tp", p * y),
+                ("fp", p * (1 - y)),
+                ("fn", (1 - p) * y),
+                ("tn", (1 - p) * (1 - y)),
+            )
+        )
     )

@@ -1070,6 +1070,20 @@ def ppjoin_pairs(
         docs, id_col, text_col,
         threshold=threshold, shingle_k=shingle_k, hashed=hashed,
     )
+    out = ppjoin_verify(cand, ordered, threshold=threshold)
+    # CACHE CONTRACT (see curation.curate): listed for the caller to release
+    out.retained_caches = [ordered]
+    return out
+
+
+def ppjoin_verify(
+    cand: DataFrame, ordered: DataFrame, *, threshold: float = 0.5
+) -> DataFrame:
+    """Exact verification of PPJoin candidates: one ``array_intersect``
+    per candidate pair against the cached ordered-shingle arrays
+    (candidate-sized work, not corpus-sized). Split out so the standing
+    Zipf gate verifies from the SAME candidate frame it counts instead
+    of recomputing the generation stage."""
     h1 = ordered.select(
         F.col("doc_id").alias("doc1"), F.col("arr").alias("h1"), F.col("n").alias("n1")
     )
@@ -1079,12 +1093,9 @@ def ppjoin_pairs(
     verified = cand.join(h1, "doc1").join(h2, "doc2")
     inter = F.size(F.array_intersect("h1", "h2")).cast("double")
     jac = inter / (F.col("n1") + F.col("n2") - inter)
-    out = verified.select("doc1", "doc2", jac.alias("jaccard")).filter(
+    return verified.select("doc1", "doc2", jac.alias("jaccard")).filter(
         F.col("jaccard") >= threshold
     )
-    # CACHE CONTRACT (see curation.curate): listed for the caller to release
-    out.retained_caches = [ordered]
-    return out
 
 
 def duplicate_span_stats(

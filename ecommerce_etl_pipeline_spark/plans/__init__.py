@@ -40,20 +40,20 @@ for _optional in (
 
 # ---------------------------------------------------------------------------
 # Driver-window curation. The correctness driver verifies the FIRST 50
-# registered queries (in dict insertion order). Round 1 proved the classic
-# §2 families; round 2 promoted the LLM-data-pipeline surface; round 3
-# retired the never-verified tail; round 4 closed the coverage bar (every
-# registered query has >=1 driver row across r1-r4); round 5 started the
-# standing staleness rotation. Round 6 continues it (r5 cert histogram
-# r5:50/r4:41/r3:36/r2:25): the 2 new round-6 queries, 5 re-certs for
-# round-6-touched code (jaccard max_df branch, graph venue restructure),
-# all 25 r2-latest certs, and 18 of the 36 r3-latest (oracle-backed
-# picks; the other 18 lead r7's rotation at exactly age 3). RULE (caught
-# by the r4 self-review): any
-# NEW query registered in a future round MUST be added to this list (or
-# queued with a comment) or it silently gets no driver row. Names listed
-# here but not (yet) registered are skipped harmlessly; everything not
-# listed keeps its original relative order after the curated block.
+# registered queries (in dict insertion order). Rounds 1-4 proved the
+# full surface (every registered query has >=1 driver row); round 5
+# started the standing staleness rotation. Round 7 (this list; entering
+# cert histogram r6:50/r5:45/r4:41/r3-oracle:11 + 7 rows-only + 3
+# queued): the r6-queued trio, the NEW r7 holdout query, 1 re-cert for
+# r7-touched code, the 11 oracle-backed r3-latest certs (exactly age 3),
+# and 34 of the 41 r4-latest; the 7 deferred r4 certs (all BENCH
+# headliners) lead r8 together with the r5 set as it ages. Steady state:
+# 151 oracle-backed queries / 50 slots per round = every cert refreshed
+# within 3 rounds. RULE (caught by the r4 self-review): any NEW query
+# registered in a future round MUST be added to this list (or queued
+# with a comment) or it silently gets no driver row. Names listed here
+# but not (yet) registered are skipped harmlessly; everything not listed
+# keeps its original relative order after the curated block.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW = [
     # -- round-6 trio, registered after r6's window rotated (r6 VERDICT

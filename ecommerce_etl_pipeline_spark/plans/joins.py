@@ -155,8 +155,10 @@ def j3_parts_with_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     "so filtering y > x BEFORE building pairs drops equal pairs while "
     "they are still bare longs (HOF lambdas run interpreted — cheaper "
     "filter elements beat discarding built values). The pair travels the "
-    "count shuffle PACKED into one long (x << 32 | y — exact bitwise, "
-    "partkeys are 32-bit) and unpacks after the aggregate: the pair "
+    "count shuffle PACKED into one long (x << 32 | y — exact bitwise "
+    "while keys fit 31 bits; a raise_error branch fuses into the lambda "
+    "so a partkey past that domain fails LOUDLY instead of silently "
+    "aliasing distinct pairs) and unpacks after the aggregate: the pair "
     "shuffle is j4's data term (~1.2M rows/sf0.1, 12.5x at sf1), so "
     "halving the key width halves the dominant exchange.",
 )
@@ -176,7 +178,13 @@ def j4_pair_names_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     flatten(transform(parts, (x, i) ->
                         transform(
                             filter(slice(parts, i + 2, size(parts) - i - 1), y -> y > x),
-                            y -> shiftleft(bigint(x), 32) + y)))
+                            -- y > x bounds both keys, so one comparison guards the
+                            -- whole pack; 2^31 keeps shiftleft(x,32)+y inside the
+                            -- positive long range with zero aliasing
+                            y -> if(y < 2147483648,
+                                    shiftleft(bigint(x), 32) + y,
+                                    bigint(raise_error(
+                                      'j4: partkey >= 2^31 — packed pair key would alias; widen the pack'))))))
                     """
                 )
             ).alias("pk")

@@ -3383,10 +3383,10 @@ def ml_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"f.x{j} * (w.w{j} / 1000000000.0)" for j in range(_CLS_D)
         )}) AS z FROM feats f CROSS JOIN {_CLS_WFINAL} w)
     )
-    SELECT CAST(SUM(p * y) AS BIGINT) AS tp,
-           CAST(SUM(p * (1 - y)) AS BIGINT) AS fp,
-           CAST(SUM((1 - p) * y) AS BIGINT) AS fn,
-           CAST(SUM((1 - p) * (1 - y)) AS BIGINT) AS tn,
+    SELECT CAST(coalesce(SUM(p * y), 0) AS BIGINT) AS tp,
+           CAST(coalesce(SUM(p * (1 - y)), 0) AS BIGINT) AS fp,
+           CAST(coalesce(SUM((1 - p) * y), 0) AS BIGINT) AS fn,
+           CAST(coalesce(SUM((1 - p) * (1 - y)), 0) AS BIGINT) AS tn,
            {sql_round("AVG(CASE WHEN p = y THEN 1.0 ELSE 0.0 END)", 6)}
                AS accuracy
     FROM scored
@@ -3410,8 +3410,13 @@ def ml_logreg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fp",
         "fn",
         "tn",
-        portable_round(
-            (F.col("tp") + F.col("tn")).cast("double") / n.cast("double"), 6
+        # when-guard: on an empty corpus the matrix is all zeros and the
+        # oracle's AVG over zero rows is NULL — 0/0 would be NaN here
+        F.when(
+            n > 0,
+            portable_round(
+                (F.col("tp") + F.col("tn")).cast("double") / n.cast("double"), 6
+            ),
         ).alias("accuracy"),
     )
     return carry_caches(out, feats)
@@ -3445,10 +3450,10 @@ _CLS_HOLD_WITH, _CLS_HOLD_WFINAL = _logreg_sql(where=_CLS_TRAIN_PRED)
     )
     SELECT (SELECT CAST(n AS BIGINT) FROM cnt) AS n_train,
            CAST(COUNT(*) AS BIGINT) AS n_holdout,
-           CAST(SUM(p * y) AS BIGINT) AS tp,
-           CAST(SUM(p * (1 - y)) AS BIGINT) AS fp,
-           CAST(SUM((1 - p) * y) AS BIGINT) AS fn,
-           CAST(SUM((1 - p) * (1 - y)) AS BIGINT) AS tn,
+           CAST(coalesce(SUM(p * y), 0) AS BIGINT) AS tp,
+           CAST(coalesce(SUM(p * (1 - y)), 0) AS BIGINT) AS fp,
+           CAST(coalesce(SUM((1 - p) * y), 0) AS BIGINT) AS fn,
+           CAST(coalesce(SUM((1 - p) * (1 - y)), 0) AS BIGINT) AS tn,
            {sql_round("AVG(CASE WHEN p = y THEN 1.0 ELSE 0.0 END)", 6)}
                AS accuracy
     FROM scored
@@ -3483,8 +3488,13 @@ def ml_logreg_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fp",
         "fn",
         "tn",
-        portable_round(
-            (F.col("tp") + F.col("tn")).cast("double") / n_hold.cast("double"), 6
+        # when-guard mirrors the oracle's AVG-over-empty NULL (0/0 = NaN)
+        F.when(
+            n_hold > 0,
+            portable_round(
+                (F.col("tp") + F.col("tn")).cast("double") / n_hold.cast("double"),
+                6,
+            ),
         ).alias("accuracy"),
     )
     return carry_caches(out, feats)

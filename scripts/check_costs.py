@@ -39,7 +39,12 @@ ALLOWED_GROWTH: dict[str, tuple[float, str]] = {
     # shift, not a plan regression (wall measured: cached 3.0s vs
     # uncached 4.5s median at sf0.1; shuffle write 1.54x, under the
     # default cap)
-    "dd_jaccard_df_capped": (6000.0, "cached inverted index counts as input at in-memory width"),
+    # keyed "query.metric" so the waiver covers ONLY the justified
+    # counter — shuffle_write stays under the default 2x gate. The
+    # refreshed COSTS.json baseline already carries the in-memory
+    # figure, so this entry can be dropped in r8 once the round-over-
+    # round factor returns to ~1x.
+    "dd_jaccard_df_capped.input_bytes": (6000.0, "cached inverted index counts as input at in-memory width"),
 }
 
 #: Below this baseline, byte deltas are scheduler noise, not plans.
@@ -101,7 +106,7 @@ def main() -> int:
                 # gated by ratio no matter how small the baseline was
                 continue
             factor = n / max(b, 1)
-            cap, reason = ALLOWED_GROWTH.get(name, (2.0, None))
+            cap, reason = ALLOWED_GROWTH.get(f"{name}.{key}", (2.0, None))
             status = "ok" if factor <= cap else "VIOLATION"
             if factor > cap:
                 violations.append(f"{name}.{key}: {b} -> {n} ({factor:.2f}x > {cap}x)")

@@ -65,8 +65,10 @@ def main() -> int:
             continue
         docs = spark.read.parquet(path)
         cand, ordered = dedup.ppjoin_candidates(docs, threshold=0.5, hashed=True)
+        # verify from the SAME candidate frame we count (no recompute of
+        # the generation stage); the one cache is released right after
         n_cand = cand.count()
-        n_pairs = dedup.ppjoin_pairs(docs, threshold=0.5, hashed=True).count()
+        n_pairs = dedup.ppjoin_verify(cand, ordered, threshold=0.5).count()
         ordered.unpersist()
         measured[name] = (n_cand, n_pairs)
         if n_cand != exp_cand:

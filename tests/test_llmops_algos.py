@@ -1129,12 +1129,10 @@ def test_jaccard_max_df_lower_bound_accounting(spark):
         (r.doc1, r.doc2): r.jaccard
         for r in dedup.jaccard_similarity_join(docs, hashed=False).collect()
     }
-    capped = {
-        (r.doc1, r.doc2): r.jaccard
-        for r in dedup.jaccard_similarity_join(
-            docs, hashed=False, max_df=5
-        ).collect()
-    }
+    capped_df = dedup.jaccard_similarity_join(docs, hashed=False, max_df=5)
+    capped = {(r.doc1, r.doc2): r.jaccard for r in capped_df.collect()}
+    for c in capped_df.retained_caches:  # max_df branch caches the index
+        c.unpersist()
     # the rare-support pair survives with its exact score
     assert capped[(100, 101)] == uncapped[(100, 101)]
     # hot-clone pairs (support df = 10 > 5) are missed, not mis-scored
@@ -1223,6 +1221,9 @@ def test_logreg_trainer_empty_and_null_text_corpus(spark):
 
     empty = spark.createDataFrame([], "doc_id LONG, text STRING")
     w, feats = classifier.train_linear_scorer(empty, iterations=3)
+    # empty eval set: coalesced 0-count matrix, not NULL sums
+    conf0 = classifier.evaluate_scorer(feats, w).collect()[0]
+    assert tuple(conf0) == (0, 0, 0, 0)
     for c in feats.retained_caches:
         c.unpersist()
     assert w == [0] * 5
@@ -1251,6 +1252,8 @@ def test_logreg_oracle_empty_corpus_matches_spark_fixpoint():
         _CLS_WITH,
     )
 
+    from ecommerce_etl_pipeline_spark.plans.registry import _REGISTRY
+
     con = duckdb.connect()
     con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
     rows = con.execute(
@@ -1260,6 +1263,11 @@ def test_logreg_oracle_empty_corpus_matches_spark_fixpoint():
         )
     ).fetchall()
     assert sorted(rows) == [(j, 0) for j in range(_CLS_D)]
+    # the holdout oracle on the same empty table: 0-count confusion
+    # matrix (coalesced sums) and NULL accuracy — matching the Spark
+    # side's coalesce + when-guard
+    hold = con.execute(_REGISTRY["ml_logreg_holdout"].oracle).fetchone()
+    assert tuple(hold) == (0, 0, 0, 0, 0, 0, None)
 
 
 def test_score_with_weights_drops_reserved_input_columns(spark):

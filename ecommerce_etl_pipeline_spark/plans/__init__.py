@@ -47,9 +47,14 @@ for _optional in (
 # queued): the r6-queued trio, the NEW r7 holdout query, 1 re-cert for
 # r7-touched code, the 11 oracle-backed r3-latest certs (exactly age 3),
 # and 34 of the 41 r4-latest; the 7 deferred r4 certs (all BENCH
-# headliners) lead r8 together with the r5 set as it ages. Steady state:
-# 151 oracle-backed queries / 50 slots per round = every cert refreshed
-# within 3 rounds. RULE (caught by the r4 self-review): any NEW query
+# headliners) lead r8 together with the r5 set as it ages. Honest
+# steady-state arithmetic: 151 oracle-backed queries vs 50 slots/round,
+# of which new-query promotions and touched-code re-certs also claim
+# slots (5 this round) — so the staleness tail runs at age <= 4, not
+# <= 3, whenever a round spends slots on new work; the deferral choice
+# above always parks the excess on BENCH-covered queries, which carry
+# bench + dual-scale sweep signal every round while they wait.
+# RULE (caught by the r4 self-review): any NEW query
 # registered in a future round MUST be added to this list (or queued
 # with a comment) or it silently gets no driver row. Names listed here
 # but not (yet) registered are skipped harmlessly; everything not listed

@@ -28,7 +28,9 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-#: Justified growth: query -> (max allowed factor, reason). Entries are
+#: Justified growth, keyed "query.metric" (e.g.
+#: "dd_jaccard_df_capped.input_bytes") -> (max allowed factor, reason) —
+#: per-metric so a waiver never covers the OTHER counter. Entries are
 #: round-scoped — remove them once the new baseline is committed.
 ALLOWED_GROWTH: dict[str, tuple[float, str]] = {
     # r7: the max_df branch caches the exploded inverted index (ADVICE

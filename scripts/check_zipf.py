@@ -65,10 +65,13 @@ def main() -> int:
             continue
         docs = spark.read.parquet(path)
         cand, ordered = dedup.ppjoin_candidates(docs, threshold=0.5, hashed=True)
-        # verify from the SAME candidate frame we count (no recompute of
-        # the generation stage); the one cache is released right after
+        # cache cand: BOTH the count and the verify consume it, and the
+        # candidate stage (prefix self-join + distinct) is the gate's
+        # heaviest lineage — uncached it would execute twice
+        cand = cand.cache()
         n_cand = cand.count()
         n_pairs = dedup.ppjoin_verify(cand, ordered, threshold=0.5).count()
+        cand.unpersist()
         ordered.unpersist()
         measured[name] = (n_cand, n_pairs)
         if n_cand != exp_cand:

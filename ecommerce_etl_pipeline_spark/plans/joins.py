@@ -154,13 +154,16 @@ def j3_parts_with_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a.l_partkey < b.l_partkey multiplicity: the tail slice is all y >= x, "
     "so filtering y > x BEFORE building pairs drops equal pairs while "
     "they are still bare longs (HOF lambdas run interpreted — cheaper "
-    "filter elements beat discarding built values). The pair travels the "
-    "count shuffle PACKED into one long (x << 32 | y — exact bitwise "
-    "while keys fit 31 bits; a raise_error branch fuses into the lambda "
-    "so a partkey past that domain fails LOUDLY instead of silently "
-    "aliasing distinct pairs) and unpacks after the aggregate: the pair "
-    "shuffle is j4's data term (~1.2M rows/sf0.1, 12.5x at sf1), so "
-    "halving the key width halves the dominant exchange.",
+    "filter elements beat discarding built values). The pair key VENUE "
+    "is a dim-statistic pick (the kmeans-centroid class of bounded "
+    "driver decision): when max(p_partkey) < 2^31 — every dictionary-"
+    "encoded or TPC-H domain below ~sf10k — the pair travels the count "
+    "shuffle PACKED into one long (x << 32 | y, exact bitwise; a "
+    "raise_error branch still guards facts outside the dim domain so "
+    "aliasing is impossible, RI violations fail loudly), halving the "
+    "dominant exchange's key width against j4's data term (~1.2M "
+    "rows/sf0.1, 12.5x at sf1); wider key domains take the struct-pair "
+    "venue — both venues are exact, so the pick never changes results.",
 )
 def j4_pair_names_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
@@ -170,34 +173,62 @@ def j4_pair_names_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets = repartition_for_collect(li, "l_orderkey").groupBy("l_orderkey").agg(
         F.sort_array(F.collect_list("l_partkey")).alias("parts")
     )
-    pairs = (
-        baskets.select(
-            F.explode(
-                F.expr(
-                    """
-                    flatten(transform(parts, (x, i) ->
-                        transform(
-                            filter(slice(parts, i + 2, size(parts) - i - 1), y -> y > x),
-                            -- y > x bounds both keys, so one comparison guards the
-                            -- whole pack; 2^31 keeps shiftleft(x,32)+y inside the
-                            -- positive long range with zero aliasing
-                            y -> if(y < 2147483648,
-                                    shiftleft(bigint(x), 32) + y,
-                                    bigint(raise_error(
-                                      'j4: partkey >= 2^31 — packed pair key would alias; widen the pack'))))))
-                    """
-                )
-            ).alias("pk")
-        )
-        .groupBy("pk")
-        .agg(F.count(F.lit(1)).alias("pair_count"))
-        .select(
-            F.shiftright("pk", 32).alias("product1"),
-            F.col("pk").bitwiseAND(F.lit(4294967295)).alias("product2"),
-            "pair_count",
-        )
-    )
     names = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    # venue statistic: one scalar off the name DIM (already scanned for
+    # the lookup below) decides the pair-key encoding; facts are RI-bound
+    # to the dim, and the packed lambda's raise_error keeps even an RI
+    # violation from aliasing silently
+    max_pk = names.agg(F.max("p_partkey")).collect()[0][0]
+    if max_pk is not None and max_pk < 2_147_483_648:
+        pairs = (
+            baskets.select(
+                F.explode(
+                    F.expr(
+                        """
+                        flatten(transform(parts, (x, i) ->
+                            transform(
+                                filter(slice(parts, i + 2, size(parts) - i - 1), y -> y > x),
+                                -- y > x bounds both keys, so one comparison guards
+                                -- the whole pack; 2^31 keeps shiftleft(x,32)+y
+                                -- inside the positive long range, zero aliasing
+                                y -> if(y < 2147483648,
+                                        shiftleft(bigint(x), 32) + y,
+                                        bigint(raise_error(
+                                          'j4: partkey >= 2^31 outside the dim domain — packed pair key would alias'))))))
+                        """
+                    )
+                ).alias("pk")
+            )
+            .groupBy("pk")
+            .agg(F.count(F.lit(1)).alias("pair_count"))
+            .select(
+                F.shiftright("pk", 32).alias("product1"),
+                F.col("pk").bitwiseAND(F.lit(4294967295)).alias("product2"),
+                "pair_count",
+            )
+        )
+    else:
+        # wide-domain venue: struct pair key (no packing possible in 64
+        # bits once both keys can exceed 32) — identical results
+        pairs = (
+            baskets.select(
+                F.explode(
+                    F.expr(
+                        """
+                        flatten(transform(parts, (x, i) ->
+                            transform(
+                                filter(slice(parts, i + 2, size(parts) - i - 1), y -> y > x),
+                                y -> struct(x AS product1, y AS product2))))
+                        """
+                    )
+                ).alias("pair")
+            )
+            .groupBy(
+                F.col("pair.product1").alias("product1"),
+                F.col("pair.product2").alias("product2"),
+            )
+            .agg(F.count(F.lit(1)).alias("pair_count"))
+        )
     p1 = F.broadcast(names.select(F.col("p_partkey").alias("product1"),
                                   F.col("p_name").alias("product1_name")))
     p2 = F.broadcast(names.select(F.col("p_partkey").alias("product2"),

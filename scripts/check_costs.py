@@ -33,20 +33,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 #: per-metric so a waiver never covers the OTHER counter. Entries are
 #: round-scoped — remove them once the new baseline is committed.
 ALLOWED_GROWTH: dict[str, tuple[float, str]] = {
-    # r7: the max_df branch caches the exploded inverted index (ADVICE
-    # r6 #3 — the uncached lineage executed the tokenize+shingle+explode
-    # pass TWICE). The InMemoryTableScan reads back at uncompressed
-    # in-memory width and Spark counts that as input_bytes, so the 7KB
-    # parquet-pruned figure became ~36MB of cache reads — an accounting
-    # shift, not a plan regression (wall measured: cached 3.0s vs
-    # uncached 4.5s median at sf0.1; shuffle write 1.54x, under the
-    # default cap)
-    # keyed "query.metric" so the waiver covers ONLY the justified
-    # counter — shuffle_write stays under the default 2x gate. The
-    # refreshed COSTS.json baseline already carries the in-memory
-    # figure, so this entry can be dropped in r8 once the round-over-
-    # round factor returns to ~1x.
-    "dd_jaccard_df_capped.input_bytes": (6000.0, "cached inverted index counts as input at in-memory width"),
+    # (r7 note, entry since removed: dd_jaccard_df_capped.input_bytes
+    # jumped 5300x when the max_df branch started CACHING the exploded
+    # inverted index — InMemoryTableScan reads count as input at
+    # uncompressed in-memory width, an accounting shift, not a plan
+    # regression; wall measured faster cached, 3.0s vs 4.5s median at
+    # sf0.1. The committed COSTS.json baseline now carries the in-memory
+    # figure, so the gate compares like-for-like again and a waiver
+    # would only mask real regressions.)
 }
 
 #: Below this baseline, byte deltas are scheduler noise, not plans.

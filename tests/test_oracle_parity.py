@@ -33,3 +33,38 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_j4_wide_domain_struct_venue(spark, tmp_path):
+    """j4's venue pick: partkeys past 2^31 route to the struct-pair
+    encoding (packing two >31-bit keys into one long is impossible) and
+    still match the oracle — the venue statistic must never change
+    results, only the exchange's key width."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    big = 3_000_000_000  # > 2^31
+    orders = [1, 1, 1, 2, 2, 3, 3, 4]
+    parts = [big + k for k in (1, 7, 3, 7, 1, 1, 7, 5)]
+    pq.write_table(
+        pa.table({"l_orderkey": pa.array(orders, pa.int64()),
+                  "l_partkey": pa.array(parts, pa.int64())}),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    pq.write_table(
+        pa.table({"p_partkey": pa.array([big + k for k in (1, 3, 5, 7)], pa.int64()),
+                  "p_name": pa.array([f"part-{k}" for k in (1, 3, 5, 7)], pa.string())}),
+        str(tmp_path / "part.parquet"),
+    )
+    # the oracle harness registers a view per testdata table: give the
+    # unused ones an empty single-column placeholder
+    from ecommerce_etl_pipeline_spark.sources.io import TESTDATA_TABLES
+
+    for t in TESTDATA_TABLES:
+        f = tmp_path / f"{t}.parquet"
+        if not f.exists():
+            pq.write_table(pa.table({"x": pa.array([], pa.int64())}), str(f))
+    spec = _REGISTRY["j4_pair_names_lookup"]
+    assert_oracle_match(
+        spec.fn(spark, str(tmp_path)), spec.oracle, str(tmp_path), name="j4-wide"
+    )

@@ -74,6 +74,37 @@ def quality_feature_exprs(t: Column) -> list[Column]:
     ]
 
 
+#: default hashed-feature geometry: bias + (HASHED_D - 1) unigram buckets
+HASHED_D = 64
+HASHED_SALT = "clsfeat:v1"
+
+
+def hashed_feature_exprs(
+    t: Column, *, n_buckets: int = HASHED_D - 1, salt: str = HASHED_SALT
+) -> list[Column]:
+    """Hashed-unigram bucket features (the DSIR hashing trick of
+    splits.importance_logweights applied to the classifier): bias +
+    ``n_buckets`` ratios count(tokens in bucket j) / token_count. The
+    bucket of a token is md5-portable (splits.hash_uint32 % n_buckets),
+    computed ONCE per token into an array; each feature is then one
+    integer count over that array divided by the integer token count —
+    IEEE-exact in any engine, same doctrine as the d=5 ratios.
+
+    Scale shape: O(tokens) md5 per row + O(d * tokens) comparisons, all
+    inside whole-stage codegen (transform/filter/size HOFs); the feature
+    WIDTH changes only the aggregate row (d gradient sums), never the
+    shuffle row count."""
+    from ecommerce_etl_pipeline_spark.llmops.splits import hash_uint32
+
+    toks = text.tokens(t)
+    n = F.greatest(F.size(toks), F.lit(1)).cast("double")
+    bs = F.transform(toks, lambda tok: F.pmod(hash_uint32(tok, salt), F.lit(n_buckets)))
+    return [F.lit(1.0)] + [
+        F.size(F.filter(bs, lambda b: b == F.lit(j))).cast("double") / n
+        for j in range(n_buckets)
+    ]
+
+
 def heuristic_quality_label(t: Column) -> Column:
     """The 'judge' whose verdicts the scorer distills: a document passes
     when it is long enough AND not punctuation-heavy. Both comparisons
@@ -88,9 +119,15 @@ def fast_sigmoid(z: Column) -> Column:
     return F.lit(0.5) + z / (F.lit(2.0) * (F.lit(1.0) + F.abs(z)))
 
 
-def featurize(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """The d=5 feature frame + heuristic label — the input both training
-    and held-out evaluation consume (one narrow map per corpus pass).
+def featurize(
+    docs: DataFrame, text_col: str = "text", *, features: str = "quality"
+) -> DataFrame:
+    """The feature frame + heuristic label — the input both training and
+    held-out evaluation consume (one narrow map per corpus pass).
+    ``features``: "quality" = the d=5 hand-picked ratios; "hashed" = the
+    d=64 hashed-unigram buckets (hashed_feature_exprs). The label is the
+    same heuristic judge either way, so the two geometries are directly
+    comparable on held-out accuracy.
 
     NULL text folds to '' BEFORE feature extraction (mirrored in the
     oracle's feats CTE): without it a NULL row propagates NULL features
@@ -98,7 +135,9 @@ def featurize(docs: DataFrame, text_col: str = "text") -> DataFrame:
     differently — the SimHash NULL-text divergence class.
     """
     t = F.coalesce(F.col(text_col), F.lit(""))
-    xs = quality_feature_exprs(t)
+    xs = (
+        hashed_feature_exprs(t) if features == "hashed" else quality_feature_exprs(t)
+    )
     return ensure_parallelism(docs).select(
         *(x.alias(f"x{j}") for j, x in enumerate(xs)),
         heuristic_quality_label(t).alias("y"),
@@ -113,10 +152,15 @@ def train_linear_scorer(
     lr_num: int = 16,
     lr_den: int = 1,
     cache: bool = True,
+    features: str = "quality",
 ) -> tuple[list[int], DataFrame]:
     """Gradient-descent training of the linear quality scorer; returns
     (weights in integer nanos, the cached feature frame for reuse —
-    listed caches on ``feats.retained_caches``).
+    listed caches on ``feats.retained_caches``). The loop is d-agnostic
+    (d is read off the feature frame), so ``features="hashed"`` trains
+    the d=64 hashed-unigram geometry with the identical one-aggregate-
+    per-round shape — only the aggregate ROW widens (d gradient sums),
+    never the shuffle row count.
 
     Per iteration: ONE aggregate over the corpus producing d quantized
     gradient sums (map-side combined; the exchange carries one d-long row
@@ -125,7 +169,7 @@ def train_linear_scorer(
     next round's plan as repr-exact double literals, so each round's
     per-row math is bit-identical to the SQL oracle's.
     """
-    feats = featurize(docs, text_col)
+    feats = featurize(docs, text_col, features=features)
     d = len(feats.columns) - 1  # x0..x{d-1} plus the label column y
     if cache:
         feats = feats.cache()
@@ -137,22 +181,43 @@ def train_linear_scorer(
         # signal, so the zero-initialized weights ARE the fixpoint
         return w, feats
     for _ in range(iterations):
-        # z folds left-to-right; the oracle writes the same chain order
-        z = F.lit(float(w[0]) / NANO) * F.col("x0")
+        # z folds left-to-right; the oracle writes the same chain order.
+        # The weights enter as ONE ARRAY literal rather than d scalar
+        # literals: primitive literals are inlined into the generated
+        # Java source, so scalar weights force a fresh Janino compile of
+        # the scan->project->partial-agg span EVERY iteration (measured
+        # 3-6s/round at d=64); a complex-type literal rides the codegen
+        # references array, the source text is identical across rounds,
+        # and the compile cache hits from round 2 on. element_at reads
+        # the same double values, so the per-row math (and the oracle)
+        # is unchanged bit-for-bit.
+        warr = F.lit([float(w[j]) / NANO for j in range(d)])
+        z = F.element_at(warr, 1) * F.col("x0")
         for j in range(1, d):
-            z = z + F.lit(float(w[j]) / NANO) * F.col(f"x{j}")
-        resid = fast_sigmoid(z) - F.col("y")
+            z = z + F.element_at(warr, j + 1) * F.col(f"x{j}")
+        # the residual is STAGED through a projection (same math — the
+        # oracle's subquery computes z once per row the same way): each
+        # gradient column below references the narrow ``_resid`` instead
+        # of inlining the d-term z chain, keeping the aggregate's
+        # expression tree O(d) rather than O(d^2). At d=64 the inlined
+        # form was ~4096 nodes re-analyzed/compiled per iteration —
+        # pure planning/codegen overhead dominating the 12-round loop.
+        resid_frame = feats.select(
+            *(F.col(f"x{j}") for j in range(d)),
+            (fast_sigmoid(z) - F.col("y")).alias("_resid"),
+        )
         # gradient sums widen to DECIMAL(38,0): per-row quantized
         # gradients are exact integers bounded by ±NANO (|resid| <= 1 and
         # every feature is in [0,1]), so a LONG sum would overflow ANSI at
         # ~9.2e9 rows — well inside the 100 TB design point (~1e10-1e11
         # docs). Decimal sums of exact integers stay exact and map-side
         # combinable; the update itself runs in unbounded Python ints.
-        grads = feats.select(
+        grads = resid_frame.select(
             *(
                 F.sum(
                     F.floor(
-                        resid * F.col(f"x{j}") * F.lit(float(NANO)) + F.lit(0.5)
+                        F.col("_resid") * F.col(f"x{j}") * F.lit(float(NANO))
+                        + F.lit(0.5)
                     ).cast("decimal(38,0)")
                 ).alias(f"g{j}")
                 for j in range(d)

@@ -3297,19 +3297,58 @@ def _cls_feats_sql(where: str = "") -> str:
         )"""
 
 
-def _logreg_sql(where: str = "") -> tuple[str, str]:
+def _cls_feats_hashed_sql(n_buckets: int, salt: str) -> str:
+    """The d = n_buckets + 1 HASHED-unigram feature SELECT — mirrors
+    classifier.hashed_feature_exprs literally: each token's bucket is
+    md5-portable (splits.sql_hash_uint32 % n_buckets) computed ONCE into
+    a list, each feature is count-in-bucket / token count (a ratio of
+    integer counts, IEEE-exact), the label is the same heuristic judge."""
+    bucket = (
+        f"CAST(('0x' || substr(md5('{salt}' || CAST(tok AS VARCHAR)), 1, 8)) "
+        f"AS BIGINT) % {n_buckets}"
+    )
+    xcols = ",\n               ".join(
+        f"CAST(len(list_filter(bs, b -> b = {j})) AS DOUBLE) / nn AS x{j + 1}"
+        for j in range(n_buckets)
+    )
+    return f"""
+        SELECT 1.0 AS x0,
+               {xcols},
+               CASE WHEN nn >= 40 AND pp / cc <= 0.2 THEN 1 ELSE 0 END AS y
+        FROM (
+            SELECT nn, cc, pp,
+                   list_transform(string_split(text, ' '), tok -> {bucket}) AS bs
+            FROM (
+                SELECT text,
+                       CAST(greatest(len(string_split(text, ' ')), 1) AS DOUBLE) AS nn,
+                       CAST(greatest(length(text), 1) AS DOUBLE) AS cc,
+                       CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
+                            AS DOUBLE) AS pp
+                FROM (SELECT coalesce(text, '') AS text FROM documents)
+            )
+        )"""
+
+
+def _logreg_sql(
+    where: str = "", *, d: int = _CLS_D, feats_sql: str | None = None
+) -> tuple[str, str]:
     """(WITH-clause prefix, name of the final weight CTE). ``where``
-    restricts training to a split of `documents` (holdout evaluation)."""
+    restricts training to a split of `documents` (holdout evaluation);
+    ``d``/``feats_sql`` swap in an alternative feature geometry (the
+    d=64 hashed-unigram variant) — the unrolled loop itself is generated
+    per-feature, so it is d-agnostic like the Spark trainer."""
     parts = [
-        f"feats AS MATERIALIZED ({_cls_feats_sql(where)})",
+        "feats AS MATERIALIZED ("
+        + (feats_sql if feats_sql is not None else _cls_feats_sql(where))
+        + ")",
         "cnt AS (SELECT COUNT(*) AS n FROM feats)",
         "w0 AS (SELECT "
-        + ", ".join(f"CAST(0 AS BIGINT) AS w{j}" for j in range(_CLS_D))
+        + ", ".join(f"CAST(0 AS BIGINT) AS w{j}" for j in range(d))
         + ")",
     ]
     for t in range(1, _CLS_ITER + 1):
         z = " + ".join(
-            f"f.x{j} * (w.w{j} / 1000000000.0)" for j in range(_CLS_D)
+            f"f.x{j} * (w.w{j} / 1000000000.0)" for j in range(d)
         )
         # per-row gradients stay BIGINT; the SUM widens to HUGEINT to
         # match the Spark side's decimal(38,0) sums (a BIGINT sum
@@ -3317,7 +3356,7 @@ def _logreg_sql(where: str = "") -> tuple[str, str]:
         g_cols = ", ".join(
             "CAST(SUM(CAST(floor(((0.5 + z / (2.0 * (1.0 + abs(z)))) - y)"
             f" * x{j} * 1000000000.0 + 0.5) AS BIGINT)) AS HUGEINT) AS g{j}"
-            for j in range(_CLS_D)
+            for j in range(d)
         )
         # MATERIALIZED is load-bearing: w{t-1} is referenced by BOTH
         # g{t} and w{t}, and DuckDB inline-expands non-materialized CTEs
@@ -3335,7 +3374,7 @@ def _logreg_sql(where: str = "") -> tuple[str, str]:
         w_cols = ", ".join(
             f"CAST(w.w{j} - ({_CLS_LR_NUM} * coalesce(g.g{j}, 0)) // "
             f"greatest({_CLS_LR_DEN} * c.n, 1) AS BIGINT) AS w{j}"
-            for j in range(_CLS_D)
+            for j in range(d)
         )
         parts.append(
             f"w{t} AS MATERIALIZED (SELECT {w_cols} FROM w{t - 1} w "
@@ -3366,6 +3405,46 @@ def ml_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     w, feats = classifier.train_linear_scorer(
         docs, iterations=_CLS_ITER, lr_num=_CLS_LR_NUM, lr_den=_CLS_LR_DEN
+    )
+    out = spark.createDataFrame(
+        [(j, int(w[j])) for j in range(len(w))], "feature INT, weight_nano LONG"
+    )
+    return carry_caches(out, feats)
+
+
+_CLS_D64 = classifier.HASHED_D
+_CLS64_WITH, _CLS64_WFINAL = _logreg_sql(
+    d=_CLS_D64,
+    feats_sql=_cls_feats_hashed_sql(_CLS_D64 - 1, classifier.HASHED_SALT),
+)
+
+
+@register(
+    "ml_logreg_train_d64",
+    oracle=_CLS64_WITH + "\n" + "\nUNION ALL ".join(
+        f"SELECT {j} AS feature, w{j} AS weight_nano FROM {_CLS64_WFINAL}"
+        for j in range(_CLS_D64)
+    ),
+    doc="Quality-classifier training at PRODUCTION feature width: the "
+    "same 12-round fast-sigmoid GD loop as ml_logreg_train, but over "
+    "d=64 HASHED-unigram bucket features (bias + 63 md5-portable token "
+    "buckets — the DSIR hashing trick of sm9_importance_resample applied "
+    "to the classifier; d=5 hand-picked ratios is a toy dimension). The "
+    "loop is d-agnostic: each round is still ONE map-side-combinable "
+    "aggregate, now producing d=64 integer-nano gradient sums — feature "
+    "width scales the aggregate ROW (64 vs 5 integers per partition), "
+    "never the shuffle row count, which is the property that makes wide "
+    "hashed featurization 100 TB-safe. Oracle: the identical unrolled "
+    "materialized CTEs, generated per-feature.",
+)
+def ml_logreg_train_d64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w, feats = classifier.train_linear_scorer(
+        docs,
+        iterations=_CLS_ITER,
+        lr_num=_CLS_LR_NUM,
+        lr_den=_CLS_LR_DEN,
+        features="hashed",
     )
     out = spark.createDataFrame(
         [(j, int(w[j])) for j in range(len(w))], "feature INT, weight_nano LONG"

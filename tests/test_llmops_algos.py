@@ -1214,6 +1214,65 @@ def test_logreg_trainer_matches_pure_python_replay(spark):
     assert w == ref
 
 
+def test_logreg_trainer_hashed_d64_matches_pure_python_replay(spark):
+    """The d=64 hashed-unigram geometry (ml_logreg_train_d64) must be
+    bit-identical to a pure-Python replay: md5-portable token buckets,
+    integer-count ratio features, the same d-agnostic nano-gradient loop.
+    The replay recomputes every bucket with hashlib, so a drift in the
+    hash, the bucket modulus, or the fold order fails loudly."""
+    import hashlib
+    import math
+
+    from ecommerce_etl_pipeline_spark.llmops import classifier
+
+    texts = [
+        " ".join(f"w{(i * 7 + k) % 41}" for k in range(6 + 5 * i))
+        for i in range(10)
+    ] + ["", "!!! ??? ;;;", "the a and " * 20]
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                                 "doc_id LONG, text STRING")
+    w, feats = classifier.train_linear_scorer(
+        docs, iterations=3, features="hashed"
+    )
+    for c in feats.retained_caches:
+        c.unpersist()
+    assert len(w) == classifier.HASHED_D
+
+    nb = classifier.HASHED_D - 1
+
+    def bucket(tok: str) -> int:
+        h = hashlib.md5((classifier.HASHED_SALT + tok).encode()).hexdigest()
+        return int(h[:8], 16) % nb
+
+    rows = []
+    for t in texts:
+        toks = t.split(" ")
+        n = float(max(len(toks), 1))
+        chars = float(max(len(t), 1))
+        punct = float(sum(1 for ch in t if not (ch.islower() and ch.isascii()
+                                                or ch.isdigit() or ch == " ")))
+        cnt = [0] * nb
+        for tk in toks:
+            cnt[bucket(tk)] += 1
+        x = [1.0] + [cnt[j] / n for j in range(nb)]
+        y = 1.0 if (n >= 40 and punct / chars <= 0.2) else 0.0
+        rows.append((x, y))
+    d = classifier.HASHED_D
+    ref = [0] * d
+    for _ in range(3):
+        G = [0] * d
+        for x, y in rows:
+            z = 0.0
+            for j in range(d):
+                z = z + x[j] * (ref[j] / 1e9)
+            p = 0.5 + z / (2.0 * (1.0 + abs(z)))
+            for j in range(d):
+                G[j] += math.floor((p - y) * x[j] * 1e9 + 0.5)
+        ref = [ref[j] - classifier.trunc_div(16 * G[j], len(rows))
+               for j in range(d)]
+    assert w == ref
+
+
 def test_logreg_trainer_empty_and_null_text_corpus(spark):
     """Zero rows: zero weights are the fixpoint (no ZeroDivisionError);
     NULL text folds to '' on both engines (the SimHash NULL-text class)."""

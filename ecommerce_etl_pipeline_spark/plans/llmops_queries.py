@@ -1820,12 +1820,15 @@ def ml_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_train_oracle_sql(k: int = 4, iterations: int = 5, nano: int = 10**9) -> str:
-    """Unrolled Lloyd replay in DuckDB for ml_kmeans_train: because
+def _kmeans_ctes(k: int = 4, iterations: int = 5, nano: int = 10**9) -> str:
+    """WITH-prefix of the unrolled Lloyd replay in DuckDB: because
     kmeans_train_portable's centroid updates are integer nano-sums divided
     in IEEE doubles and its iteration count is fixed, each round unrolls
     into assignment + update CTEs; the distance list_sum replays the
-    Spark fold left-to-right (ml_kmeans_step's proven parity)."""
+    Spark fold left-to-right (ml_kmeans_step's proven parity). Ends with
+    ``vf`` (cid, cvec — final centroids) and ``af`` (vec_id, cid, dist —
+    final nearest-centroid assignment of the whole corpus); shared by
+    ml_kmeans_train and the portable-IVF oracles."""
     dist = (
         "list_sum(list_transform(generate_series(1, len(p.embedding)), "
         "i -> (CAST(p.embedding[i] AS DOUBLE) - v.cvec[i]) "
@@ -1874,7 +1877,12 @@ def _kmeans_train_oracle_sql(k: int = 4, iterations: int = 5, nano: int = 10**9)
                                       ORDER BY {dist}, v.cid) AS rn
             FROM embeddings p CROSS JOIN vf v
         ) WHERE rn = 1
-    )
+    )"""
+
+
+def _kmeans_train_oracle_sql(k: int = 4, iterations: int = 5, nano: int = 10**9) -> str:
+    return f"""
+    {_kmeans_ctes(k, iterations, nano)}
     SELECT CAST(cid AS INTEGER) AS cluster, COUNT(*) AS n_members,
            {sql_round("AVG(dist)", 4)} AS avg_dist,
            CAST({iterations} AS INTEGER) AS iterations
@@ -2133,16 +2141,93 @@ def dd_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return carry_caches(out, cand, comps)
 
 
+# ---------------------------------------------------------------------------
+# Portable IVF (VERDICT r7 #7): the coarse quantizer is
+# kmeans_train_portable, so the ENTIRE index build — centroid training,
+# cell assignment, probe selection, candidate ranking — replays in DuckDB
+# on top of the shared _kmeans_ctes prefix. This upgraded sim_ivf_topk /
+# sim_ivf_recall from rows-only to oracle-backed (rows-only set 7 -> 5);
+# clustering.ivf_topk (pyspark.ml KMeans quantizer) remains the library
+# kernel, recall-gated in tests/test_similarity_recall.py.
+# ---------------------------------------------------------------------------
+_IVF_CELLS, _IVF_PROBE, _IVF_ITER, _IVF_K = 16, 2, 5, 10
+_IVF_DISTQ = (
+    "list_sum(list_transform(generate_series(1, len(q.qv)), "
+    "i -> (CAST(q.qv[i] AS DOUBLE) - v.cvec[i]) "
+    "* (CAST(q.qv[i] AS DOUBLE) - v.cvec[i])))"
+)
+_IVF_COS = """
+               list_sum(list_transform(generate_series(1, len(e.embedding)),
+                        i -> CAST(q.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(generate_series(1, len(q.qv)),
+                        i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)),
+                        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))))
+"""
+_IVF_WITH = _kmeans_ctes(_IVF_CELLS, _IVF_ITER) + f""",
+    q AS (
+        SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+    ),
+    probes AS (
+        SELECT query_id, cell FROM (
+            SELECT q.query_id, v.cid AS cell,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                      ORDER BY {_IVF_DISTQ}, v.cid) AS rn
+            FROM q CROSS JOIN vf v
+        ) WHERE rn <= {_IVF_PROBE}
+    ),
+    ivf_scored AS (
+        SELECT q.query_id, a.vec_id AS neighbor_id, {_IVF_COS} AS cos
+        FROM probes p
+        JOIN q USING (query_id)
+        JOIN af a ON a.cid = p.cell AND a.vec_id != q.query_id
+        JOIN embeddings e ON e.vec_id = a.vec_id
+    ),
+    ivf_ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rn
+        FROM ivf_scored
+    )"""
+
+
 @register(
     "sim_ivf_topk",
-    doc="IVF approximate top-k: KMeans coarse quantizer (16 cells), each "
-    "query probes its 2 nearest cells. Rows-only check (trained quantizer).",
+    oracle=_IVF_WITH + f"""
+    SELECT query_id, neighbor_id, {sql_round('cos', 6)} AS cosine,
+           CAST(rn AS INTEGER) AS rank
+    FROM ivf_ranked WHERE rn <= {_IVF_K}
+    """,
+    doc="IVF approximate top-k on the PORTABLE coarse quantizer "
+    "(clustering.ivf_topk_portable): kmeans_train_portable trains 16 "
+    "cells (integer-nano Lloyd, deterministic lowest-id seeds), every "
+    "corpus vector is cell-assigned by the broadcast-seed fold, each "
+    "query probes its 2 nearest cells and cosine-ranks only those "
+    "members (~corpus/8 candidates per query). Upgraded from rows-only "
+    "in round 8: the whole index build unrolls into DuckDB CTEs on the "
+    "shared ml_kmeans_train prefix, so training, assignment, probing and "
+    "ranking are all hash-checked, not just recall-gated. The "
+    "pyspark.ml-KMeans variant (clustering.ivf_topk) stays as the "
+    "library kernel with its recall>=0.9 pytest gate.",
 )
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ecommerce_etl_pipeline_spark.llmops.clustering import ivf_topk
+    from ecommerce_etl_pipeline_spark.llmops.clustering import ivf_topk_portable
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+    res = ivf_topk_portable(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        n_cells=_IVF_CELLS,
+        n_probe=_IVF_PROBE,
+        k=_IVF_K,
+        iterations=_IVF_ITER,
+    )
+    return res.select(
+        "query_id",
+        "neighbor_id",
+        portable_round(F.col("cosine"), 6).alias("cosine"),
+        F.col("rank").cast("int").alias("rank"),
+    )
 
 
 @register(
@@ -3239,22 +3324,57 @@ def sim_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sim_ivf_recall",
-    doc="Recall@10 of the IVF index (16 KMeans cells, 2 probes) vs the "
-    "exact brute-force ranking, per query — the same measured-quality "
-    "stance as sim_lsh_recall applied to the coarse-quantizer path. "
-    "Rows-only check (the trained quantizer is not SQL-reproducible); "
-    "the clustered-data quality gate lives in "
-    "tests/test_similarity_recall.py.",
+    oracle=_IVF_WITH + f""",
+    exact_scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id, {_IVF_COS} AS cos
+        FROM q, embeddings e
+        WHERE e.vec_id != q.query_id
+    ),
+    exact_topk AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY cos DESC, neighbor_id) AS rn
+            FROM exact_scored
+        ) WHERE rn <= {_IVF_K}
+    )
+    SELECT query_id, hits,
+           CAST(hits AS DOUBLE) / {float(_IVF_K)} AS recall
+    FROM (
+        SELECT x.query_id,
+               CAST(SUM(CASE WHEN a.rn IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS hits
+        FROM exact_topk x
+        LEFT JOIN (SELECT query_id, neighbor_id, rn FROM ivf_ranked
+                   WHERE rn <= {_IVF_K}) a
+               USING (query_id, neighbor_id)
+        GROUP BY x.query_id
+    )
+    """,
+    doc="Recall@10 of the PORTABLE IVF index (16 integer-nano Lloyd "
+    "cells, 2 probes) vs the exact brute-force ranking, per query — the "
+    "same measured-quality stance as sim_lsh_recall applied to the "
+    "coarse-quantizer path. Upgraded from rows-only in round 8: the "
+    "portable quantizer makes BOTH rankings and the recall arithmetic "
+    "DuckDB-replayable (hits as integer counts, recall = hits/10.0). "
+    "The clustered-data recall>=0.9 gate on the pyspark.ml variant "
+    "lives in tests/test_similarity_recall.py.",
 )
 def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ecommerce_etl_pipeline_spark.llmops.clustering import ivf_topk
+    from ecommerce_etl_pipeline_spark.llmops.clustering import ivf_topk_portable
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5)
     return similarity.topk_recall(
-        similarity.brute_force_topk(emb, q, k=10),
-        ivf_topk(emb, q, k=10),
-        k=10,
+        similarity.brute_force_topk(emb, q, k=_IVF_K),
+        ivf_topk_portable(
+            emb,
+            q,
+            n_cells=_IVF_CELLS,
+            n_probe=_IVF_PROBE,
+            k=_IVF_K,
+            iterations=_IVF_ITER,
+        ),
+        k=_IVF_K,
     )
 
 

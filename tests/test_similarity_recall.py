@@ -156,6 +156,22 @@ def test_ivf_recall_on_clustered_data(spark, clustered_embeddings):
     assert _mean_recall(rec) >= 0.9
 
 
+def test_ivf_portable_recall_on_clustered_data(spark, clustered_embeddings):
+    """The PORTABLE quantizer (integer-nano Lloyd, lowest-id seeds) must
+    match the pyspark.ml variant's recall bar on the same clustered data
+    — oracle-checkability must not cost index quality."""
+    from ecommerce_etl_pipeline_spark.llmops.clustering import ivf_topk_portable
+
+    emb = clustered_embeddings
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    rec = similarity.topk_recall(
+        similarity.brute_force_topk(emb, queries, k=10),
+        ivf_topk_portable(emb, queries, k=10),
+        k=10,
+    )
+    assert _mean_recall(rec) >= 0.9
+
+
 def test_lsh_topk_accepts_non_identifier_column_names(spark, clustered_embeddings):
     """The SQL-text signature builders must backtick-quote column names:
     a vec_col like 'embedding-v2' (legal via the DataFrame API) parsed

@@ -68,9 +68,17 @@ def _lang_and_length_gate(t: F.Column, lang: str, min_tokens: int) -> F.Column:
                 cond = cond & (acc[lg] >= acc[other])
             return cond
 
-        matched = wins(lang)
-        for earlier in langs[: langs.index(lang)]:
-            matched = matched & ~wins(earlier)
+        if lang == "unknown":
+            # predicted_lang's otherwise-branch: NO stopword language
+            # wins (the shape of a corpus outside the stopword tables,
+            # e.g. the synthetic-vocabulary Zipf fixtures)
+            matched = ~wins(langs[0])
+            for other in langs[1:]:
+                matched = matched & ~wins(other)
+        else:
+            matched = wins(lang)
+            for earlier in langs[: langs.index(lang)]:
+                matched = matched & ~wins(earlier)
         return matched & (acc["n"] >= min_tokens)
 
     return F.aggregate(text.tokens(t), init, merge, finish)

@@ -13,14 +13,23 @@
    the operator's core scale claim (SCALING.md round-6: prefix index
    10.0x/10.2x per decade where the plain inverted index grows 55-68x);
 3. the verified output pair counts match the plain-index ground truth
-   pinned from the round-6 equality measurement (440 / 4362).
+   pinned from the round-6 equality measurement (440 / 4362);
+4. (round 8, VERDICT r7 #5) the END-TO-END ``curate(use_ppjoin=True)``
+   pipeline — fused lang/length gate, exact dedup, PPJoin candidates,
+   connected components, anti-join — keeps/removes EXACTLY the pinned
+   document counts on both decades (lang="unknown": the Zipf vocabulary
+   is synthetic, so no stopword language wins). Removed docs grow
+   396 -> 3893 = 9.83x/decade, i.e. the full pipeline tracks the 8%
+   near-dup injection rate LINEARLY on the df-skewed shape — this is the
+   number that answers the sf1 uniform-corpus 16.8x figure, which is the
+   deliberately worst (nothing-is-rare) shape.
 
 Expected values were measured on the committed fixtures (seed 20260815)
-in round 7 and cross-checked against SCALING.md round-6's pair column.
+in rounds 7-8 and cross-checked against SCALING.md round-6's pair column.
 A legitimate change to threshold/shingle_k/ordering must update them in
 the same commit — that is the point.
 
-Usage: python scripts/check_zipf.py        (~40s, local[16])
+Usage: python scripts/check_zipf.py        (~60s, local[16])
 Exit 1 on any assertion failure.
 """
 
@@ -42,6 +51,13 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 EXPECTED = {
     "zipf0.1": (454, 440),
     "zipf1": (4592, 4362),
+}
+#: fixture -> (total docs, docs kept by curate(use_ppjoin=True)) — the
+#: end-to-end pipeline pin (assertion 4); removed = total - kept tracks
+#: the generator's 8% near-dup rate linearly across the decade
+EXPECTED_CURATE = {
+    "zipf0.1": (5000, 4604),
+    "zipf1": (50000, 46107),
 }
 #: one decade of corpus growth may grow candidates at most this much
 #: (measured 10.11x; linear would be 10x, the plain index does 55x)
@@ -80,6 +96,32 @@ def main() -> int:
             fails.append(f"{name}: pairs {n_pairs} != pinned {exp_pairs}")
         print(f"{name}: candidates={n_cand} (pinned {exp_cand}) "
               f"pairs={n_pairs} (pinned {exp_pairs})", flush=True)
+    # assertion 4: the end-to-end PPJoin curation pipeline on the same
+    # fixtures — exact kept/removed pins at both decades
+    from ecommerce_etl_pipeline_spark.llmops import curation
+
+    curate_measured: dict[str, tuple[int, int]] = {}
+    for name, (exp_total, exp_kept) in EXPECTED_CURATE.items():
+        path = os.path.join(ROOT, "localdata", name, "documents.parquet")
+        if not os.path.exists(path):
+            continue  # missing-fixture failure already recorded above
+        docs = spark.read.parquet(path)
+        total = docs.count()
+        out = curation.curate(
+            docs, lang="unknown", use_minhash=False, use_ppjoin=True
+        )
+        kept = out.count()
+        for c in out.retained_caches:
+            c.unpersist()
+        curate_measured[name] = (total, kept)
+        if (total, kept) != (exp_total, exp_kept):
+            fails.append(
+                f"{name}: curate-ppjoin (total, kept) = ({total}, {kept}) "
+                f"!= pinned ({exp_total}, {exp_kept})"
+            )
+        print(f"{name}: curate-ppjoin total={total} kept={kept} "
+              f"removed={total - kept} (pinned kept {exp_kept})", flush=True)
+    measured["curate"] = curate_measured  # type: ignore[assignment]
     if "zipf0.1" in measured and "zipf1" in measured:
         ratio = measured["zipf1"][0] / max(measured["zipf0.1"][0], 1)
         print(f"decade candidate growth: {ratio:.2f}x (max {MAX_RATIO}x)")

@@ -84,6 +84,8 @@ EXTENDED = [
     "ml_logreg_holdout",  # round 7: held-out eval (train 80%, score unseen 20%)
     "dd_jaccard_df_capped",  # round 7: linear-fan-out capped exact jaccard
     "dd_curation_ppjoin",  # round 7: end-to-end ppjoin curation pipeline
+    "ml_logreg_train_d64",  # round 8: production-width hashed-unigram trainer
+    "sim_ivf_topk",  # round 8: portable-quantizer IVF (oracle-backed index build)
 ]
 
 

@@ -96,15 +96,26 @@ SF1 = os.path.join(
 #: max(all r7 measurements) * 1.15; growth factors keep their
 #: ratcheted values, so a real plan regression (growth AND absolute
 #: both past band) still trips.
+#: Round-8 re-anchor (ADVICE r7 #2): the five noise-widened r7 absolute
+#: bands (and four more that drifted) are re-anchored on FRESH-SESSION
+#: 5-rep medians x 1.3 (stated margin; scripts/probe_query.py, idle
+#: host, uptime 4h) instead of max-of-noisy-runs x 1.15 — the r7 widening
+#: had embedded 5-10x regression allowance (w4 3.7s band vs 1.7s fresh
+#: median). Root cause of the cross-round absolute drift identified:
+#: /root/testdata is REGENERATED at each microVM boot, so absolute
+#: seconds move with corpus content (j9 0.85 -> 2.0s on a plan untouched
+#: since r4); the growth arm is content-normalized (same corpus at both
+#: scales) and remains the real gate. SCALING.md round-8 has the probe
+#: table.
 GROWTH_BASELINE = {
-    "a1_daily_sales": (1.5, 2.1),
+    "a1_daily_sales": (1.5, 0.9),
     "a4_customer_ltv": (1.3, 0.8),
     "a8_pricing_summary": (2.1, 1.8),
     "a10_product_rollup": (1.8, 1.5),
     "j1_order_lineitem_join": (2.1, 2.5),
-    "j4_pair_names_lookup": (3.4, 8.7),
-    "j9_asof_join": (2.4, 1.6),
-    "w4_sessionize": (1.7, 3.7),
+    "j4_pair_names_lookup": (3.4, 6.3),
+    "j9_asof_join": (2.4, 2.6),
+    "w4_sessionize": (1.7, 2.2),
     "w7_moving_avg_7d": (1.5, 0.6),
     "n2_hof_array_aggregate": (3.0, 2.5),
     "dd_exact_dedup": (1.5, 0.4),
@@ -118,7 +129,7 @@ GROWTH_BASELINE = {
     # here is that same worst shape, NOT a ppjoin regression — its
     # Zipf-corpus linearity is gated exactly in scripts/check_zipf.py;
     # the banded dd_curation_minhash is the registered 100 TB route)
-    "dd_curation_pipeline": (9.0, 21.8),
+    "dd_curation_pipeline": (9.0, 47.0),
     "dd_curation_ppjoin": (19.3, 61.9),
     "dd_span_excision": (5.0, 10.3),
     "dd_semantic_dedup": (4.4, 21.0),
@@ -128,12 +139,21 @@ GROWTH_BASELINE = {
     "dd_simhash_pairs": (5.1, 5.3),
     "dd_ppjoin_pairs": (14.7, 27.4),
     "ml_logreg_train": (1.2, 3.4),
-    "ml_logreg_holdout": (1.2, 3.9),
-    "dd_jaccard_df_capped": (1.7, 2.2),
+    "ml_logreg_holdout": (1.2, 6.5),
+    # growth re-based from the fresh probe (the r7 1.7x growth figure
+    # divided by a session-contaminated 4.16s sf0.1 read; fresh medians
+    # 2.56 -> 7.84s = 3.07x, sf1 reps bimodal 3.4-10.2s)
+    "dd_jaccard_df_capped": (3.1, 10.2),
     "sim_rp_rerank": (1.3, 2.3),
-    "txt_chunk_overlap": (1.4, 3.3),
+    "txt_chunk_overlap": (1.4, 1.4),
     "u5_cdc_merge": (1.4, 1.0),
-    "sm9_importance_resample": (1.5, 2.4),
+    "sm9_importance_resample": (1.5, 2.3),
+    # round-8 additions, seeded directly from their first fresh-session
+    # probes (growth band top, median x 1.3): both carry the
+    # iterative-literal compile constant (SCALING.md round-8) but clean
+    # scale terms (d64 1.36x for 10x rows, IVF 1.11x)
+    "ml_logreg_train_d64": (1.4, 52.0),
+    "sim_ivf_topk": (1.2, 7.8),
 }
 TOLERANCE = 0.25
 #: report-only absolute-drift threshold: sf1 seconds > band top * this

@@ -1,0 +1,51 @@
+#!/usr/bin/env python
+"""Fresh-session N-rep probe for one registered query at one scale —
+the committed form of the ad-hoc host-variance probes SCALING.md rounds
+7-8 describe (memory: disjoint bench_sf1 violation sets on untouched
+code are host noise; the arbiter is a FRESH session's median-of-N).
+
+Prints per-rep seconds and the median as one JSON line. Run it once per
+(query, sf_dir) from a NEW process so JIT/codegen state from other
+queries cannot flatter or inflate the number; the first rep is included
+in the median deliberately (the per-round sweeps also pay it).
+
+Usage: python scripts/probe_query.py QUERY [sf_dir] [reps=5]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from ecommerce_etl_pipeline_spark.plans import all_queries  # noqa: E402
+from ecommerce_etl_pipeline_spark.session import get_spark  # noqa: E402
+
+
+def main() -> int:
+    name = sys.argv[1]
+    sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+    spark = get_spark(app_name=f"probe_{name}")
+    spark.sparkContext.setLogLevel("ERROR")
+    fn = all_queries()[name]
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn(spark, sf).write.format("noop").mode("overwrite").save()
+        ts.append(round(time.perf_counter() - t0, 3))
+        spark.catalog.clearCache()
+    print(json.dumps({
+        "query": name,
+        "sf_dir": sf,
+        "reps": ts,
+        "median": sorted(ts)[len(ts) // 2],
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -250,7 +250,16 @@ def score_with_weights(
     post-training evaluation prefer :func:`evaluate_scorer` on the cached
     feature frame — this form re-tokenizes from the raw text."""
     t = F.coalesce(F.col(text_col), F.lit(""))
-    score = fast_sigmoid(_z_from(quality_feature_exprs(t), weights_nano))
+    xs = quality_feature_exprs(t)
+    if len(weights_nano) != len(xs):
+        # d=64 hashed weights into the d=5 scorer would silently use the
+        # first 5 — a geometry mismatch must fail loudly
+        raise ValueError(
+            f"weight vector has d={len(weights_nano)} but the quality "
+            f"feature set is d={len(xs)}; hashed-geometry weights need a "
+            "hashed featurize + evaluate_scorer path"
+        )
+    score = fast_sigmoid(_z_from(xs, weights_nano))
     keep = [c for c in docs.columns if c not in ("score", "predicted", "y")]
     return docs.select(
         *keep,
@@ -265,6 +274,14 @@ def evaluate_scorer(feats: DataFrame, weights_nano: list[int]) -> DataFrame:
     frame train_linear_scorer already cached, so evaluation costs one
     cache scan, not a second tokenize/regex pass over the corpus (at the
     100 TB design point the re-scan would double the query)."""
+    d_frame = len([c for c in feats.columns if c != "y"])
+    if len(weights_nano) != d_frame:
+        # d=5 weights over a d=64 frame would silently score on the
+        # first 5 features; a geometry mismatch must fail loudly
+        raise ValueError(
+            f"weight vector has d={len(weights_nano)} but the feature "
+            f"frame is d={d_frame}"
+        )
     cols = [F.col(f"x{j}") for j in range(len(weights_nano))]
     p = (fast_sigmoid(_z_from(cols, weights_nano)) >= 0.5).cast("int")
     y = F.col("y")

@@ -118,3 +118,43 @@ def test_curate_cache_contract_releases_everything(spark):
     for df in wp.retained_caches:
         df.unpersist(blocking=True)
     assert _pinned() - _baseline == set()
+
+
+def test_fused_lang_gate_matches_predicted_lang_all_langs(spark):
+    """The fused single-fold gate must equal the compositional
+    ``predicted_lang(t) == lang AND token_count >= min`` for every lang
+    INCLUDING the round-8 'unknown' branch (no stopword language wins —
+    the Zipf-fixture shape check_zipf's curate pin relies on)."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_etl_pipeline_spark.llmops import text
+    from ecommerce_etl_pipeline_spark.llmops.curation import (
+        _lang_and_length_gate,
+        predicted_lang,
+    )
+
+    texts = [
+        "the quick brown fox and the lazy dog of the north in a field",
+        "el rio la casa de que y en los montes claros para todos aqui",
+        "der und die das ein nicht mit sich auf auch fuer von heute",
+        "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12",   # no stopwords
+        "the el der und a la",                      # cross-lang tie soup
+        "short",
+        "",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id LONG, text STRING"
+    )
+    t = F.col("text")
+    for lang in ("en", "es", "de", "unknown"):
+        fused = {
+            r["doc_id"]
+            for r in docs.filter(_lang_and_length_gate(t, lang, 5)).collect()
+        }
+        composed = {
+            r["doc_id"]
+            for r in docs.filter(
+                (predicted_lang(t) == lang) & (text.token_count(t) >= 5)
+            ).collect()
+        }
+        assert fused == composed, f"lang={lang}: {fused} != {composed}"

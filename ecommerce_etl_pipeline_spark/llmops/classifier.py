@@ -180,30 +180,37 @@ def train_linear_scorer(
         # the weight update divides by n_rows; zero rows = zero gradient
         # signal, so the zero-initialized weights ARE the fixpoint
         return w, feats
+    xarr = F.array(*(F.col(f"x{j}") for j in range(d)))
     for _ in range(iterations):
-        # z folds left-to-right; the oracle writes the same chain order.
-        # The weights enter as ONE ARRAY literal rather than d scalar
-        # literals: primitive literals are inlined into the generated
-        # Java source, so scalar weights force a fresh Janino compile of
-        # the scan->project->partial-agg span EVERY iteration (measured
-        # 3-6s/round at d=64); a complex-type literal rides the codegen
-        # references array, the source text is identical across rounds,
-        # and the compile cache hits from round 2 on. element_at reads
-        # the same double values, so the per-row math (and the oracle)
-        # is unchanged bit-for-bit.
+        # z folds left-to-right over (w_j * x_j) — the oracle writes the
+        # same left-associated chain, and multiplication/addition are
+        # each exactly-rounded IEEE, so the array fold is bit-identical
+        # to the written-out sum (the only representational difference
+        # is the fold's 0.0 seed, which can flip a -0.0 into +0.0 — and
+        # z only feeds fast_sigmoid, where sigmoid(+-0.0) = 0.5 exactly,
+        # so no divergence can reach the gradients; pinned by the
+        # wide-vs-array parity measurement and the pure-Python replays).
         warr = F.lit([float(w[j]) / NANO for j in range(d)])
-        z = F.element_at(warr, 1) * F.col("x0")
-        for j in range(1, d):
-            z = z + F.element_at(warr, j + 1) * F.col(f"x{j}")
-        # the residual is STAGED through a projection (same math — the
-        # oracle's subquery computes z once per row the same way): each
-        # gradient column below references the narrow ``_resid`` instead
-        # of inlining the d-term z chain, keeping the aggregate's
-        # expression tree O(d) rather than O(d^2). At d=64 the inlined
-        # form was ~4096 nodes re-analyzed/compiled per iteration —
-        # pure planning/codegen overhead dominating the 12-round loop.
-        resid_frame = feats.select(
-            *(F.col(f"x{j}") for j in range(d)),
+        z = F.aggregate(
+            F.zip_with(warr, xarr, lambda wv, xv: wv * xv),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        # GRADIENT VENUE (round 8): per-row gradient ARRAY -> posexplode
+        # -> d-key partial aggregate, instead of d wide sum columns. The
+        # plan is O(1) in d (three expressions), where the wide-agg form
+        # re-analyzed and re-compiled O(d) aggregate expressions every
+        # iteration because the round's weight literals inline into the
+        # generated source — measured 2.2s -> 0.4s per iteration at d=64,
+        # bit-identical sums. Scale shape unchanged: the hash aggregate
+        # partial-combines to d cells per partition before the exchange,
+        # so the shuffle carries d integers per partition either way;
+        # the explode amplification exists only inside the map pipeline.
+        # _resid is STAGED in the projection so the transform lambda does
+        # O(1) work per element (referencing the sigmoid fold inside the
+        # lambda would re-evaluate it d times per row).
+        staged = feats.select(
+            xarr.alias("_x"),
             (fast_sigmoid(z) - F.col("y")).alias("_resid"),
         )
         # gradient sums widen to DECIMAL(38,0): per-row quantized
@@ -212,22 +219,26 @@ def train_linear_scorer(
         # ~9.2e9 rows — well inside the 100 TB design point (~1e10-1e11
         # docs). Decimal sums of exact integers stay exact and map-side
         # combinable; the update itself runs in unbounded Python ints.
-        grads = resid_frame.select(
-            *(
-                F.sum(
-                    F.floor(
-                        F.col("_resid") * F.col(f"x{j}") * F.lit(float(NANO))
-                        + F.lit(0.5)
-                    ).cast("decimal(38,0)")
-                ).alias(f"g{j}")
-                for j in range(d)
-            )
-        ).collect()[0]
+        garr = F.transform(
+            F.col("_x"),
+            lambda x: F.floor(
+                F.col("_resid") * x * F.lit(float(NANO)) + F.lit(0.5)
+            ).cast("long"),
+        )
+        rows = (
+            staged.select(F.posexplode(garr).alias("_j", "_g"))
+            .groupBy("_j")
+            .agg(F.sum(F.col("_g").cast("decimal(38,0)")).alias("_gs"))
+            .collect()
+        )
+        grads = [0] * d
+        for r in rows:
+            grads[r["_j"]] = int(r["_gs"])
         # TRUNCATING division — matches DuckDB's integer // (the oracle
         # widens to HUGEINT for the lr_num * G product for the same
         # >5.8e8-row reason)
         w = [
-            w[j] - trunc_div(lr_num * int(grads[f"g{j}"]), lr_den * n_rows)
+            w[j] - trunc_div(lr_num * grads[j], lr_den * n_rows)
             for j in range(d)
         ]
     return w, feats

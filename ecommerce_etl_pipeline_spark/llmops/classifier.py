@@ -74,32 +74,37 @@ def quality_feature_exprs(t: Column) -> list[Column]:
     ]
 
 
-#: default hashed-feature geometry: bias + (HASHED_D - 1) unigram buckets
+#: default hashed-feature geometry: the 5 quality ratios (bias included)
+#: + (HASHED_D - 5) hashed-unigram buckets. The hand-picked ratios stay
+#: IN the wide geometry — the heuristic judge's label is a function of
+#: length and punctuation, which bucket-count ratios cannot see, so a
+#: buckets-only d=64 model trained to BELOW-chance holdout accuracy
+#: (0.447 measured) while the superset geometry can only refine d=5.
 HASHED_D = 64
 HASHED_SALT = "clsfeat:v1"
 
 
 def hashed_feature_exprs(
-    t: Column, *, n_buckets: int = HASHED_D - 1, salt: str = HASHED_SALT
+    t: Column, *, n_buckets: int = HASHED_D - 5, salt: str = HASHED_SALT
 ) -> list[Column]:
-    """Hashed-unigram bucket features (the DSIR hashing trick of
-    splits.importance_logweights applied to the classifier): bias +
-    ``n_buckets`` ratios count(tokens in bucket j) / token_count. The
-    bucket of a token is md5-portable (splits.hash_uint32 % n_buckets),
-    computed ONCE per token into an array; each feature is then one
-    integer count over that array divided by the integer token count —
-    IEEE-exact in any engine, same doctrine as the d=5 ratios.
+    """Production-width features: the d=5 quality ratios PLUS
+    ``n_buckets`` hashed-unigram ratios count(tokens in bucket j) /
+    token_count (the DSIR hashing trick of splits.importance_logweights
+    applied to the classifier). The bucket of a token is md5-portable
+    (splits.hash_uint32 % n_buckets), computed ONCE per token into an
+    array; each feature is then one integer count over that array
+    divided by the integer token count — IEEE-exact in any engine, same
+    doctrine as the d=5 ratios.
 
     Scale shape: O(tokens) md5 per row + O(d * tokens) comparisons, all
-    inside whole-stage codegen (transform/filter/size HOFs); the feature
-    WIDTH changes only the aggregate row (d gradient sums), never the
-    shuffle row count."""
+    JVM HOFs in one narrow projection; the feature WIDTH changes only
+    the aggregate row (d gradient sums), never the shuffle row count."""
     from ecommerce_etl_pipeline_spark.llmops.splits import hash_uint32
 
     toks = text.tokens(t)
     n = F.greatest(F.size(toks), F.lit(1)).cast("double")
     bs = F.transform(toks, lambda tok: F.pmod(hash_uint32(tok, salt), F.lit(n_buckets)))
-    return [F.lit(1.0)] + [
+    return quality_feature_exprs(t) + [
         F.size(F.filter(bs, lambda b: b == F.lit(j))).cast("double") / n
         for j in range(n_buckets)
     ]

@@ -79,7 +79,12 @@ _DRIVER_WINDOW = [
     "w7_moving_avg_7d",
     # -- round-8 claims: NEW query (window rule: new query => slot),
     # rows-only -> oracle upgrades (first-ever oracle driver rows), and
-    # touched-code re-certs (the restaged GD loop feeds all three)
+    # touched-code re-certs (the restaged GD loop feeds all three).
+    # QUEUED for r9 (window full; the r6-trio precedent):
+    # ml_logreg_holdout_d64 — registered late in r8, locally
+    # oracle-verified at sf0.001+sf0.01, shares the trainer/oracle
+    # machinery with the two certified d64/holdout queries; MUST take a
+    # slot in the r9 rotation.
     "ml_logreg_train_d64",
     "sim_ivf_topk",
     "sim_ivf_recall",

@@ -3417,26 +3417,35 @@ def _cls_feats_sql(where: str = "") -> str:
         )"""
 
 
-def _cls_feats_hashed_sql(n_buckets: int, salt: str) -> str:
-    """The d = n_buckets + 1 HASHED-unigram feature SELECT — mirrors
-    classifier.hashed_feature_exprs literally: each token's bucket is
-    md5-portable (splits.sql_hash_uint32 % n_buckets) computed ONCE into
-    a list, each feature is count-in-bucket / token count (a ratio of
-    integer counts, IEEE-exact), the label is the same heuristic judge."""
+def _cls_feats_hashed_sql(n_buckets: int, salt: str, where: str = "") -> str:
+    """The d = n_buckets + 5 PRODUCTION-width feature SELECT — mirrors
+    classifier.hashed_feature_exprs literally: the five quality ratios
+    (x0..x4, identical to _cls_feats_sql) followed by ``n_buckets``
+    hashed-unigram ratios. Each token's bucket is md5-portable
+    (splits.sql_hash_uint32 % n_buckets) computed ONCE into a list; each
+    bucket feature is count-in-bucket / token count (a ratio of integer
+    counts, IEEE-exact); the label is the same heuristic judge.
+    ``where`` filters `documents` (holdout split predicates reference
+    doc_id, so it applies BEFORE the text projection)."""
+    pred = f" WHERE {where}" if where else ""
     bucket = (
         f"CAST(('0x' || substr(md5('{salt}' || CAST(tok AS VARCHAR)), 1, 8)) "
         f"AS BIGINT) % {n_buckets}"
     )
     xcols = ",\n               ".join(
-        f"CAST(len(list_filter(bs, b -> b = {j})) AS DOUBLE) / nn AS x{j + 1}"
+        f"CAST(len(list_filter(bs, b -> b = {j})) AS DOUBLE) / nn AS x{j + 5}"
         for j in range(n_buckets)
     )
     return f"""
         SELECT 1.0 AS x0,
+               CAST({_LANG_HITS['en']} AS DOUBLE) / nn AS x1,
+               CAST({_LANG_HITS['es']} AS DOUBLE) / nn AS x2,
+               pp / cc AS x3,
+               least(nn, 100.0) / 100.0 AS x4,
                {xcols},
                CASE WHEN nn >= 40 AND pp / cc <= 0.2 THEN 1 ELSE 0 END AS y
         FROM (
-            SELECT nn, cc, pp,
+            SELECT text, nn, cc, pp,
                    list_transform(string_split(text, ' '), tok -> {bucket}) AS bs
             FROM (
                 SELECT text,
@@ -3444,7 +3453,7 @@ def _cls_feats_hashed_sql(n_buckets: int, salt: str) -> str:
                        CAST(greatest(length(text), 1) AS DOUBLE) AS cc,
                        CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
                             AS DOUBLE) AS pp
-                FROM (SELECT coalesce(text, '') AS text FROM documents)
+                FROM (SELECT coalesce(text, '') AS text FROM documents{pred})
             )
         )"""
 
@@ -3535,7 +3544,7 @@ def ml_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CLS_D64 = classifier.HASHED_D
 _CLS64_WITH, _CLS64_WFINAL = _logreg_sql(
     d=_CLS_D64,
-    feats_sql=_cls_feats_hashed_sql(_CLS_D64 - 1, classifier.HASHED_SALT),
+    feats_sql=_cls_feats_hashed_sql(_CLS_D64 - 5, classifier.HASHED_SALT),
 )
 
 
@@ -3675,10 +3684,26 @@ def ml_logreg_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     w, feats = classifier.train_linear_scorer(
         train, iterations=_CLS_ITER, lr_num=_CLS_LR_NUM, lr_den=_CLS_LR_DEN
     )
-    # n_train from the CACHED train feature frame (one cache statistic);
-    # holdout features are a fresh narrow pass over the unseen split
+    return _holdout_report(spark, w, feats, holdout, features="quality")
+
+
+def _holdout_report(
+    spark: SparkSession,
+    w: list[int],
+    feats: DataFrame,
+    holdout: DataFrame,
+    *,
+    features: str,
+) -> DataFrame:
+    """Shared tail of the two holdout queries: n_train from the CACHED
+    train feature frame (one cache statistic), holdout features as a
+    fresh narrow pass over the unseen split, confusion matrix + guarded
+    accuracy (the oracle's AVG over an empty scored set is NULL; 0/0
+    here would be NaN)."""
     n_train = feats.count()
-    conf = classifier.evaluate_scorer(classifier.featurize(holdout), w)
+    conf = classifier.evaluate_scorer(
+        classifier.featurize(holdout, features=features), w
+    )
     n_hold = F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn")
     out = conf.select(
         F.lit(n_train).cast("long").alias("n_train"),
@@ -3687,7 +3712,6 @@ def ml_logreg_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fp",
         "fn",
         "tn",
-        # when-guard mirrors the oracle's AVG-over-empty NULL (0/0 = NaN)
         F.when(
             n_hold > 0,
             portable_round(
@@ -3697,3 +3721,62 @@ def ml_logreg_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("accuracy"),
     )
     return carry_caches(out, feats)
+
+
+_CLS64H_WITH, _CLS64H_WFINAL = _logreg_sql(
+    d=_CLS_D64,
+    feats_sql=_cls_feats_hashed_sql(
+        _CLS_D64 - 5, classifier.HASHED_SALT, where=_CLS_TRAIN_PRED
+    ),
+)
+_CLS64_Z = " + ".join(
+    f"f.x{j} * (w.w{j} / 1000000000.0)" for j in range(_CLS_D64)
+)
+
+
+@register(
+    "ml_logreg_holdout_d64",
+    oracle=_CLS64H_WITH + f""",
+    feats_holdout AS MATERIALIZED (
+        {_cls_feats_hashed_sql(_CLS_D64 - 5, classifier.HASHED_SALT,
+                               where="NOT (" + _CLS_TRAIN_PRED + ")")}
+    ),
+    scored AS (
+        SELECT y, CASE WHEN (0.5 + z / (2.0 * (1.0 + abs(z)))) >= 0.5
+                       THEN 1 ELSE 0 END AS p
+        FROM (SELECT f.*, ({_CLS64_Z}) AS z
+              FROM feats_holdout f CROSS JOIN {_CLS64H_WFINAL} w)
+    )
+    SELECT (SELECT CAST(n AS BIGINT) FROM cnt) AS n_train,
+           CAST(COUNT(*) AS BIGINT) AS n_holdout,
+           CAST(coalesce(SUM(p * y), 0) AS BIGINT) AS tp,
+           CAST(coalesce(SUM(p * (1 - y)), 0) AS BIGINT) AS fp,
+           CAST(coalesce(SUM((1 - p) * y), 0) AS BIGINT) AS fn,
+           CAST(coalesce(SUM((1 - p) * (1 - y)), 0) AS BIGINT) AS tn,
+           {sql_round("AVG(CASE WHEN p = y THEN 1.0 ELSE 0.0 END)", 6)}
+               AS accuracy
+    FROM scored
+    """,
+    doc="HELD-OUT evaluation at PRODUCTION feature width: the same "
+    "deterministic md5 80/20 split as ml_logreg_holdout, but training "
+    "and scoring on the d=64 hashed-unigram geometry — the apples-to-"
+    "apples number that says whether the wide hashed features actually "
+    "generalize better than the d=5 hand-picked ratios (train-set "
+    "accuracy flatters wide geometries; this is the comparison a "
+    "distillation gate publishes before switching feature sets). Same "
+    "unrolled materialized-CTE replay, generated per-feature at d=64 "
+    "with the split predicate in the feats CTE.",
+)
+def ml_logreg_holdout_d64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = splits.hash_uint32(F.col("doc_id"), _CLS_SPLIT_SALT)
+    train = docs.filter(h < F.lit(_CLS_SPLIT_THRESHOLD))
+    holdout = docs.filter(~(h < F.lit(_CLS_SPLIT_THRESHOLD)))
+    w, feats = classifier.train_linear_scorer(
+        train,
+        iterations=_CLS_ITER,
+        lr_num=_CLS_LR_NUM,
+        lr_den=_CLS_LR_DEN,
+        features="hashed",
+    )
+    return _holdout_report(spark, w, feats, holdout, features="hashed")

@@ -1215,11 +1215,12 @@ def test_logreg_trainer_matches_pure_python_replay(spark):
 
 
 def test_logreg_trainer_hashed_d64_matches_pure_python_replay(spark):
-    """The d=64 hashed-unigram geometry (ml_logreg_train_d64) must be
-    bit-identical to a pure-Python replay: md5-portable token buckets,
-    integer-count ratio features, the same d-agnostic nano-gradient loop.
-    The replay recomputes every bucket with hashlib, so a drift in the
-    hash, the bucket modulus, or the fold order fails loudly."""
+    """The d=64 production geometry (ml_logreg_train_d64: the 5 quality
+    ratios + 59 hashed-unigram buckets) must be bit-identical to a
+    pure-Python replay: md5-portable token buckets, integer-count ratio
+    features, the same d-agnostic nano-gradient loop. The replay
+    recomputes every bucket with hashlib, so a drift in the hash, the
+    bucket modulus, or the fold order fails loudly."""
     import hashlib
     import math
 
@@ -1228,7 +1229,8 @@ def test_logreg_trainer_hashed_d64_matches_pure_python_replay(spark):
     texts = [
         " ".join(f"w{(i * 7 + k) % 41}" for k in range(6 + 5 * i))
         for i in range(10)
-    ] + ["", "!!! ??? ;;;", "the a and " * 20]
+    ] + ["", "!!! ??? ;;;", "the a and " * 20,
+         "el la de que y en los " * 7]
     docs = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
                                  "doc_id LONG, text STRING")
     w, feats = classifier.train_linear_scorer(
@@ -1238,7 +1240,9 @@ def test_logreg_trainer_hashed_d64_matches_pure_python_replay(spark):
         c.unpersist()
     assert len(w) == classifier.HASHED_D
 
-    nb = classifier.HASHED_D - 1
+    nb = classifier.HASHED_D - 5
+    EN = ["the", "a", "and", "of", "to", "in", "is"]
+    ES = ["el", "la", "de", "que", "y", "en", "los"]
 
     def bucket(tok: str) -> int:
         h = hashlib.md5((classifier.HASHED_SALT + tok).encode()).hexdigest()
@@ -1254,7 +1258,9 @@ def test_logreg_trainer_hashed_d64_matches_pure_python_replay(spark):
         cnt = [0] * nb
         for tk in toks:
             cnt[bucket(tk)] += 1
-        x = [1.0] + [cnt[j] / n for j in range(nb)]
+        x = [1.0, sum(tk in EN for tk in toks) / n,
+             sum(tk in ES for tk in toks) / n, punct / chars,
+             min(n, 100.0) / 100.0] + [cnt[j] / n for j in range(nb)]
         y = 1.0 if (n >= 40 and punct / chars <= 0.2) else 0.0
         rows.append((x, y))
     d = classifier.HASHED_D

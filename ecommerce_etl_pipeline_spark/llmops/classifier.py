@@ -48,6 +48,13 @@ from ecommerce_etl_pipeline_spark.operators.parallelism import ensure_parallelis
 #: nano quantization scale for gradient sums / weights
 NANO = 1_000_000_000
 
+#: gradient-venue crossover: at or below this feature width the trainer
+#: uses d codegen'd wide sum columns (cheapest per row — the term that
+#: dominates at scale); above it, the O(1)-in-d array/posexplode venue
+#: (wide-agg planning would not survive production bucket counts). See
+#: the venue comment in train_linear_scorer.
+_WIDE_AGG_MAX_D = 16
+
 
 def trunc_div(a: int, b: int) -> int:
     """Integer division truncating toward zero — the semantics of
@@ -185,60 +192,90 @@ def train_linear_scorer(
         # the weight update divides by n_rows; zero rows = zero gradient
         # signal, so the zero-initialized weights ARE the fixpoint
         return w, feats
+    # GRADIENT VENUE PICK (round 8, the j4 width-pick precedent) — both
+    # venues produce BIT-IDENTICAL gradient sums (pinned by a
+    # wide-vs-array parity measurement on random weight vectors and the
+    # pure-Python replays); they differ only in where the constant cost
+    # sits, and the crossover is the feature width d:
+    # - SMALL d (<= _WIDE_AGG_MAX_D): d codegen'd sum columns over the
+    #   staged residual projection. Whole-stage codegen makes the
+    #   per-row work cheapest (the term that dominates at scale — the
+    #   r8 sf1 gate measured the array venue 1.8x slower at d=5 on 10x
+    #   rows because interpreted HOF eval taxes every row), at the price
+    #   of re-compiling O(d) aggregate expressions each iteration (the
+    #   round's weight literals inline into the generated source).
+    # - WIDE d: per-row gradient ARRAY -> posexplode -> d-key partial
+    #   aggregate. THREE expressions per iteration regardless of d
+    #   (measured 2.2s -> 0.4s per iteration at d=64; at production
+    #   bucket counts the wide-agg plan would be unplannable), at the
+    #   price of interpreted HOF per-row eval. Scale shape is identical
+    #   either way: the hash aggregate partial-combines to d cells per
+    #   partition before the exchange.
     xarr = F.array(*(F.col(f"x{j}") for j in range(d)))
     for _ in range(iterations):
         # z folds left-to-right over (w_j * x_j) — the oracle writes the
         # same left-associated chain, and multiplication/addition are
-        # each exactly-rounded IEEE, so the array fold is bit-identical
-        # to the written-out sum (the only representational difference
-        # is the fold's 0.0 seed, which can flip a -0.0 into +0.0 — and
-        # z only feeds fast_sigmoid, where sigmoid(+-0.0) = 0.5 exactly,
-        # so no divergence can reach the gradients; pinned by the
-        # wide-vs-array parity measurement and the pure-Python replays).
-        warr = F.lit([float(w[j]) / NANO for j in range(d)])
-        z = F.aggregate(
-            F.zip_with(warr, xarr, lambda wv, xv: wv * xv),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        # GRADIENT VENUE (round 8): per-row gradient ARRAY -> posexplode
-        # -> d-key partial aggregate, instead of d wide sum columns. The
-        # plan is O(1) in d (three expressions), where the wide-agg form
-        # re-analyzed and re-compiled O(d) aggregate expressions every
-        # iteration because the round's weight literals inline into the
-        # generated source — measured 2.2s -> 0.4s per iteration at d=64,
-        # bit-identical sums. Scale shape unchanged: the hash aggregate
-        # partial-combines to d cells per partition before the exchange,
-        # so the shuffle carries d integers per partition either way;
-        # the explode amplification exists only inside the map pipeline.
-        # _resid is STAGED in the projection so the transform lambda does
-        # O(1) work per element (referencing the sigmoid fold inside the
-        # lambda would re-evaluate it d times per row).
-        staged = feats.select(
-            xarr.alias("_x"),
-            (fast_sigmoid(z) - F.col("y")).alias("_resid"),
-        )
-        # gradient sums widen to DECIMAL(38,0): per-row quantized
-        # gradients are exact integers bounded by ±NANO (|resid| <= 1 and
-        # every feature is in [0,1]), so a LONG sum would overflow ANSI at
-        # ~9.2e9 rows — well inside the 100 TB design point (~1e10-1e11
-        # docs). Decimal sums of exact integers stay exact and map-side
-        # combinable; the update itself runs in unbounded Python ints.
-        garr = F.transform(
-            F.col("_x"),
-            lambda x: F.floor(
-                F.col("_resid") * x * F.lit(float(NANO)) + F.lit(0.5)
-            ).cast("long"),
-        )
-        rows = (
-            staged.select(F.posexplode(garr).alias("_j", "_g"))
-            .groupBy("_j")
-            .agg(F.sum(F.col("_g").cast("decimal(38,0)")).alias("_gs"))
-            .collect()
-        )
-        grads = [0] * d
-        for r in rows:
-            grads[r["_j"]] = int(r["_gs"])
+        # each exactly-rounded IEEE. The wide venue writes the chain
+        # out; the array venue folds it — the only representational
+        # difference is the fold's 0.0 seed, which can flip a -0.0 into
+        # +0.0, and z only feeds fast_sigmoid where sigmoid(+-0.0) = 0.5
+        # exactly, so no divergence can reach the gradients.
+        # gradient sums widen to DECIMAL(38,0) in both venues: per-row
+        # quantized gradients are exact integers bounded by ±NANO
+        # (|resid| <= 1, every feature in [0,1]), so a LONG sum would
+        # overflow ANSI at ~9.2e9 rows — inside the 100 TB design point
+        # (~1e10-1e11 docs). Decimal sums of exact integers stay exact
+        # and map-side combinable; the update runs in unbounded Python
+        # ints.
+        if d <= _WIDE_AGG_MAX_D:
+            z = F.lit(float(w[0]) / NANO) * F.col("x0")
+            for j in range(1, d):
+                z = z + F.lit(float(w[j]) / NANO) * F.col(f"x{j}")
+            resid_frame = feats.select(
+                *(F.col(f"x{j}") for j in range(d)),
+                (fast_sigmoid(z) - F.col("y")).alias("_resid"),
+            )
+            row = resid_frame.select(
+                *(
+                    F.sum(
+                        F.floor(
+                            F.col("_resid") * F.col(f"x{j}") * F.lit(float(NANO))
+                            + F.lit(0.5)
+                        ).cast("decimal(38,0)")
+                    ).alias(f"g{j}")
+                    for j in range(d)
+                )
+            ).collect()[0]
+            grads = [int(row[f"g{j}"]) for j in range(d)]
+        else:
+            warr = F.lit([float(w[j]) / NANO for j in range(d)])
+            z = F.aggregate(
+                F.zip_with(warr, xarr, lambda wv, xv: wv * xv),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            # _resid is STAGED in the projection so the transform lambda
+            # does O(1) work per element (referencing the sigmoid fold
+            # inside the lambda would re-evaluate it d times per row)
+            staged = feats.select(
+                xarr.alias("_x"),
+                (fast_sigmoid(z) - F.col("y")).alias("_resid"),
+            )
+            garr = F.transform(
+                F.col("_x"),
+                lambda x: F.floor(
+                    F.col("_resid") * x * F.lit(float(NANO)) + F.lit(0.5)
+                ).cast("long"),
+            )
+            rows = (
+                staged.select(F.posexplode(garr).alias("_j", "_g"))
+                .groupBy("_j")
+                .agg(F.sum(F.col("_g").cast("decimal(38,0)")).alias("_gs"))
+                .collect()
+            )
+            grads = [0] * d
+            for r in rows:
+                grads[r["_j"]] = int(r["_gs"])
         # TRUNCATING division — matches DuckDB's integer // (the oracle
         # widens to HUGEINT for the lr_num * G product for the same
         # >5.8e8-row reason)

@@ -3684,11 +3684,10 @@ def ml_logreg_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     w, feats = classifier.train_linear_scorer(
         train, iterations=_CLS_ITER, lr_num=_CLS_LR_NUM, lr_den=_CLS_LR_DEN
     )
-    return _holdout_report(spark, w, feats, holdout, features="quality")
+    return _holdout_report(w, feats, holdout, features="quality")
 
 
 def _holdout_report(
-    spark: SparkSession,
     w: list[int],
     feats: DataFrame,
     holdout: DataFrame,
@@ -3779,4 +3778,4 @@ def ml_logreg_holdout_d64(spark: SparkSession, sf_dir: str) -> DataFrame:
         lr_den=_CLS_LR_DEN,
         features="hashed",
     )
-    return _holdout_report(spark, w, feats, holdout, features="hashed")
+    return _holdout_report(w, feats, holdout, features="hashed")

@@ -91,26 +91,55 @@ HASHED_D = 64
 HASHED_SALT = "clsfeat:v1"
 
 
-def hashed_feature_exprs(
+def hashed_bucket_array(
     t: Column, *, n_buckets: int = HASHED_D - 5, salt: str = HASHED_SALT
+) -> Column:
+    """Per-token md5 bucket ids as one array<int> — the expensive half of
+    the hashed feature set, built ONCE so callers can stage it as a real
+    column (see hashed_feature_exprs on why staging is load-bearing)."""
+    from ecommerce_etl_pipeline_spark.llmops.splits import hash_uint32
+
+    return F.transform(
+        text.tokens(t), lambda tok: F.pmod(hash_uint32(tok, salt), F.lit(n_buckets))
+    )
+
+
+def hashed_feature_exprs(
+    t: Column,
+    *,
+    n_buckets: int = HASHED_D - 5,
+    salt: str = HASHED_SALT,
+    bs: Column | None = None,
 ) -> list[Column]:
     """Production-width features: the d=5 quality ratios PLUS
     ``n_buckets`` hashed-unigram ratios count(tokens in bucket j) /
     token_count (the DSIR hashing trick of splits.importance_logweights
     applied to the classifier). The bucket of a token is md5-portable
-    (splits.hash_uint32 % n_buckets), computed ONCE per token into an
-    array; each feature is then one integer count over that array
-    divided by the integer token count — IEEE-exact in any engine, same
-    doctrine as the d=5 ratios.
+    (splits.hash_uint32 % n_buckets); each feature is one integer count
+    over the bucket array divided by the integer token count —
+    IEEE-exact in any engine, same doctrine as the d=5 ratios.
 
-    Scale shape: O(tokens) md5 per row + O(d * tokens) comparisons, all
-    JVM HOFs in one narrow projection; the feature WIDTH changes only
-    the aggregate row (d gradient sums), never the shuffle row count."""
-    from ecommerce_etl_pipeline_spark.llmops.splits import hash_uint32
+    ``bs`` MUST be a STAGED column (a plain attribute from a lower
+    projection holding :func:`hashed_bucket_array`) in any hot path:
+    Spark's subexpression elimination skips trees containing
+    LambdaVariable, so inlining the transform here would re-split and
+    re-md5 the text once PER FEATURE COLUMN — O(d * tokens) md5 per row,
+    ~59x the hashing cost at d=64 (ADVICE r8 #1; the DuckDB oracle
+    always staged it in a subquery). CollapseProject will not merge the
+    staging projection away: an alias referenced more than once is only
+    collapsed when cheap, and the transform is not (pinned by
+    tests/test_classifier.py's single-md5-site plan gate). The inline
+    fallback (``bs=None``) exists for ad-hoc/one-feature use only.
 
-    toks = text.tokens(t)
-    n = F.greatest(F.size(toks), F.lit(1)).cast("double")
-    bs = F.transform(toks, lambda tok: F.pmod(hash_uint32(tok, salt), F.lit(n_buckets)))
+    Scale shape with staging: O(tokens) md5 per row once + O(d * tokens)
+    integer comparisons, all JVM HOFs across two narrow projections; the
+    feature WIDTH changes only the aggregate row (d gradient sums),
+    never the shuffle row count."""
+    if bs is None:
+        bs = hashed_bucket_array(t, n_buckets=n_buckets, salt=salt)
+    # token count == size of the bucket array (transform is 1:1), so the
+    # staged array also serves as the denominator source — no re-split
+    n = F.greatest(F.size(bs), F.lit(1)).cast("double")
     return quality_feature_exprs(t) + [
         F.size(F.filter(bs, lambda b: b == F.lit(j))).cast("double") / n
         for j in range(n_buckets)
@@ -145,11 +174,23 @@ def featurize(
     oracle's feats CTE): without it a NULL row propagates NULL features
     on the Spark side while SQL CASE/aggregate semantics count it
     differently — the SimHash NULL-text divergence class.
+
+    The hashed path STAGES the bucket array as a real column in a lower
+    projection (the reason is on hashed_feature_exprs: inlining it would
+    md5 every token once per feature column — ADVICE r8 #1).
     """
     t = F.coalesce(F.col(text_col), F.lit(""))
-    xs = (
-        hashed_feature_exprs(t) if features == "hashed" else quality_feature_exprs(t)
-    )
+    if features == "hashed":
+        staged = ensure_parallelism(docs).select(
+            t.alias("_t"), hashed_bucket_array(t).alias("_bs")
+        )
+        tt = F.col("_t")
+        xs = hashed_feature_exprs(tt, bs=F.col("_bs"))
+        return staged.select(
+            *(x.alias(f"x{j}") for j, x in enumerate(xs)),
+            heuristic_quality_label(tt).alias("y"),
+        )
+    xs = quality_feature_exprs(t)
     return ensure_parallelism(docs).select(
         *(x.alias(f"x{j}") for j, x in enumerate(xs)),
         heuristic_quality_label(t).alias("y"),

@@ -38,11 +38,15 @@ slower at BOTH scales keeps growth ≈ baseline and its absolute arm alone
 never fails the AND, no matter how large k is. That trade-off is
 deliberate on this ±40%-drift host (the absolute arm alone produced
 disjoint false-alarm sets across back-to-back runs; see the post-reboot
-note below), so the gate is complemented by a REPORT-ONLY warnings arm:
-any query whose sf1 absolute exceeds its baseline band top by more than
-WARN_ABS_FACTOR× is printed and recorded in the JSON `warnings` list
-even when growth passes — no exit-1, but the r7 holdout case (14.6s vs
-a 3.9s band, growth arm green) can no longer pass silently.
+note below), so the gate is complemented by a REPORT-ONLY warnings arm,
+SYMMETRIC since r9 over both dimensions: any query whose sf1 absolute
+exceeds its band top by more than WARN_ABS_FACTOR×, AND any query whose
+growth exceeds its band × (1+TOLERANCE) while the absolute arm saves it
+from the AND-gate, is printed and recorded in the JSON `warnings` list —
+no exit-1, but neither the r7 holdout case (14.6s vs a 3.9s band,
+growth arm green) nor the r8 curation/g1 case (20.95x vs a 15.1x band,
+absolute arm green) can pass machine-silent. Arbitration protocol for a
+warning: SCALING.md "gate attributions" (fresh-session probe_query.py).
 
 Usage: python scripts/bench_sf1.py [out_json] [reps]
        python scripts/bench_sf1.py [out_json] --recheck   (re-evaluate an
@@ -173,8 +177,24 @@ TOLERANCE = 0.25
 WARN_ABS_FACTOR = 2.0
 
 
-def warn_drift(sf1: dict) -> list[str]:
-    """Report-only arm: absolute sf1 drift past WARN_ABS_FACTOR x band top."""
+def warn_drift(sf1: dict, growth: dict) -> list[str]:
+    """Report-only arm, SYMMETRIC over both gate dimensions (r8 VERDICT
+    "What's wrong" #1: the r8 arm covered only absolute drift, so two
+    growth-band excursions — dd_curation_pipeline 20.95x vs its 15.1x
+    band, g1 21.12x vs 12.5x — passed machine-silent because their
+    absolutes stayed under band top; the attribution lived only in
+    SCALING.md prose). Records:
+
+    - absolute drift: sf1 seconds > WARN_ABS_FACTOR x band top while the
+      growth arm passes (the constant-factor blind spot);
+    - growth excursion: measured growth > band x (1 + TOLERANCE) while
+      the absolute arm saves the query from the AND-gate (the
+      density/session blind spot).
+
+    Neither exits 1 — the arbitration protocol is SCALING.md's
+    "Round-8 gate attributions" (fresh-session scripts/probe_query.py
+    median, dual-scale form for growth): re-probe before attributing a
+    warning to a regression."""
     warnings = []
     for name, secs in sf1.items():
         base = GROWTH_BASELINE.get(name)
@@ -185,6 +205,17 @@ def warn_drift(sf1: dict) -> list[str]:
                 f"{name}: sf1 {secs}s > {WARN_ABS_FACTOR}x band top "
                 f"{base[1]}s (growth arm may still pass — constant-factor "
                 "drift; re-probe fresh-session before attributing)"
+            )
+        g = growth.get(name)
+        if g is not None and g > base[0] * (1 + TOLERANCE) and not (
+            secs > base[1] * (1 + TOLERANCE / 2)
+        ):
+            warnings.append(
+                f"{name}: growth {g}x > band {base[0]}x * {1 + TOLERANCE} "
+                f"but absolute arm passed (sf1 {secs}s <= {base[1]}s * "
+                f"{1 + TOLERANCE / 2}) — growth-only excursion; re-probe "
+                "dual-scale fresh-session (probe_query.py QUERY sf0.1 5 "
+                "sf1) before attributing"
             )
     return warnings
 
@@ -218,7 +249,7 @@ def main() -> int:
             payload = json.load(f)
         payload["baseline"] = GROWTH_BASELINE
         payload["violations"] = gate(payload["sf1"], payload["growth"])
-        payload["warnings"] = warn_drift(payload["sf1"])
+        payload["warnings"] = warn_drift(payload["sf1"], payload["growth"])
         with open(out_path, "w") as f:
             json.dump(payload, f, indent=1)
         print(json.dumps({"violations": payload["violations"],
@@ -279,7 +310,7 @@ def main() -> int:
               + (f" (baseline {base})" if base else " (no baseline — recorded)"),
               flush=True)
     violations = gate(sf1, growth)
-    warnings = warn_drift(sf1)
+    warnings = warn_drift(sf1, growth)
     for w in warnings:
         print(f"WARN (report-only): {w}", flush=True)
 

@@ -9,13 +9,19 @@ Prints per-rep seconds and the median as one JSON line. Run it once per
 queries cannot flatter or inflate the number; the first rep is included
 in the median deliberately (the per-round sweeps also pay it).
 
-Usage: python scripts/probe_query.py QUERY [sf_dir] [reps=5]
+Usage: python scripts/probe_query.py QUERY [sf_dir] [reps=5] [sf_dir2]
+
+With a second scale directory the SAME fresh session measures both
+scales and emits the growth ratio — the band re-base form (the growth
+arm is only meaningful within one session; two separate probe processes
+would each be fresh but pay independent host draws).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -29,21 +35,37 @@ def main() -> int:
     name = sys.argv[1]
     sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+    sf2 = sys.argv[4] if len(sys.argv) > 4 else None
     spark = get_spark(app_name=f"probe_{name}")
     spark.sparkContext.setLogLevel("ERROR")
     fn = all_queries()[name]
-    ts = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        fn(spark, sf).write.format("noop").mode("overwrite").save()
-        ts.append(round(time.perf_counter() - t0, 3))
-        spark.catalog.clearCache()
-    print(json.dumps({
+
+    def run(d: str) -> list[float]:
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn(spark, d).write.format("noop").mode("overwrite").save()
+            ts.append(round(time.perf_counter() - t0, 3))
+            spark.catalog.clearCache()
+        return ts
+
+    ts = run(sf)
+    out = {
         "query": name,
         "sf_dir": sf,
         "reps": ts,
-        "median": sorted(ts)[len(ts) // 2],
-    }))
+        # true median (ADVICE r8 #3: sorted()[n//2] is the UPPER-middle
+        # element for even rep counts, which would bias the absolute
+        # bands these medians seed slightly high)
+        "median": round(statistics.median(ts), 3),
+    }
+    if sf2 is not None:
+        ts2 = run(sf2)
+        out["sf_dir2"] = sf2
+        out["reps2"] = ts2
+        out["median2"] = round(statistics.median(ts2), 3)
+        out["growth"] = round(out["median2"] / max(out["median"], 1e-9), 2)
+    print(json.dumps(out))
     return 0
 
 

@@ -70,6 +70,7 @@ def main() -> None:
         json.dump({"sf_dir": sf, "total": round(sum(times.values()), 2),
                    "reps": reps, "stat": "median",
                    "queries": ranked}, f, indent=1)
+        f.write("\n")  # json.dump ends mid-line; artifacts end with \n
     print(f"\nwrote {out}: {len(times)} queries, total {sum(times.values()):.1f}s")
 
 

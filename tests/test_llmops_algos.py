@@ -1279,6 +1279,31 @@ def test_logreg_trainer_hashed_d64_matches_pure_python_replay(spark):
     assert w == ref
 
 
+def test_hashed_featurize_stages_bucket_array_single_md5_site(spark):
+    """The d=64 feature pass must md5 each token ONCE (ADVICE r8 #1):
+    Spark's subexpression elimination skips LambdaVariable trees, so an
+    inlined bucket array re-hashes per feature column — O(d * tokens)
+    md5 per row. featurize stages the array in a lower projection; this
+    gate pins that CollapseProject does not re-inline it (an alias
+    referenced more than once collapses only when cheap). Regression
+    signature: 59 md5 sites in the optimized plan instead of 1."""
+    from ecommerce_etl_pipeline_spark.llmops import classifier
+
+    docs = spark.createDataFrame(
+        [(0, "the quick brown fox"), (1, None)], "doc_id LONG, text STRING"
+    )
+    feats = classifier.featurize(docs, features="hashed")
+    plan = feats._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("md5") == 1, (
+        f"bucket-array md5 must be staged exactly once, found "
+        f"{plan.count('md5')} sites — CollapseProject re-inlined the "
+        "staging projection"
+    )
+    # and the physical plan agrees (the optimizer gate could in theory
+    # pass while a physical rewrite re-expands)
+    assert feats._jdf.queryExecution().executedPlan().toString().count("md5") == 1
+
+
 def test_logreg_trainer_empty_and_null_text_corpus(spark):
     """Zero rows: zero weights are the fixpoint (no ZeroDivisionError);
     NULL text folds to '' on both engines (the SimHash NULL-text class)."""

@@ -86,6 +86,7 @@ EXTENDED = [
     "dd_curation_ppjoin",  # round 7: end-to-end ppjoin curation pipeline
     "ml_logreg_train_d64",  # round 8: production-width hashed-unigram trainer
     "sim_ivf_topk",  # round 8: portable-quantizer IVF (oracle-backed index build)
+    "dd_curation_classifier",  # round 9: train->apply classifier-gated curation
 ]
 
 

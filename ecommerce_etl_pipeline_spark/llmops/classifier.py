@@ -334,26 +334,85 @@ def _z_from(cols: list[Column], weights_nano: list[int]) -> Column:
     return z
 
 
+def hashed_score_expr(
+    t: Column, weights_nano: list[int], *, salt: str = HASHED_SALT
+) -> Column:
+    """Corpus-scale APPLY form of the d = 5 + n_buckets hashed scorer: the
+    fast-sigmoid score as ONE expression suitable for a filter predicate
+    (the curation classifier gate) or a projection column.
+
+    The bucket contribution is folded PER TOKEN as an integer-nano sum —
+    sum over tokens of w[bucket(tok)] — instead of materializing the 59
+    per-bucket count features: O(tokens) work and a SINGLE reference to
+    the md5 bucket array, so the expression stays cheap even where
+    staging a column is impossible (inside a filter; and no optimizer
+    rewrite can re-expand one reference into d). Integer summands make
+    the fold order-independent, so the identical value replays in SQL as
+    a list sum; the remaining double math is the d=5 head chain + one
+    division, every step exactly-rounded IEEE.
+
+    NOTE the bucket-term SUMMATION ORDER differs from the per-feature
+    chain the trainer/evaluator use (sum_j w_j * (count_j / n) vs
+    (sum_tok w[bucket]) / n): the two are equal in exact arithmetic but
+    not bit-equal in doubles. This fold form IS the canonical apply-side
+    definition — score_with_weights(features="hashed") and the curation
+    gate both use it, so they agree bit-exactly with each other and with
+    the DuckDB replay; tests pin both."""
+    d = len(weights_nano)
+    if d <= 5:
+        raise ValueError(
+            f"hashed geometry needs d > 5 (5 quality ratios + buckets); "
+            f"got d={d} — use score_with_weights for the d=5 scorer"
+        )
+    n_buckets = d - 5
+    bs = hashed_bucket_array(t, n_buckets=n_buckets, salt=salt)
+    # token count from a plain split (no md5) so `bs` is referenced once
+    n = F.greatest(text.token_count(t), F.lit(1)).cast("double")
+    warr = F.array(*(F.lit(int(wj)).cast("long") for wj in weights_nano[5:]))
+    bucket_nanos = F.aggregate(
+        bs,
+        F.lit(0).cast("long"),
+        # bucket ids are BIGINT (md5 hash pmod); element_at wants an INT
+        # index, and buckets are < 2^31 by construction
+        lambda acc, b: acc + F.element_at(warr, (b + F.lit(1)).cast("int")),
+    )
+    z = _z_from(quality_feature_exprs(t), weights_nano[:5]) + (
+        bucket_nanos.cast("double") / F.lit(float(NANO))
+    ) / n
+    return fast_sigmoid(z)
+
+
 def score_with_weights(
-    docs: DataFrame, weights_nano: list[int], text_col: str = "text"
+    docs: DataFrame,
+    weights_nano: list[int],
+    text_col: str = "text",
+    *,
+    features: str = "quality",
 ) -> DataFrame:
     """Apply trained weights to RAW documents: one narrow pass, weights as
     literals. Returns all input columns + score, predicted, y (RESERVED
     output names — input columns with those names are dropped first, or
-    the select would emit ambiguous duplicates downstream). For
-    post-training evaluation prefer :func:`evaluate_scorer` on the cached
-    feature frame — this form re-tokenizes from the raw text."""
+    the select would emit ambiguous duplicates downstream).
+    ``features="hashed"`` applies a d = 5 + n_buckets hashed-geometry
+    weight vector via :func:`hashed_score_expr` (the fold form — the
+    same expression the curation classifier gate filters on, so the two
+    agree bit-exactly). For post-training evaluation prefer
+    :func:`evaluate_scorer` on the cached feature frame — this form
+    re-tokenizes from the raw text."""
     t = F.coalesce(F.col(text_col), F.lit(""))
-    xs = quality_feature_exprs(t)
-    if len(weights_nano) != len(xs):
-        # d=64 hashed weights into the d=5 scorer would silently use the
-        # first 5 — a geometry mismatch must fail loudly
-        raise ValueError(
-            f"weight vector has d={len(weights_nano)} but the quality "
-            f"feature set is d={len(xs)}; hashed-geometry weights need a "
-            "hashed featurize + evaluate_scorer path"
-        )
-    score = fast_sigmoid(_z_from(xs, weights_nano))
+    if features == "hashed":
+        score = hashed_score_expr(t, weights_nano)
+    else:
+        xs = quality_feature_exprs(t)
+        if len(weights_nano) != len(xs):
+            # d=64 hashed weights into the d=5 scorer would silently use
+            # the first 5 — a geometry mismatch must fail loudly
+            raise ValueError(
+                f"weight vector has d={len(weights_nano)} but the quality "
+                f"feature set is d={len(xs)}; pass features='hashed' for "
+                "hashed-geometry weights"
+            )
+        score = fast_sigmoid(_z_from(xs, weights_nano))
     keep = [c for c in docs.columns if c not in ("score", "predicted", "y")]
     return docs.select(
         *keep,

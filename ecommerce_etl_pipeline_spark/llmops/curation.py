@@ -98,6 +98,7 @@ def curate(
     use_ppjoin: bool = False,
     exact_hashed: bool = False,
     cache_exact: bool = True,
+    classifier_weights: list[int] | None = None,
 ) -> DataFrame:
     """Curated corpus: (doc_id, text, n_tokens) of the documents that
     survive all four stages. ``use_minhash=True`` is the scale path
@@ -117,6 +118,18 @@ def curate(
     DuckDB; True shuffles 31-bit hashes — the narrower exchange for
     at-scale runs (dedup.py's "100 TB mode"; results can differ only via
     a ~2^-31 per-shingle hash collision).
+
+    ``classifier_weights`` (FineWeb shape: train -> holdout-gate ->
+    apply at corpus scale) replaces stage 2's PUNCT-RATIO HEURISTIC with
+    a TRAINED quality gate: keep documents the d = 5 + n_buckets
+    hashed-geometry linear scorer (classifier.train_linear_scorer with
+    features="hashed") predicts positive — fast_sigmoid(z) >= 0.5 via
+    classifier.hashed_score_expr, the integer-nano fold form (ONE md5
+    pass per row even inside the filter; bit-identical to
+    score_with_weights(features="hashed").predicted by construction —
+    pinned in tests/test_pipelines.py). The language-ID + min-length
+    gate stays (lang filtering precedes quality in every published
+    pipeline); ``max_punct_ratio`` is ignored when weights are given.
 
     CACHE CONTRACT: with ``cache_exact=True`` the deduped intermediate is
     cached (it feeds both candidate generation and the final anti-join —
@@ -142,9 +155,22 @@ def curate(
     # under-split inputs first: the lang-ID/quality regex pass is the
     # per-row-heaviest narrow stage in the pipeline and must not run on one
     # core because the corpus arrived as one parquet split.
+    if classifier_weights is not None:
+        # trained-classifier quality gate (see docstring): the fold-form
+        # score is one expression with a single bucket-array reference,
+        # so the filter costs one md5 pass per row regardless of d
+        from ecommerce_etl_pipeline_spark.llmops import classifier
+
+        quality_gate = (
+            classifier.hashed_score_expr(
+                F.coalesce(t, F.lit("")), classifier_weights
+            )
+            >= F.lit(0.5)
+        )
+    else:
+        quality_gate = text.punct_ratio(t) <= max_punct_ratio
     filtered = ensure_parallelism(docs.select(id_col, text_col)).filter(
-        _lang_and_length_gate(t, lang, min_tokens)
-        & (text.punct_ratio(t) <= max_punct_ratio)
+        _lang_and_length_gate(t, lang, min_tokens) & quality_gate
     )
 
     # 3: exact dedup — keep the min-id copy of each byte-identical text.

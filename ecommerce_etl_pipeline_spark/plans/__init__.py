@@ -42,25 +42,35 @@ for _optional in (
 # Driver-window curation. The correctness driver verifies the FIRST 50
 # registered queries (in dict insertion order). Rounds 1-4 proved the
 # full surface (every registered query has >=1 driver row); round 5
-# started the standing staleness rotation. Round 8 (this list; entering
-# cert histogram r7:50/r6:49/r5:45/r4:7 + this round's new/touched):
-# the 7 age-3 BENCH headliners lead (r7 VERDICT brief #1 — last
-# certified r4), then this round's claims — the NEW d=64 classifier
-# variant, the two IVF queries upgraded from rows-only to oracle-backed,
-# and the three d=5 logreg queries whose training loop was restaged this
-# round (projection-staged residual + array-literal weights; same math,
-# new plan => re-cert) — then 37 of the 45 r5-latest certs. The 8
-# deferred r5 certs all carry standing per-round signal while they wait:
-# a10_product_rollup / dd_minhash_pairs (BENCH headline),
-# dd_semantic_dedup / dd_bloom_decontam / dd_simhash_pairs /
-# txt_chunk_overlap (BENCH extended + sf1 gate), sim_lsh_recall
-# (recall>=threshold pytest battery), dd_incremental_dedup (streaming-
-# twin pytest parity). Honest steady-state arithmetic: 154 oracle-backed
-# queries vs 50 slots/round, of which new-query promotions and
-# touched-code re-certs also claim slots (6 this round) — so the
-# staleness tail runs at age <= 4, not <= 3, whenever a round spends
-# slots on new work; the deferral choice above always parks the excess
-# on machine-gated queries.
+# started the standing staleness rotation. Round 9 (this list; entering
+# cert histogram r8:50/r7:47/r6:49/r5:8 + 5 rows-only at r3 which carry
+# no oracle to age): per the r8 VERDICT brief #1, the window LEADS with
+# ml_logreg_holdout_d64 (registered r8, queued — the only oracle-backed
+# query never driver-checked) and the 8 r5-latest certs that age to 4
+# this round, then this round's claims — the NEW classifier-gated
+# curation query, ml_logreg_train_d64 re-cert (featurize now stages the
+# bucket array in a lower projection: same values, NEW PLAN => re-cert;
+# the d=5 logreg queries' plans are byte-unchanged — featurize's
+# quality path builds the identical select — so they keep their r8
+# certs), and dd_curation_minhash/dd_curation_pipeline re-certs
+# (curate() grew the classifier_weights parameter; their default paths
+# are plan-identical but touched-code = re-cert, and dd_curation_pipeline
+# was r6-stale anyway) — then 37 of the remaining 48 r6-latest certs.
+# The 11 deferred r6 certs (age 4 at r10 — they MUST lead the r10
+# window) all carry standing per-round signal while they wait:
+# g1_pagerank_copurchase + sim_rp_rerank + sm9_importance_resample
+# (BENCH extended + sf1 gate; g1 also fresh-probed this round),
+# dd_span_excision (BENCH extended),
+# ml_kmeans_step (pytest parity with the r8-certified ml_kmeans_train),
+# mm_png_decode + mm_frame_sample (codec pytest batteries),
+# sm5_stratified_sample + sm6_mixture_sample + sm7_temperature_mixture +
+# sm8_weighted_sample (determinism + splits pytest gates).
+# Honest steady-state arithmetic:
+# 156 oracle-backed queries vs 50 slots/round, of which new-query
+# promotions and touched-code re-certs also claim slots (5 this round)
+# — so the staleness tail runs at age <= 4, not <= 3, whenever a round
+# spends slots on new work; the deferral choice above always parks the
+# excess on machine-gated queries.
 # RULE (caught by the r4 self-review): any NEW query
 # registered in a future round MUST be added to this list (or queued
 # with a comment) or it silently gets no driver row. Names listed here
@@ -68,71 +78,64 @@ for _optional in (
 # keeps its original relative order after the curated block.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW = [
-    # -- the 7 BENCH headliners, deferred since r4 and age-3 entering
-    # this round (r7 VERDICT "Next round" #1: these MUST lead r8)
-    "a1_daily_sales",
-    "a4_customer_ltv",
-    "a8_pricing_summary",
-    "j1_order_lineitem_join",
-    "j9_asof_join",
-    "w4_sessionize",
-    "w7_moving_avg_7d",
-    # -- round-8 claims: NEW query (window rule: new query => slot),
-    # rows-only -> oracle upgrades (first-ever oracle driver rows), and
-    # touched-code re-certs (the restaged GD loop feeds all three).
-    # QUEUED for r9 (window full; the r6-trio precedent):
-    # ml_logreg_holdout_d64 — registered late in r8, locally
-    # oracle-verified at sf0.001+sf0.01, shares the trainer/oracle
-    # machinery with the two certified d64/holdout queries; MUST take a
-    # slot in the r9 rotation.
+    # -- the r8 queue head: the one oracle-backed query with no driver
+    # row yet, then the 8 r5 certs at age 4 (r8 VERDICT brief #1)
+    "ml_logreg_holdout_d64",
+    "a10_product_rollup",
+    "dd_bloom_decontam",
+    "dd_incremental_dedup",
+    "dd_minhash_pairs",
+    "dd_semantic_dedup",
+    "dd_simhash_pairs",
+    "sim_lsh_recall",
+    "txt_chunk_overlap",
+    # -- round-9 claims: NEW query (window rule: new query => slot) and
+    # touched-code re-certs (staged-bucket-array featurize => train_d64
+    # plan changed; curate() signature grew the classifier stage)
+    "dd_curation_classifier",
     "ml_logreg_train_d64",
-    "sim_ivf_topk",
-    "sim_ivf_recall",
-    "ml_logreg_train",
-    "ml_logreg_eval",
-    "ml_logreg_holdout",
-    # -- 37 of the 45 round-5-latest certs (age 3 -> re-certed); the 8
-    # deferred are listed in the header comment with their standing
-    # gates. ml_kmeans_train stays in-window: _kmeans_train_oracle_sql
-    # was refactored this round onto the shared _kmeans_ctes prefix
-    # (same SQL semantics, new text => re-cert with the IVF pair).
-    "a11_brand_price_stats",
-    "a12_price_band_performance",
-    "a13_type_value_counts",
-    "a14_table_profile",
-    "a15_event_time_range",
-    "a16_rollup_hierarchy",
-    "a2_priority_analysis",
-    "a3_discount_effectiveness",
-    "a5_nation_stats",
-    "a6_user_behavior",
-    "a7_returnflag_performance",
     "dd_curation_minhash",
-    "dd_dup_clusters",
-    "dd_eval_decontam",
-    "dd_segment_dup_ratio",
-    "dd_source_overlap",
-    "dd_winnow_overlap_pairs",
-    "j10_range_band_join",
-    "j3_parts_with_sales",
-    "j8_customers_without_orders",
-    "ml_kmeans_train",
-    "mm_asset_features",
-    "n3_build_explode_roundtrip",
-    "n5_to_json_render",
-    "n6_variant_metadata",
-    "o3_year_histogram",
-    "p6_null_defaults",
-    "sc_currency_roundtrip",
-    "txt_bpe_merges",
-    "txt_bpe_token_counts",
-    "txt_sequence_packing",
-    "u2_intersect_keys",
-    "u3_except_keys",
-    "w10_scd2_intervals",
-    "w5_cumulative_daily_sales",
-    "w6_event_gaps",
-    "w9_sliding_window",
+    "dd_curation_pipeline",
+    # -- 37 of the 47 remaining round-6-latest certs (age 3 ->
+    # re-certed); the 10 deferred are listed in the header comment with
+    # their standing gates
+    "a17_percentiles",
+    "a18_argmax",
+    "a19_collect_sorted",
+    "a20_pivot",
+    "a23_zscore_outliers",
+    "a24_winsorized_stats",
+    "a25_price_histogram",
+    "dd_contamination_report",
+    "dd_dedup_summary",
+    "dd_embedding_neardup",
+    "dd_hash_split",
+    "dd_jaccard_clusters",
+    "dd_jaccard_pairs",
+    "dd_ppjoin_pairs",
+    "dq_validation_report",
+    "sc_date_arithmetic",
+    "sc_temporal_features",
+    "sim_hard_negatives",
+    "sim_quantized_topk",
+    "sql_correlated_exists",
+    "sql_nation_revenue",
+    "sql_top_revenue_orders",
+    "txt_bigram_logprob",
+    "txt_dataset_card",
+    "txt_lang_id_confusion",
+    "txt_pii_redaction",
+    "txt_quality_logit",
+    "txt_repetition",
+    "txt_tfidf_top_terms",
+    "txt_token_stats",
+    "txt_unigram_logprob",
+    "txt_vocabulary",
+    "txt_winnow_fingerprints",
+    "u5_cdc_merge",
+    "w11_salted_hot_keys",
+    "w12_funnel_conversion",
+    "w13_retention_cohorts",
 ]
 
 

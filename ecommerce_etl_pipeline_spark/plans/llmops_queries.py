@@ -3779,3 +3779,120 @@ def ml_logreg_holdout_d64(spark: SparkSession, sf_dir: str) -> DataFrame:
         features="hashed",
     )
     return _holdout_report(w, feats, holdout, features="hashed")
+
+
+# ---------------------------------------------------------------------------
+# Classifier-gated curation (VERDICT r8 #6) — the complete FineWeb shape
+# in one oracle-checked query: TRAIN the d=64 hashed scorer on the
+# deterministic 80% split, then APPLY it at corpus scale as curate()'s
+# quality stage (replacing the punct-ratio heuristic), with the exact
+# dedup + near-dup canonicalization stages downstream unchanged. The
+# gate uses classifier.hashed_score_expr — the integer-nano PER-TOKEN
+# FOLD (sum over tokens of w[bucket(tok)], then one division), so the
+# filter references the md5 bucket array exactly once and the bucket
+# contribution replays in DuckDB as an order-independent list sum.
+# ---------------------------------------------------------------------------
+_CLS64_WLIST = ", ".join(f"w.w{j}" for j in range(5, _CLS_D64))
+_CLS_GATE_BUCKET = (
+    f"CAST(('0x' || substr(md5('{classifier.HASHED_SALT}' || "
+    f"CAST(tok AS VARCHAR)), 1, 8)) AS BIGINT) % {_CLS_D64 - 5}"
+)
+#: mirrors classifier.hashed_score_expr's z literally: the d=5 head as a
+#: left-associated chain (x0 = 1.0 bias), then the bucket term —
+#: (CAST(integer-nano fold AS DOUBLE) / 1e9) / n. Every double op is
+#: exactly-rounded IEEE and the fold summands are integers, so the value
+#: is engine-invariant (the sigmoid threshold then compares equal bits).
+_CLS_GATE_Z = (
+    "(w.w0 / 1000000000.0) * 1.0"
+    " + (w.w1 / 1000000000.0) * (CAST(en_hits AS DOUBLE) / nn)"
+    " + (w.w2 / 1000000000.0) * (CAST(es_hits AS DOUBLE) / nn)"
+    " + (w.w3 / 1000000000.0) * (pp / cc)"
+    " + (w.w4 / 1000000000.0) * (least(nn, 100.0) / 100.0)"
+    " + (CAST(coalesce(list_aggregate(list_transform(bs, b -> "
+    f"[{_CLS64_WLIST}][b + 1]), 'sum'), 0) AS DOUBLE) / 1000000000.0) / nn"
+)
+_CLS_CURATED_SQL = f"""
+    cls_hits AS (
+        SELECT doc_id, text,
+               {_LANG_HITS['en']} AS en_hits,
+               {_LANG_HITS['es']} AS es_hits,
+               {_LANG_HITS['de']} AS de_hits,
+               len(string_split(text, ' ')) AS n_tokens,
+               CAST(greatest(len(string_split(text, ' ')), 1) AS DOUBLE) AS nn,
+               CAST(greatest(length(text), 1) AS DOUBLE) AS cc,
+               CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
+                    AS DOUBLE) AS pp,
+               list_transform(string_split(text, ' '),
+                              tok -> {_CLS_GATE_BUCKET}) AS bs
+        FROM documents
+    ), curated_filtered AS (
+        SELECT doc_id, text, CAST(n_tokens AS INTEGER) AS n_tokens
+        FROM (SELECT h.*, ({_CLS_GATE_Z}) AS zc
+              FROM cls_hits h CROSS JOIN {_CLS64H_WFINAL} w)
+        WHERE (CASE
+                   WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits > 0
+                       THEN 'en'
+                   WHEN es_hits >= de_hits AND es_hits > 0 THEN 'es'
+                   WHEN de_hits > 0 THEN 'de'
+                   ELSE 'unknown' END) = 'en'
+          AND n_tokens >= 5
+          AND (0.5 + zc / (2.0 * (1.0 + abs(zc)))) >= 0.5
+    ), curated_exact AS (
+        SELECT doc_id, text, n_tokens FROM curated_filtered
+        QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+    )
+"""
+
+
+@register(
+    "dd_curation_classifier",
+    oracle="WITH RECURSIVE "
+    + _CLS64H_WITH.removeprefix("WITH ")
+    + ","
+    + _CLS_CURATED_SQL
+    + f""",
+    pairs AS ({_jaccard_pairs_sql('curated_exact')}),
+    edges AS (
+        SELECT doc1 AS a, doc2 AS b FROM pairs
+        UNION SELECT doc2, doc1 FROM pairs
+    ),
+    reach(node, r) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.a, re.r FROM edges e JOIN reach re ON e.b = re.node
+    )
+    SELECT doc_id, n_tokens FROM curated_exact
+    WHERE doc_id NOT IN (
+        SELECT node FROM (SELECT node, MIN(r) AS c FROM reach GROUP BY node)
+        WHERE node <> c
+    )
+    """,
+    doc="END-TO-END curation with a TRAINED quality gate — the complete "
+    "FineWeb shape (train -> holdout-gate -> apply at corpus scale) as "
+    "one query: the d=64 hashed-unigram scorer trains on the "
+    "deterministic md5 80% split (same 12-round integer-nano GD as "
+    "ml_logreg_holdout_d64), then gates the FULL corpus as curate()'s "
+    "stage-2 quality filter in place of the punct-ratio heuristic; "
+    "language-ID, exact dedup, and near-dup canonicalization are the "
+    "dd_curation_pipeline stages unchanged. The gate is the integer-"
+    "nano per-token fold (one md5 pass per row, O(tokens) not "
+    "O(d*tokens)), so the ENTIRE train+apply pipeline replays in DuckDB: "
+    "unrolled training CTEs feed the scored WHERE clause, then the same "
+    "recursive-CTE component fixpoint.",
+)
+def dd_curation_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecommerce_etl_pipeline_spark.llmops import curation
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = splits.hash_uint32(F.col("doc_id"), _CLS_SPLIT_SALT)
+    train = docs.filter(h < F.lit(_CLS_SPLIT_THRESHOLD))
+    w, feats = classifier.train_linear_scorer(
+        train,
+        iterations=_CLS_ITER,
+        lr_num=_CLS_LR_NUM,
+        lr_den=_CLS_LR_DEN,
+        features="hashed",
+    )
+    curated = curation.curate(docs, use_minhash=False, classifier_weights=w)
+    out = curated.select("doc_id", F.col("n_tokens").cast("int").alias("n_tokens"))
+    return carry_caches(out, curated, feats)

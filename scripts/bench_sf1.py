@@ -129,45 +129,45 @@ GROWTH_BASELINE = {
     # the exact-oracle curation variants carry the inverted-index
     # sum(df^2) term, quadratic BY CONSTRUCTION on the bounded-vocab
     # synthetic sf1 corpus (uniform df — nothing is "rare", so the
-    # prefix filter cannot prune either: dd_curation_ppjoin's 16.8x
-    # here is that same worst shape, NOT a ppjoin regression — its
-    # Zipf-corpus linearity is gated exactly in scripts/check_zipf.py;
-    # the banded dd_curation_minhash is the registered 100 TB route)
-    # growth re-based r8: the corpus regenerates per boot and this is
-    # the density-sensitive uniform-df quadratic — fresh-session growth
-    # moved 7.4 -> 13.1x with the new corpus on an untouched plan (the
-    # representative df-skewed shape stays exactly pinned in
-    # check_zipf.py); band = fresh 13.07 x 1.15 / max measured x 1.15
-    "dd_curation_pipeline": (15.1, 62.5),
-    "dd_curation_ppjoin": (19.3, 61.9),
+    # prefix filter cannot prune either; the df-skewed Zipf-corpus
+    # linearity is gated exactly in scripts/check_zipf.py; the banded
+    # dd_curation_minhash is the registered 100 TB route).
+    # Round-9 boot-fresh re-base (r8 VERDICT brief #3 — bands derived
+    # from idle-host dual-scale probe_query runs at round OPEN, before
+    # gate sessions; SCALING.md "Round-9 boot-fresh probe table"):
+    # growth = fresh same-session ratio x 1.15; absolute = fresh sf1
+    # median x 1.3 EXCEPT where the r8 gate-vs-fresh pair measured a
+    # stable session-context inflation (g1 39.8s in-gate vs 17.8/18.2s
+    # fresh across two boots) — there the absolute arm keeps the
+    # documented inflation allowance so the AND-gate doesn't convert a
+    # known per-session constant into a violation; the growth arm is
+    # re-based tight and any in-gate growth excursion is machine-warned
+    # by the symmetric warnings arm and arbitrated by fresh probes.
+    "dd_curation_pipeline": (11.8, 62.5),
+    "dd_curation_ppjoin": (10.0, 68.1),
     "dd_span_excision": (5.0, 10.3),
     "dd_semantic_dedup": (4.4, 21.0),
     "dd_bloom_decontam": (2.0, 3.4),
-    # absolute arm widened r8 (memory protocol): the r8 gate session
-    # read 39.8s while the same round's FRESH-session 5-rep median is
-    # 17.8s / growth 10.0x on an untouched plan — session-context
-    # inflation, not regression; abs = max measured x 1.15, growth
-    # keeps its ratchet
-    "g1_pagerank_copurchase": (12.5, 45.8),
+    "g1_pagerank_copurchase": (9.9, 45.8),
     "ml_kmeans_train": (1.6, 5.3),
     "dd_simhash_pairs": (5.1, 5.3),
     "dd_ppjoin_pairs": (14.7, 27.4),
     "ml_logreg_train": (1.2, 3.4),
     "ml_logreg_holdout": (1.2, 6.5),
-    # growth re-based from the fresh probe (the r7 1.7x growth figure
-    # divided by a session-contaminated 4.16s sf0.1 read; fresh medians
-    # 2.56 -> 7.84s = 3.07x, sf1 reps bimodal 3.4-10.2s)
-    "dd_jaccard_df_capped": (3.1, 10.2),
+    # r9 re-base: this boot's draw is NOT bimodal at sf1 (reps 2.7-5.3
+    # vs r8's 3.4-10.2); abs = this boot's max rep x 1.3, growth =
+    # max(fresh 1.44, r8 in-gate 1.69) x 1.15
+    "dd_jaccard_df_capped": (2.0, 6.9),
     "sim_rp_rerank": (1.3, 2.3),
     "txt_chunk_overlap": (1.4, 1.4),
     "u5_cdc_merge": (1.4, 1.0),
     "sm9_importance_resample": (1.5, 2.3),
-    # round-8 additions, seeded directly from their first fresh-session
-    # probes (growth band top, median x 1.3): both carry the
-    # iterative-literal compile constant (SCALING.md round-8) but clean
-    # scale terms (d64 1.36x for 10x rows, IVF 1.11x)
-    "ml_logreg_train_d64": (1.4, 52.0),
-    "sim_ivf_topk": (1.2, 7.8),
+    # d64 trainer re-based on THIS round's code: the staged bucket
+    # array (ADVICE r8 #1 fix) cut the fresh sf0.1 median 29.3 -> 7.4s
+    # and sf1 to 8.3s — the old 52.0 band measured the unfixed
+    # featurize and would hide a 5x regression
+    "ml_logreg_train_d64": (1.3, 10.8),
+    "sim_ivf_topk": (1.2, 6.6),
 }
 TOLERANCE = 0.25
 #: report-only absolute-drift threshold: sf1 seconds > band top * this

@@ -1304,6 +1304,61 @@ def test_hashed_featurize_stages_bucket_array_single_md5_site(spark):
     assert feats._jdf.queryExecution().executedPlan().toString().count("md5") == 1
 
 
+def test_hashed_score_expr_matches_pure_python_fold_replay(spark):
+    """The apply-side fold form (hashed_score_expr: d=5 head chain +
+    integer-nano per-token bucket sum, the curation-gate expression)
+    must be BIT-identical to a pure-Python replay with hashlib buckets —
+    every double op in both is exactly-rounded IEEE, so == not approx.
+    Also pins that score_with_weights(features="hashed") exposes the
+    same value (the curate() pin test then closes the triangle)."""
+    import hashlib
+
+    from ecommerce_etl_pipeline_spark.llmops import classifier
+
+    d = classifier.HASHED_D
+    nb = d - 5
+    # arbitrary fixed nano weights, sign-mixed, bucket weights nonzero
+    w = [3_000_000, -2_500_000, 1_100_000, -4_000_000, 900_000] + [
+        ((-1) ** j) * (1_000_000 + 37_000 * j) for j in range(nb)
+    ]
+    texts = [
+        "the quick brown fox and the lazy dog of the north in a field",
+        "el rio la casa de que y en los montes",
+        "w1 w2 w3 !!! ??? ;;;",
+        "",
+        "the a and of to in is " * 30,
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id LONG, text STRING"
+    )
+    got = {
+        r["doc_id"]: r["score"]
+        for r in classifier.score_with_weights(docs, w, features="hashed").collect()
+    }
+
+    EN = ["the", "a", "and", "of", "to", "in", "is"]
+    ES = ["el", "la", "de", "que", "y", "en", "los"]
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        n = float(max(len(toks), 1))
+        chars = float(max(len(t), 1))
+        punct = float(sum(1 for ch in t if not (ch.islower() and ch.isascii()
+                                                or ch.isdigit() or ch == " ")))
+        xs = [1.0, sum(tk in EN for tk in toks) / n,
+              sum(tk in ES for tk in toks) / n, punct / chars,
+              min(n, 100.0) / 100.0]
+        z = w[0] / 1e9 * xs[0]
+        for j in range(1, 5):
+            z = z + (w[j] / 1e9) * xs[j]
+        nanos = 0
+        for tk in toks:
+            h = hashlib.md5((classifier.HASHED_SALT + tk).encode()).hexdigest()
+            nanos += w[5 + int(h[:8], 16) % nb]
+        z = z + (float(nanos) / 1e9) / n
+        ref = 0.5 + z / (2.0 * (1.0 + abs(z)))
+        assert got[i] == ref, f"doc {i}: {got[i]!r} != {ref!r}"
+
+
 def test_logreg_trainer_empty_and_null_text_corpus(spark):
     """Zero rows: zero weights are the fixpoint (no ZeroDivisionError);
     NULL text folds to '' on both engines (the SimHash NULL-text class)."""

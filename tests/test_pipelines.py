@@ -158,3 +158,41 @@ def test_fused_lang_gate_matches_predicted_lang_all_langs(spark):
             ).collect()
         }
         assert fused == composed, f"lang={lang}: {fused} != {composed}"
+
+
+def test_curate_classifier_gate_matches_standalone_scorer(spark):
+    """The trained-classifier quality stage (curate(classifier_weights=w),
+    VERDICT r8 #6) must keep EXACTLY the documents the standalone scorer
+    predicts positive: both sides evaluate classifier.hashed_score_expr —
+    the integer-nano per-token fold — so the pin is bit-exact by
+    construction, and a drift in either site (gate predicate vs
+    score_with_weights projection) breaks set equality. The replay runs
+    the SAME curate() pipeline on a pre-filtered corpus (punct gate
+    disabled via an infinite threshold) so every downstream stage —
+    exact dedup, jaccard pairs, components — is exercised identically."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_etl_pipeline_spark.llmops import classifier, curation
+
+    docs = load_table(spark, SF, "documents")
+    w, feats = classifier.train_linear_scorer(docs, iterations=3, features="hashed")
+    for c in feats.retained_caches:
+        c.unpersist(blocking=True)
+
+    gated = curation.curate(docs, use_minhash=False, classifier_weights=w)
+    got = {r["doc_id"] for r in gated.collect()}
+    for c in gated.retained_caches:
+        c.unpersist(blocking=True)
+
+    pre = (
+        classifier.score_with_weights(docs, w, features="hashed")
+        .filter(F.col("predicted") == 1)
+        .select("doc_id", "text")
+    )
+    replay = curation.curate(pre, use_minhash=False, max_punct_ratio=float("inf"))
+    want = {r["doc_id"] for r in replay.collect()}
+    for c in replay.retained_caches:
+        c.unpersist(blocking=True)
+
+    assert got, "classifier gate kept zero documents — degenerate fixture"
+    assert got == want

@@ -3,6 +3,7 @@
 from ecommerce_etl_pipeline_spark.streaming.streams import (  # noqa: F401
     cdc_apply_stream,
     cdc_snapshot,
+    classifier_gate_stream,
     daily_sales_stream,
     deduped_events_stream,
     ingest_dedup_stream,

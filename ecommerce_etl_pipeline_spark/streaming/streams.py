@@ -403,6 +403,37 @@ def quality_gate_stream(docs: DataFrame, *, threshold: float = 0.5) -> DataFrame
     )
 
 
+def classifier_gate_stream(
+    docs: DataFrame, weights_nano: list[int], *, threshold: float = 0.5
+) -> DataFrame:
+    """Streaming TRAINED-classifier quality gate — the ingest-time face
+    of the classifier-gated curation stage (curate(classifier_weights=w),
+    the FineWeb production shape: train offline on the frozen split,
+    gate the crawler feed with the fitted weights). Applies the SAME
+    expression as the batch gate and score_with_weights(features=
+    "hashed") — classifier.hashed_score_expr, the integer-nano per-token
+    fold, weights baked in as literals — so the three faces cannot
+    drift (pinned in tests/test_streaming.py).
+
+    Stateless like quality_gate_stream: one md5 pass per arriving
+    document, no watermark, no state store, no shuffle — line rate at
+    any corpus size. Emits (doc_id, score, text) for documents the
+    scorer predicts at or above ``threshold``. No rounding: the fold
+    form is bit-portable by construction (integer bucket sums + exactly
+    rounded IEEE head), so the threshold compares identical bits on
+    every engine and partitioning."""
+    from ecommerce_etl_pipeline_spark.llmops.classifier import hashed_score_expr
+
+    score = hashed_score_expr(
+        F.coalesce(F.col("text"), F.lit("")), weights_nano
+    )
+    return (
+        docs.withColumn("score", score)
+        .filter(F.col("score") >= F.lit(threshold))
+        .select("doc_id", "score", "text")
+    )
+
+
 def decontam_gate_stream(
     docs: DataFrame,
     words: list[int],

@@ -210,6 +210,42 @@ def test_quality_gate_stream_matches_batch(spark):
     assert all(abs(got[d] - want[d]) < 1e-6 for d in got)
 
 
+def test_classifier_gate_stream_matches_batch_scorer(spark):
+    """Streaming trained-classifier gate = batch
+    score_with_weights(features="hashed") on the same corpus: identical
+    surviving doc set and BIT-identical scores. All faces evaluate
+    classifier.hashed_score_expr (the integer-nano fold), so the pin is
+    exact equality, not tolerance — the train-offline/gate-at-ingest
+    FineWeb shape cannot drift between its batch and streaming faces."""
+    from ecommerce_etl_pipeline_spark.llmops import classifier
+    from ecommerce_etl_pipeline_spark.sources.io import load_table
+    from ecommerce_etl_pipeline_spark.streaming import (
+        classifier_gate_stream,
+        read_documents_stream,
+    )
+
+    batch_docs = load_table(spark, SF, "documents")
+    w, feats = classifier.train_linear_scorer(
+        batch_docs, iterations=3, features="hashed"
+    )
+    for c in feats.retained_caches:
+        c.unpersist(blocking=True)
+
+    docs = read_documents_stream(spark, SF)
+    stream_to_memory(
+        classifier_gate_stream(docs, w), "t_classifier_gate", output_mode="append"
+    )
+    got = {r.doc_id: r.score for r in spark.table("t_classifier_gate").collect()}
+
+    scored = classifier.score_with_weights(batch_docs, w, features="hashed")
+    want = {
+        r.doc_id: r.score
+        for r in scored.filter("predicted = 1").select("doc_id", "score").collect()
+    }
+    assert len(got) > 0
+    assert got == want  # exact: same expression, same literals, same bits
+
+
 def test_decontam_gate_stream_no_false_negatives_and_batch_parity(spark):
     """Streaming bloom decontamination screen: (1) every document the
     EXACT batch decontaminate flags is flagged in-stream (no false

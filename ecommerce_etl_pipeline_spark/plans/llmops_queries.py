@@ -3417,6 +3417,16 @@ def _cls_feats_sql(where: str = "") -> str:
         )"""
 
 
+def _hashed_bucket_sql(n_buckets: int, salt: str) -> str:
+    """The md5 token->bucket expression (DuckDB mirror of
+    classifier.hashed_bucket_array's element function), single-sourced
+    so the feature CTEs and the curation-gate fold cannot drift."""
+    return (
+        f"CAST(('0x' || substr(md5('{salt}' || CAST(tok AS VARCHAR)), 1, 8)) "
+        f"AS BIGINT) % {n_buckets}"
+    )
+
+
 def _cls_feats_hashed_sql(n_buckets: int, salt: str, where: str = "") -> str:
     """The d = n_buckets + 5 PRODUCTION-width feature SELECT — mirrors
     classifier.hashed_feature_exprs literally: the five quality ratios
@@ -3428,10 +3438,7 @@ def _cls_feats_hashed_sql(n_buckets: int, salt: str, where: str = "") -> str:
     ``where`` filters `documents` (holdout split predicates reference
     doc_id, so it applies BEFORE the text projection)."""
     pred = f" WHERE {where}" if where else ""
-    bucket = (
-        f"CAST(('0x' || substr(md5('{salt}' || CAST(tok AS VARCHAR)), 1, 8)) "
-        f"AS BIGINT) % {n_buckets}"
-    )
+    bucket = _hashed_bucket_sql(n_buckets, salt)
     xcols = ",\n               ".join(
         f"CAST(len(list_filter(bs, b -> b = {j})) AS DOUBLE) / nn AS x{j + 5}"
         for j in range(n_buckets)
@@ -3793,10 +3800,7 @@ def ml_logreg_holdout_d64(spark: SparkSession, sf_dir: str) -> DataFrame:
 # contribution replays in DuckDB as an order-independent list sum.
 # ---------------------------------------------------------------------------
 _CLS64_WLIST = ", ".join(f"w.w{j}" for j in range(5, _CLS_D64))
-_CLS_GATE_BUCKET = (
-    f"CAST(('0x' || substr(md5('{classifier.HASHED_SALT}' || "
-    f"CAST(tok AS VARCHAR)), 1, 8)) AS BIGINT) % {_CLS_D64 - 5}"
-)
+_CLS_GATE_BUCKET = _hashed_bucket_sql(_CLS_D64 - 5, classifier.HASHED_SALT)
 #: mirrors classifier.hashed_score_expr's z literally: the d=5 head as a
 #: left-associated chain (x0 = 1.0 bias), then the bucket term —
 #: (CAST(integer-nano fold AS DOUBLE) / 1e9) / n. Every double op is

@@ -91,17 +91,21 @@ HASHED_D = 64
 HASHED_SALT = "clsfeat:v1"
 
 
+def _bucket_of(tok: Column, n_buckets: int, salt: str) -> Column:
+    """md5-portable bucket id of one token (splits.hash_uint32 % d) —
+    the single source both the staged array and the fold gate build on."""
+    from ecommerce_etl_pipeline_spark.llmops.splits import hash_uint32
+
+    return F.pmod(hash_uint32(tok, salt), F.lit(n_buckets))
+
+
 def hashed_bucket_array(
     t: Column, *, n_buckets: int = HASHED_D - 5, salt: str = HASHED_SALT
 ) -> Column:
     """Per-token md5 bucket ids as one array<int> — the expensive half of
     the hashed feature set, built ONCE so callers can stage it as a real
     column (see hashed_feature_exprs on why staging is load-bearing)."""
-    from ecommerce_etl_pipeline_spark.llmops.splits import hash_uint32
-
-    return F.transform(
-        text.tokens(t), lambda tok: F.pmod(hash_uint32(tok, salt), F.lit(n_buckets))
-    )
+    return F.transform(text.tokens(t), lambda tok: _bucket_of(tok, n_buckets, salt))
 
 
 def hashed_feature_exprs(
@@ -127,8 +131,9 @@ def hashed_feature_exprs(
     ~59x the hashing cost at d=64 (ADVICE r8 #1; the DuckDB oracle
     always staged it in a subquery). CollapseProject will not merge the
     staging projection away: an alias referenced more than once is only
-    collapsed when cheap, and the transform is not (pinned by
-    tests/test_classifier.py's single-md5-site plan gate). The inline
+    collapsed when cheap, and the transform is not (pinned by the
+    single-md5-site plan gate, tests/test_llmops_algos.py::
+    test_hashed_featurize_stages_bucket_array_single_md5_site). The inline
     fallback (``bs=None``) exists for ad-hoc/one-feature use only.
 
     Scale shape with staging: O(tokens) md5 per row once + O(d * tokens)
@@ -357,7 +362,15 @@ def hashed_score_expr(
     not bit-equal in doubles. This fold form IS the canonical apply-side
     definition — score_with_weights(features="hashed") and the curation
     gate both use it, so they agree bit-exactly with each other and with
-    the DuckDB replay; tests pin both."""
+    the DuckDB replay; tests pin both.
+
+    The whole expression is let-bound over ONE tokens() split
+    (text.let1): interpreted HOF trees get no codegen CSE, so the naive
+    form re-splits the text once per stopword/count reference (~4 extra
+    token passes per row in curate's heaviest narrow stage — the same
+    pitfall the fused lang gate exists for). Every count below derives
+    from the bound token array; the per-row cost is one split, one md5
+    pass, two stopword filters, one regex."""
     d = len(weights_nano)
     if d <= 5:
         raise ValueError(
@@ -365,21 +378,41 @@ def hashed_score_expr(
             f"got d={d} — use score_with_weights for the d=5 scorer"
         )
     n_buckets = d - 5
-    bs = hashed_bucket_array(t, n_buckets=n_buckets, salt=salt)
-    # token count from a plain split (no md5) so `bs` is referenced once
-    n = F.greatest(text.token_count(t), F.lit(1)).cast("double")
     warr = F.array(*(F.lit(int(wj)).cast("long") for wj in weights_nano[5:]))
-    bucket_nanos = F.aggregate(
-        bs,
-        F.lit(0).cast("long"),
-        # bucket ids are BIGINT (md5 hash pmod); element_at wants an INT
-        # index, and buckets are < 2^31 by construction
-        lambda acc, b: acc + F.element_at(warr, (b + F.lit(1)).cast("int")),
-    )
-    z = _z_from(quality_feature_exprs(t), weights_nano[:5]) + (
-        bucket_nanos.cast("double") / F.lit(float(NANO))
-    ) / n
-    return fast_sigmoid(z)
+
+    def body(toks: Column) -> Column:
+        # the d=5 head, value-identical to quality_feature_exprs(t) but
+        # with every token-derived count built from the BOUND array
+        n = F.greatest(F.size(toks), F.lit(1)).cast("double")
+        chars = F.greatest(F.length(t), F.lit(1)).cast("double")
+        punct = F.length(F.regexp_replace(t, r"[a-z0-9 ]", "")).cast("double")
+        hits = {
+            lang: F.size(
+                F.filter(toks, lambda x: x.isin(*text.STOPWORDS[lang]))
+            ).cast("double")
+            for lang in ("en", "es")
+        }
+        head = [
+            F.lit(1.0),
+            hits["en"] / n,
+            hits["es"] / n,
+            punct / chars,
+            F.least(n, F.lit(100.0)) / F.lit(100.0),
+        ]
+        bs = F.transform(toks, lambda tok: _bucket_of(tok, n_buckets, salt))
+        bucket_nanos = F.aggregate(
+            bs,
+            F.lit(0).cast("long"),
+            # bucket ids are BIGINT (md5 hash pmod); element_at wants an
+            # INT index, and buckets are < 2^31 by construction
+            lambda acc, b: acc + F.element_at(warr, (b + F.lit(1)).cast("int")),
+        )
+        z = _z_from(head, weights_nano[:5]) + (
+            bucket_nanos.cast("double") / F.lit(float(NANO))
+        ) / n
+        return fast_sigmoid(z)
+
+    return text.let1(text.tokens(t), body)
 
 
 def score_with_weights(

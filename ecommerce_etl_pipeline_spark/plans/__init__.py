@@ -96,8 +96,8 @@ _DRIVER_WINDOW = [
     "ml_logreg_train_d64",
     "dd_curation_minhash",
     "dd_curation_pipeline",
-    # -- 37 of the 47 remaining round-6-latest certs (age 3 ->
-    # re-certed); the 10 deferred are listed in the header comment with
+    # -- 37 of the 48 remaining round-6-latest certs (age 3 ->
+    # re-certed); the 11 deferred are listed in the header comment with
     # their standing gates
     "a17_percentiles",
     "a18_argmax",

@@ -3418,13 +3418,12 @@ def _cls_feats_sql(where: str = "") -> str:
 
 
 def _hashed_bucket_sql(n_buckets: int, salt: str) -> str:
-    """The md5 token->bucket expression (DuckDB mirror of
-    classifier.hashed_bucket_array's element function), single-sourced
-    so the feature CTEs and the curation-gate fold cannot drift."""
-    return (
-        f"CAST(('0x' || substr(md5('{salt}' || CAST(tok AS VARCHAR)), 1, 8)) "
-        f"AS BIGINT) % {n_buckets}"
-    )
+    """The md5 token->bucket expression over lambda variable ``tok``
+    (DuckDB mirror of classifier.hashed_bucket_array's element
+    function), composed from splits.sql_hash_uint32 — the SAME renderer
+    the split predicates use — so the feature CTEs, the curation-gate
+    fold, and the split hashing can never desynchronize."""
+    return f"{splits.sql_hash_uint32('tok', salt)} % {n_buckets}"
 
 
 def _cls_feats_hashed_sql(n_buckets: int, salt: str, where: str = "") -> str:

@@ -124,7 +124,15 @@ GROWTH_BASELINE = {
     "n2_hof_array_aggregate": (3.0, 2.5),
     "dd_exact_dedup": (1.5, 0.4),
     "dd_minhash_pairs": (4.3, 5.1),
-    "txt_quality_scores": (3.5, 1.5),
+    # r9 re-base (the r8 gate artifact shows an un-arbitrated excursion:
+    # in-gate 4.44x growth vs the 3.5 band AND sf1 1.537s past the 1.5s
+    # top, saved only by the 1.125 margin — caught by this round's
+    # review pass): fresh probe on this boot reads growth 2.41x / sf1
+    # 1.83s — the ABSOLUTE moved with the redrawn corpus while the
+    # ratio fell, the per-boot-content signature, not a regression.
+    # growth = fresh x 1.15, abs = fresh x 1.3; in-gate ratio jitter
+    # (sub-2s query) lands in the warnings arm and the probe protocol.
+    "txt_quality_scores": (2.8, 2.4),
     "sim_cosine_topk": (1.6, 0.8),
     # the exact-oracle curation variants carry the inverted-index
     # sum(df^2) term, quadratic BY CONSTRUCTION on the bounded-vocab
@@ -159,7 +167,13 @@ GROWTH_BASELINE = {
     # max(fresh 1.44, r8 in-gate 1.69) x 1.15
     "dd_jaccard_df_capped": (2.0, 6.9),
     "sim_rp_rerank": (1.3, 2.3),
-    "txt_chunk_overlap": (1.4, 1.4),
+    # r9 re-base (second un-arbitrated r8 excursion, 1.96x vs the 1.4
+    # band): fresh probe growth 0.85x — sf1 is FASTER than sf0.1 on
+    # this sub-second query, i.e. the ratio is constant-term noise, not
+    # a scale exponent. growth = max(fresh, r8 in-gate) x 1.15 so the
+    # noisy ratio can't false-alarm; abs tightens 1.4 -> 1.1 (this
+    # boot's max rep 0.80s x 1.3)
+    "txt_chunk_overlap": (2.3, 1.1),
     "u5_cdc_merge": (1.4, 1.0),
     "sm9_importance_resample": (1.5, 2.3),
     # d64 trainer re-based on THIS round's code: the staged bucket
@@ -191,8 +205,11 @@ def warn_drift(sf1: dict, growth: dict) -> list[str]:
       the absolute arm saves the query from the AND-gate (the
       density/session blind spot).
 
-    Neither exits 1 — the arbitration protocol is SCALING.md's
-    "Round-8 gate attributions" (fresh-session scripts/probe_query.py
+    Neither exits 1, and the list records only excursions the AND-gate
+    EXCUSED — a query that fully violates (both arms past tolerance)
+    belongs to `violations` alone, so warnings + violations never
+    double-count one excursion. The arbitration protocol is SCALING.md's
+    "gate attributions" (fresh-session scripts/probe_query.py
     median, dual-scale form for growth): re-probe before attributing a
     warning to a regression."""
     warnings = []
@@ -200,16 +217,17 @@ def warn_drift(sf1: dict, growth: dict) -> list[str]:
         base = GROWTH_BASELINE.get(name)
         if base is None:
             continue
+        g = growth.get(name)
+        growth_excursion = g is not None and g > base[0] * (1 + TOLERANCE)
+        if growth_excursion and secs > base[1] * (1 + TOLERANCE / 2):
+            continue  # full AND-gate violation — gate() owns it
         if secs > base[1] * WARN_ABS_FACTOR:
             warnings.append(
                 f"{name}: sf1 {secs}s > {WARN_ABS_FACTOR}x band top "
-                f"{base[1]}s (growth arm may still pass — constant-factor "
+                f"{base[1]}s (growth arm passed — constant-factor "
                 "drift; re-probe fresh-session before attributing)"
             )
-        g = growth.get(name)
-        if g is not None and g > base[0] * (1 + TOLERANCE) and not (
-            secs > base[1] * (1 + TOLERANCE / 2)
-        ):
+        if growth_excursion:
             warnings.append(
                 f"{name}: growth {g}x > band {base[0]}x * {1 + TOLERANCE} "
                 f"but absolute arm passed (sf1 {secs}s <= {base[1]}s * "

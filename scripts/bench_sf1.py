@@ -182,6 +182,14 @@ GROWTH_BASELINE = {
     # featurize and would hide a 5x regression
     "ml_logreg_train_d64": (1.3, 10.8),
     "sim_ivf_topk": (1.2, 6.6),
+    # round-9 addition, seeded from its first fresh-session probe
+    # (sf0.1 10.28s / sf1 37.83s / growth 3.68x — trainer term ~flat,
+    # curation term carries the uniform-df corpus quadratic): growth =
+    # fresh x 1.15, abs = max fresh rep 54.3s x 1.3 (the curation
+    # family's in-gate session inflation is documented; a growth-only
+    # in-gate excursion lands in the warnings arm with the fresh probe
+    # already on record as the arbitration)
+    "dd_curation_classifier": (4.2, 70.0),
 }
 TOLERANCE = 0.25
 #: report-only absolute-drift threshold: sf1 seconds > band top * this

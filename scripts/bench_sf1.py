@@ -151,12 +151,26 @@ GROWTH_BASELINE = {
     # known per-session constant into a violation; the growth arm is
     # re-based tight and any in-gate growth excursion is machine-warned
     # by the symmetric warnings arm and arbitrated by fresh probes.
-    "dd_curation_pipeline": (11.8, 62.5),
+    # SECOND r9 re-base: the host rebooted again mid-round (testdata
+    # regenerated 2026-08-16 01:06, a NEW density draw), so the round-
+    # open probes were re-run on the boot the gate actually measures.
+    # This draw is much milder: fresh growth 6.96x (was 10.2x on the
+    # first r9 boot), sf1 median 19.5s / max rep 23.0s. Same formula:
+    # growth = fresh x 1.15, abs = max fresh rep x 1.3; the probe JSON
+    # in SCALING.md "Round-9 second-boot probe table" is the
+    # pre-registered arbitration if the gate session inflates past it.
+    "dd_curation_pipeline": (8.0, 29.9),
     "dd_curation_ppjoin": (10.0, 68.1),
     "dd_span_excision": (5.0, 10.3),
     "dd_semantic_dedup": (4.4, 21.0),
     "dd_bloom_decontam": (2.0, 3.4),
-    "g1_pagerank_copurchase": (9.9, 45.8),
+    # SECOND r9 re-base (growth arm only): this boot's fresh probe reads
+    # 7.97x / sf1 median 16.6s — growth tightens to fresh x 1.15. The
+    # ABSOLUTE arm keeps the documented gate-session inflation allowance
+    # (r8 measured in-gate 39.8s vs 17.8s fresh on a fresh median this
+    # boot reproduces within 7%), so the AND-gate cannot convert the
+    # known per-session constant into a violation.
+    "g1_pagerank_copurchase": (9.2, 45.8),
     "ml_kmeans_train": (1.6, 5.3),
     "dd_simhash_pairs": (5.1, 5.3),
     "dd_ppjoin_pairs": (14.7, 27.4),
@@ -189,7 +203,12 @@ GROWTH_BASELINE = {
     # family's in-gate session inflation is documented; a growth-only
     # in-gate excursion lands in the warnings arm with the fresh probe
     # already on record as the arbitration)
-    "dd_curation_classifier": (4.2, 70.0),
+    # SECOND r9 re-base on the reboot's milder draw: fresh growth 3.16x,
+    # sf1 median 29.0s / max rep 32.7s -> growth = fresh x 1.15, abs =
+    # max fresh rep x 1.3 (the 70.0 seed covered the FIRST boot's 54.3s
+    # max rep; keeping it against this corpus would hide a 2x
+    # regression)
+    "dd_curation_classifier": (3.6, 42.5),
 }
 TOLERANCE = 0.25
 #: report-only absolute-drift threshold: sf1 seconds > band top * this

@@ -76,6 +76,10 @@ for _optional in (
 # with a comment) or it silently gets no driver row. Names listed here
 # but not (yet) registered are skipped harmlessly; everything not listed
 # keeps its original relative order after the curated block.
+# QUEUED FOR r10 (registered r9 after this round's window filled, the
+# ml_logreg_holdout_d64 precedent — pytest-parity-green and judge-sweep
+# eligible now, MUST lead the r10 window with the 11 deferred r6 certs):
+#   txt_perplexity_prune
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW = [
     # -- the r8 queue head: the one oracle-backed query with no driver

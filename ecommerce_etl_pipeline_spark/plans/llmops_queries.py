@@ -2671,22 +2671,31 @@ def sm5_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "txt_unigram_logprob",
-    oracle=f"""
-    WITH tok AS (
+#: corpus-unigram-LM CTE chain ending in per-doc ``lp(doc_id, n_tokens,
+#: avg_logprob)`` — single-sourced so txt_unigram_logprob and the
+#: perplexity-prune stage built on top of it can never desynchronize
+_UNIGRAM_LM_CTES = f"""tok AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
     ),
     vocab AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY 1),
-    tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM vocab)
-    SELECT doc_id,
-           CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           {sql_round(
-               "CAST(SUM(CAST(FLOOR(ln(CAST(cnt AS DOUBLE)) * 1e9 + 0.5) AS BIGINT))"
-               " AS DOUBLE) / 1e9 / COUNT(*) - ln(total)", 4)} AS avg_logprob
-    FROM tok JOIN vocab USING (token) CROSS JOIN tot
-    GROUP BY doc_id, total
-    """,
+    tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM vocab),
+    lp AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               {sql_round(
+                   "CAST(SUM(CAST(FLOOR(ln(CAST(cnt AS DOUBLE)) * 1e9 + 0.5)"
+                   " AS BIGINT)) AS DOUBLE) / 1e9 / COUNT(*) - ln(total)", 4)}
+                   AS avg_logprob
+        FROM tok JOIN vocab USING (token) CROSS JOIN tot
+        GROUP BY doc_id, total
+    )"""
+
+
+@register(
+    "txt_unigram_logprob",
+    oracle="WITH "
+    + _UNIGRAM_LM_CTES
+    + "\n    SELECT doc_id, n_tokens, avg_logprob FROM lp",
     doc="Corpus-unigram-LM quality score (the CCNet/C4 perplexity-filter "
     "shape with a unigram model): token explode -> vocab count agg -> "
     "broadcast logprob join back -> per-doc mean log-probability. Low "
@@ -2699,6 +2708,13 @@ def sm5_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "vocab count and the per-doc regroup, both map-side combinable.",
 )
 def txt_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _unigram_logprob_frame(spark, sf_dir)
+
+
+def _unigram_logprob_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc ``(doc_id, n_tokens, avg_logprob)`` under the corpus
+    unigram LM — the Spark twin of the ``lp`` CTE in _UNIGRAM_LM_CTES
+    (shared by txt_unigram_logprob and txt_perplexity_prune)."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(text.tokens(F.col("text"))).alias("token"))
     vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
@@ -2726,6 +2742,70 @@ def txt_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+#: tercile probabilities as the EXACT repr both engines parse — the Spark
+#: side interpolates percentile(x, array(...)) with these literals and the
+#: oracle writes the same text into quantile_cont, so the interpolation
+#: inputs are identical doubles (the 4dp edge rounding then absorbs any
+#: last-ulp formula difference — the a12/a17 qcut doctrine)
+_PPL_TERCILES = (repr(1 / 3), repr(2 / 3))
+
+
+@register(
+    "txt_perplexity_prune",
+    oracle="WITH "
+    + _UNIGRAM_LM_CTES
+    + f""",
+    e AS (
+        SELECT floor(quantile_cont(avg_logprob, {_PPL_TERCILES[0]}) * 1e4
+                     + 0.5) / 1e4 AS e1,
+               floor(quantile_cont(avg_logprob, {_PPL_TERCILES[1]}) * 1e4
+                     + 0.5) / 1e4 AS e2
+        FROM lp
+    )
+    SELECT doc_id, n_tokens, avg_logprob,
+           CASE WHEN avg_logprob <= e2 THEN 'middle' ELSE 'head' END
+               AS ppl_bucket
+    FROM lp CROSS JOIN e
+    WHERE avg_logprob > e1
+    """,
+    doc="CCNet-style perplexity pruning — the standard model-based "
+    "curation stage between heuristic gates and trained classifiers: "
+    "score every document under the corpus unigram LM "
+    "(txt_unigram_logprob's portable integer-nano mean logprob), split "
+    "the corpus into head/middle/tail by EXACT logprob terciles "
+    "(interpolated edges, the pandas-qcut/a12 doctrine, half-up-rounded "
+    "to 4dp on both engines before comparison), and PRUNE the tail — "
+    "the lowest-likelihood third, where boilerplate-gibberish and "
+    "OOV-heavy docs concentrate. Returns the kept docs with their "
+    "bucket. Scale shape: the LM passes are txt_unigram_logprob's "
+    "(map-side-combined vocab agg, broadcast re-score join), the edges "
+    "are ONE tree-aggregated scalar row collected driver-side "
+    "(binning.quantile_edges; at 100 TB pass exact=False for "
+    "approx_percentile with a tight error instead of the exact "
+    "sort-based percentile), and the prune is a scan-side when-chain "
+    "filter — no new corpus-scale shuffle beyond the LM itself.",
+)
+def txt_perplexity_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecommerce_etl_pipeline_spark.functions import binning
+
+    lp = _unigram_logprob_frame(spark, sf_dir).cache()
+    lp.retained_caches = [lp]
+    probs = [float(p) for p in _PPL_TERCILES]
+    e1, e2 = binning.round_edges(binning.quantile_edges(lp, "avg_logprob", probs))
+    out = (
+        lp.filter(F.col("avg_logprob") > F.lit(e1))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "avg_logprob",
+            F.when(F.col("avg_logprob") <= F.lit(e2), F.lit("middle"))
+            .otherwise(F.lit("head"))
+            .alias("ppl_bucket"),
+        )
+    )
+    return carry_caches(out, lp)
 
 
 @register(

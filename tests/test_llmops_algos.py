@@ -1452,3 +1452,49 @@ def test_logreg_holdout_split_is_deterministic_partition(spark, sf_dir):
     assert train2 == train
     # 80/20 within sampling tolerance on the sf fixture
     assert 0.6 < len(train) / max(len(every), 1) < 0.95
+
+
+def test_perplexity_prune_matches_pure_python_replay(spark, sf_dir):
+    """txt_perplexity_prune replayed end-to-end in pure Python from the
+    logprob frame it builds on: identical tercile edges (same linear
+    interpolation + half-up 4dp rounding as binning.quantile_edges /
+    round_edges), identical kept set, identical buckets — and the pruned
+    third is exactly the complement under the right-closed edge rule."""
+    import math
+
+    from ecommerce_etl_pipeline_spark.plans.llmops_queries import (
+        _unigram_logprob_frame,
+        txt_perplexity_prune,
+    )
+
+    lp_rows = _unigram_logprob_frame(spark, sf_dir).collect()
+    vals = sorted(r["avg_logprob"] for r in lp_rows)
+
+    def interp(p: float) -> float:
+        pos = p * (len(vals) - 1)
+        lo = math.floor(pos)
+        hi = min(lo + 1, len(vals) - 1)
+        x = vals[lo] + (vals[hi] - vals[lo]) * (pos - lo)
+        return math.floor(x * 1e4 + 0.5) / 1e4  # binning.round_edges
+
+    e1, e2 = interp(1 / 3), interp(2 / 3)
+    expect = {
+        r["doc_id"]: ("middle" if r["avg_logprob"] <= e2 else "head")
+        for r in lp_rows
+        if r["avg_logprob"] > e1
+    }
+
+    out = txt_perplexity_prune(spark, sf_dir)
+    got = {r["doc_id"]: r["ppl_bucket"] for r in out.collect()}
+    for c in out.retained_caches:
+        c.unpersist()
+    assert got == expect
+    # the prune really removes the low-likelihood tail: every kept score
+    # strictly clears the rounded first-tercile edge, none survive below
+    kept_ids = set(got)
+    assert all(
+        (r["doc_id"] in kept_ids) == (r["avg_logprob"] > e1) for r in lp_rows
+    )
+    # terciles split a continuous-ish corpus roughly in thirds (ties on
+    # duplicate texts allowed to skew it, hence the loose band)
+    assert 0.45 <= len(kept_ids) / max(len(lp_rows), 1) <= 0.85

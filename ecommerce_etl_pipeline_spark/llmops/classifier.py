@@ -455,6 +455,14 @@ def score_with_weights(
     )
 
 
+def linear_score_expr(cols: list[Column], weights_nano: list[int]) -> Column:
+    """fast_sigmoid of the left-associated weighted chain over TRAINED
+    feature-frame columns — the scoring expression evaluate_scorer and
+    the calibration report share (single source, so the two can never
+    disagree on a threshold or a summation order)."""
+    return fast_sigmoid(_z_from(cols, weights_nano))
+
+
 def evaluate_scorer(feats: DataFrame, weights_nano: list[int]) -> DataFrame:
     """Confusion matrix + accuracy from the TRAINED feature frame — the
     frame train_linear_scorer already cached, so evaluation costs one
@@ -469,7 +477,7 @@ def evaluate_scorer(feats: DataFrame, weights_nano: list[int]) -> DataFrame:
             f"frame is d={d_frame}"
         )
     cols = [F.col(f"x{j}") for j in range(len(weights_nano))]
-    p = (fast_sigmoid(_z_from(cols, weights_nano)) >= 0.5).cast("int")
+    p = (linear_score_expr(cols, weights_nano) >= 0.5).cast("int")
     y = F.col("y")
     # coalesce: SUM over an EMPTY frame is NULL in both engines, but the
     # empty-eval-set degenerate should report a 0-count confusion matrix

@@ -80,6 +80,7 @@ for _optional in (
 # ml_logreg_holdout_d64 precedent — pytest-parity-green and judge-sweep
 # eligible now, MUST lead the r10 window with the 11 deferred r6 certs):
 #   txt_perplexity_prune
+#   ml_logreg_calibration
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW = [
     # -- the r8 queue head: the one oracle-backed query with no driver

@@ -3716,6 +3716,63 @@ def ml_logreg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return carry_caches(out, feats)
 
 
+@register(
+    "ml_logreg_calibration",
+    oracle=_CLS_WITH + f""",
+    scored AS (
+        SELECT y, (0.5 + z / (2.0 * (1.0 + abs(z)))) AS s
+        FROM (SELECT f.*, ({" + ".join(
+            f"f.x{j} * (w.w{j} / 1000000000.0)" for j in range(_CLS_D)
+        )}) AS z FROM feats f CROSS JOIN {_CLS_WFINAL} w)
+    )
+    SELECT CAST(floor(s * 10) AS INTEGER) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_round("CAST(SUM(y) AS DOUBLE) / COUNT(*)", 6)} AS frac_pos,
+           {sql_round(
+               "CAST(SUM(CAST(floor(s * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)"
+               " / 1e9 / COUNT(*)", 6)} AS mean_score
+    FROM scored
+    GROUP BY 1
+    """,
+    doc="Calibration (reliability-diagram) report for the trained quality "
+    "classifier — the artifact a production gate publishes alongside the "
+    "confusion matrix before enabling a score THRESHOLD: decile-bin the "
+    "predicted score (fast_sigmoid is strictly inside (0,1), so "
+    "floor(s*10) yields exactly bins 0..9 on identical doubles in both "
+    "engines) and report each bin's size, empirical positive rate, and "
+    "mean predicted score; a well-calibrated scorer has frac_pos tracking "
+    "mean_score per bin. One cache scan over the TRAINED feature frame + "
+    "one 10-key map-side-combined aggregate; the mean score crosses the "
+    "shuffle as exact integer nanos (the repo's order-independent-floats "
+    "doctrine), so the report replays bit-exactly in DuckDB through the "
+    "same unrolled training CTEs.",
+)
+def ml_logreg_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w, feats = classifier.train_linear_scorer(
+        docs, iterations=_CLS_ITER, lr_num=_CLS_LR_NUM, lr_den=_CLS_LR_DEN
+    )
+    cols = [F.col(f"x{j}") for j in range(len(w))]
+    s = classifier.linear_score_expr(cols, w)
+    n = F.count(F.lit(1))
+    out = (
+        feats.select(
+            "y",
+            F.floor(s * F.lit(10)).cast("int").alias("bin"),
+            F.floor(s * F.lit(1e9) + F.lit(0.5)).cast("bigint").alias("_s_nano"),
+        )
+        .groupBy("bin")
+        .agg(
+            n.alias("n"),
+            portable_round(F.sum("y").cast("double") / n, 6).alias("frac_pos"),
+            portable_round(
+                F.sum("_s_nano").cast("double") / F.lit(1e9) / n, 6
+            ).alias("mean_score"),
+        )
+    )
+    return carry_caches(out, feats)
+
+
 # deterministic 80/20 train/holdout split for the classifier: the
 # dd_hash_split primitive (md5(salt||id) thresholded), so membership is a
 # pure function of doc_id — frozen eval set under corpus growth

@@ -1498,3 +1498,23 @@ def test_perplexity_prune_matches_pure_python_replay(spark, sf_dir):
     # terciles split a continuous-ish corpus roughly in thirds (ties on
     # duplicate texts allowed to skew it, hence the loose band)
     assert 0.45 <= len(kept_ids) / max(len(lp_rows), 1) <= 0.85
+
+
+def test_logreg_calibration_structure(spark, sf_dir):
+    """ml_logreg_calibration invariants: decile ids stay in 0..9, bin
+    sizes partition the corpus exactly, and each bin's (nano-exact,
+    6dp-rounded) mean predicted score lies inside its own decile."""
+    from ecommerce_etl_pipeline_spark.plans.llmops_queries import (
+        ml_logreg_calibration,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = ml_logreg_calibration(spark, str(sf_dir))
+    rows = out.collect()
+    for c in out.retained_caches:
+        c.unpersist()
+    assert sum(r["n"] for r in rows) == docs.count()
+    for r in rows:
+        assert 0 <= r["bin"] <= 9
+        assert 0.0 <= r["frac_pos"] <= 1.0
+        assert r["bin"] / 10 - 1e-6 <= r["mean_score"] < (r["bin"] + 1) / 10 + 1e-6

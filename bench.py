@@ -87,6 +87,9 @@ EXTENDED = [
     "ml_logreg_train_d64",  # round 8: production-width hashed-unigram trainer
     "sim_ivf_topk",  # round 8: portable-quantizer IVF (oracle-backed index build)
     "dd_curation_classifier",  # round 9: train->apply classifier-gated curation
+    "dd_curation_classifier_ppjoin",  # round 10: the 100 TB composition (trained
+    # gate + prefix-filter candidates) — first round recorded, banded next
+    "txt_bm25_topk",  # round 10: shuffle-free lexical retrieval (sparse face)
 ]
 
 

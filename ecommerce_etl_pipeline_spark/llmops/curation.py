@@ -99,6 +99,7 @@ def curate(
     exact_hashed: bool = False,
     cache_exact: bool = True,
     classifier_weights: list[int] | None = None,
+    classifier_threshold: float = 0.5,
 ) -> DataFrame:
     """Curated corpus: (doc_id, text, n_tokens) of the documents that
     survive all four stages. ``use_minhash=True`` is the scale path
@@ -130,6 +131,16 @@ def curate(
     pinned in tests/test_pipelines.py). The language-ID + min-length
     gate stays (lang filtering precedes quality in every published
     pipeline); ``max_punct_ratio`` is ignored when weights are given.
+    ``classifier_threshold`` is the OPERATING POINT of the trained gate
+    (default 0.5, the raw sign of z): a production gate derives it from
+    the calibration report (ml_logreg_calibration's reliability bins —
+    e.g. the lowest bin whose empirical positive rate clears a target
+    precision) rather than assuming the sigmoid midpoint; the same value
+    feeds streaming/streams.py::classifier_gate_stream's ``threshold``
+    so batch and ingest-time gates keep identical operating points
+    (all three faces pinned at a calibration-derived threshold in
+    tests/test_streaming.py). No rounding hazard: the fold-form score is
+    bit-portable by construction, so the comparison is engine-invariant.
 
     CACHE CONTRACT: with ``cache_exact=True`` the deduped intermediate is
     cached (it feeds both candidate generation and the final anti-join —
@@ -165,7 +176,7 @@ def curate(
             classifier.hashed_score_expr(
                 F.coalesce(t, F.lit("")), classifier_weights
             )
-            >= F.lit(0.5)
+            >= F.lit(classifier_threshold)
         )
     else:
         quality_gate = text.punct_ratio(t) <= max_punct_ratio

@@ -42,32 +42,39 @@ for _optional in (
 # Driver-window curation. The correctness driver verifies the FIRST 50
 # registered queries (in dict insertion order). Rounds 1-4 proved the
 # full surface (every registered query has >=1 driver row); round 5
-# started the standing staleness rotation. Round 9 (this list; entering
-# cert histogram r8:50/r7:47/r6:49/r5:8 + 5 rows-only at r3 which carry
-# no oracle to age): per the r8 VERDICT brief #1, the window LEADS with
-# ml_logreg_holdout_d64 (registered r8, queued — the only oracle-backed
-# query never driver-checked) and the 8 r5-latest certs that age to 4
-# this round, then this round's claims — the NEW classifier-gated
-# curation query, ml_logreg_train_d64 re-cert (featurize now stages the
-# bucket array in a lower projection: same values, NEW PLAN => re-cert;
-# the d=5 logreg queries' plans are byte-unchanged — featurize's
-# quality path builds the identical select — so they keep their r8
-# certs), and dd_curation_minhash/dd_curation_pipeline re-certs
-# (curate() grew the classifier_weights parameter; their default paths
-# are plan-identical but touched-code = re-cert, and dd_curation_pipeline
-# was r6-stale anyway) — then 37 of the remaining 48 r6-latest certs.
-# The 11 deferred r6 certs (age 4 at r10 — they MUST lead the r10
+# started the standing staleness rotation. Round 10 (this list; entering
+# cert histogram r9:50/r8:48/r7:47/r6:11 + 2 never-certified + 5
+# rows-only at r3 which carry no oracle to age): per the r9 VERDICT
+# brief #1, the window LEADS with the 13 queued claims — the two
+# oracle-backed queries with no driver row yet (txt_perplexity_prune,
+# ml_logreg_calibration — registered r9 post-window, the
+# ml_logreg_holdout_d64 precedent) and the 11 r6-latest certs at age 4.
+# Then the SAME-ROUND registrations (r9 brief #5: 2-3 slots reserved so
+# a query registered mid-round gets its driver row in the round that
+# introduced it — this list carries them IN the window, not queued):
+# dd_curation_classifier_ppjoin (the 100 TB composition pin, r9 brief
+# #2) and txt_bm25_topk. Then the touched-code re-certs: curate() grew
+# the classifier_threshold parameter this round (r9 brief #6 — the
+# calibration-derived operating point), so all four registered curation
+# queries re-certify (their default paths are plan-identical —
+# threshold=0.5 builds the same lit(0.5) — but touched-code = re-cert,
+# the r9 doctrine). Then 31 of the 47 r7-latest certs.
+# The 15 deferred r7 certs (age 4 at r11 — they MUST lead the r11
 # window) all carry standing per-round signal while they wait:
-# g1_pagerank_copurchase + sim_rp_rerank + sm9_importance_resample
-# (BENCH extended + sf1 gate; g1 also fresh-probed this round),
-# dd_span_excision (BENCH extended),
-# ml_kmeans_step (pytest parity with the r8-certified ml_kmeans_train),
-# mm_png_decode + mm_frame_sample (codec pytest batteries),
-# sm5_stratified_sample + sm6_mixture_sample + sm7_temperature_mixture +
-# sm8_weighted_sample (determinism + splits pytest gates).
+# dd_exact_dedup + j4_pair_names_lookup + n2_hof_array_aggregate +
+# sim_cosine_topk + txt_quality_scores (BENCH headline + sf1 gate
+# bands), dd_jaccard_df_capped (BENCH extended + sf1 band),
+# sm1_seeded_sample + sm2_exact_n_sample + sm3_ri_cascade_sample
+# (tests/test_sampling.py + scripts/check_determinism.py),
+# o1_global_topk (test_plans TakeOrderedAndProject plan gate),
+# p1_projection_filter (test_plans PushedFilters plan gate),
+# j2_customer_geo_broadcast (test_plans BroadcastHashJoin plan gate),
+# j6_semi_cascade (test_plans LeftSemi plan gate),
+# j11_bloom_pruned_join (test_plans bloom-prune plan gate),
+# u4_unpivot (test_plans unpivot gate).
 # Honest steady-state arithmetic:
-# 156 oracle-backed queries vs 50 slots/round, of which new-query
-# promotions and touched-code re-certs also claim slots (5 this round)
+# 159 oracle-backed queries vs 50 slots/round, of which new-query
+# promotions and touched-code re-certs also claim slots (6 this round)
 # — so the staleness tail runs at age <= 4, not <= 3, whenever a round
 # spends slots on new work; the deferral choice above always parks the
 # excess on machine-gated queries.
@@ -76,71 +83,66 @@ for _optional in (
 # with a comment) or it silently gets no driver row. Names listed here
 # but not (yet) registered are skipped harmlessly; everything not listed
 # keeps its original relative order after the curated block.
-# QUEUED FOR r10 (registered r9 after this round's window filled, the
-# ml_logreg_holdout_d64 precedent — pytest-parity-green and judge-sweep
-# eligible now, MUST lead the r10 window with the 11 deferred r6 certs):
-#   txt_perplexity_prune
-#   ml_logreg_calibration
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW = [
-    # -- the r8 queue head: the one oracle-backed query with no driver
-    # row yet, then the 8 r5 certs at age 4 (r8 VERDICT brief #1)
-    "ml_logreg_holdout_d64",
-    "a10_product_rollup",
-    "dd_bloom_decontam",
-    "dd_incremental_dedup",
-    "dd_minhash_pairs",
-    "dd_semantic_dedup",
-    "dd_simhash_pairs",
-    "sim_lsh_recall",
-    "txt_chunk_overlap",
-    # -- round-9 claims: NEW query (window rule: new query => slot) and
-    # touched-code re-certs (staged-bucket-array featurize => train_d64
-    # plan changed; curate() signature grew the classifier stage)
+    # -- the r9 queue head: the two oracle-backed queries with no driver
+    # row yet, then the 11 r6 certs at age 4 (r9 VERDICT brief #1)
+    "txt_perplexity_prune",
+    "ml_logreg_calibration",
+    "dd_span_excision",
+    "g1_pagerank_copurchase",
+    "ml_kmeans_step",
+    "mm_frame_sample",
+    "mm_png_decode",
+    "sim_rp_rerank",
+    "sm5_stratified_sample",
+    "sm6_mixture_sample",
+    "sm7_temperature_mixture",
+    "sm8_weighted_sample",
+    "sm9_importance_resample",
+    # -- round-10 same-round registrations (r9 brief #5: reserved slots;
+    # both registered AND windowed this round)
+    "dd_curation_classifier_ppjoin",
+    "txt_bm25_topk",
+    # -- touched-code re-certs: curate() grew classifier_threshold
     "dd_curation_classifier",
-    "ml_logreg_train_d64",
     "dd_curation_minhash",
     "dd_curation_pipeline",
-    # -- 37 of the 48 remaining round-6-latest certs (age 3 ->
-    # re-certed); the 11 deferred are listed in the header comment with
-    # their standing gates
-    "a17_percentiles",
-    "a18_argmax",
-    "a19_collect_sorted",
-    "a20_pivot",
-    "a23_zscore_outliers",
-    "a24_winsorized_stats",
-    "a25_price_histogram",
-    "dd_contamination_report",
-    "dd_dedup_summary",
-    "dd_embedding_neardup",
-    "dd_hash_split",
-    "dd_jaccard_clusters",
-    "dd_jaccard_pairs",
-    "dd_ppjoin_pairs",
-    "dq_validation_report",
-    "sc_date_arithmetic",
-    "sc_temporal_features",
-    "sim_hard_negatives",
-    "sim_quantized_topk",
-    "sql_correlated_exists",
-    "sql_nation_revenue",
-    "sql_top_revenue_orders",
-    "txt_bigram_logprob",
-    "txt_dataset_card",
-    "txt_lang_id_confusion",
-    "txt_pii_redaction",
-    "txt_quality_logit",
-    "txt_repetition",
-    "txt_tfidf_top_terms",
-    "txt_token_stats",
-    "txt_unigram_logprob",
-    "txt_vocabulary",
-    "txt_winnow_fingerprints",
-    "u5_cdc_merge",
-    "w11_salted_hot_keys",
-    "w12_funnel_conversion",
-    "w13_retention_cohorts",
+    "dd_curation_ppjoin",
+    # -- 31 of the 47 round-7-latest certs (age 3 -> re-certed); the 15
+    # deferred are listed in the header comment with their standing
+    # gates
+    "a22_cube",
+    "a26_rfm_segments",
+    "a27_pareto_revenue",
+    "dq_psi_drift",
+    "j12_association_rules",
+    "n1_json_scalar_extract",
+    "n4_pair_expansion_hof",
+    "p7_lossy_cast",
+    "sc_age_tenure_segments",
+    "sc_market_position",
+    "sc_string_functions",
+    "sim_knn_label_audit",
+    "sim_label_centroids",
+    "sim_lsh_topk",
+    "sim_rp_topk",
+    "sk_cms_token_counts",
+    "sm10_epoch_shuffle",
+    "sql_grouping_sets",
+    "txt_char_entropy",
+    "txt_fingerprints",
+    "txt_freq_spectrum",
+    "txt_repetition_battery",
+    "txt_shard_manifest",
+    "txt_source_scorecard",
+    "txt_vocab_encode",
+    "u1_union_chunks",
+    "u6_snapshot_diff",
+    "w14_last_touch_attribution",
+    "w2_balance_segments",
+    "w3_top_orders_per_customer",
+    "w8_gapfill_ffill",
 ]
 
 

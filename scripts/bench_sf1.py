@@ -56,6 +56,7 @@ Exit 1 on any regression; the JSON carries the verdict either way.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -117,16 +118,15 @@ GROWTH_BASELINE = {
     "a8_pricing_summary": (2.1, 1.8),
     "a10_product_rollup": (1.8, 1.5),
     "j1_order_lineitem_join": (2.1, 2.5),
-    # SECOND r9 re-base, IN-GATE-anchored (the g1 precedent): the r9
-    # gate read 2.18s/9.81s (4.49x) while the same-boot fresh probe
-    # reads 1.37s/2.60s (1.90x) — the plan is healthy and UNTOUCHED
-    # since r7; the gap is gate-session inflation, which this round hit
-    # the pair-aggregate-heavy queries at sf1 even mid-session (SCALING
-    # "Round-9 gate attributions"). The abs arm must be anchored on the
-    # number the gate MEASURES (in-gate x 1.15), with the fresh probe on
-    # record as the plan-health proof; a fresh-anchored band here just
-    # re-fails every round on the same session constant.
-    "j4_pair_names_lookup": (5.2, 11.3),
+    # Round-10 re-anchor under per-rep GC hygiene (r9 VERDICT brief #4
+    # generalized: the r9 gate — the FIRST to run with the gc-hygiene
+    # arm — read every previously in-gate-anchored query within ~1.4x of
+    # its fresh median, so the session constant those anchors encoded is
+    # dead and the bands return to fresh/in-gate-max anchoring; SCALING
+    # "Round-10 boot-fresh probe table" has the five gc-hygienic
+    # dual-scale probes): j4 fresh 1.69x/3.83s, r9 in-gate 2.97x/4.61s
+    # -> growth = in-gate x 1.15, abs = in-gate x 1.3 (covers both).
+    "j4_pair_names_lookup": (3.4, 6.0),
     "j9_asof_join": (2.4, 2.6),
     "w4_sessionize": (1.7, 2.2),
     "w7_moving_avg_7d": (1.5, 0.6),
@@ -168,12 +168,12 @@ GROWTH_BASELINE = {
     # growth = fresh x 1.15, abs = max fresh rep x 1.3; the probe JSON
     # in SCALING.md "Round-9 second-boot probe table" is the
     # pre-registered arbitration if the gate session inflates past it.
-    # ...the r9 gate then read 3.04s/30.71s (10.11x) — abs inside x1.125
-    # of the fresh-anchored top but only barely, same session-inflation
-    # signature as j4/ppjoin, so the ABS arm re-anchors in-gate x 1.15
-    # (the growth arm stays fresh-anchored; its in-gate excursion is the
-    # warnings arm's job, with the fresh 6.96x probe as arbitration).
-    "dd_curation_pipeline": (8.0, 35.3),
+    # Round-10 re-anchor (r9 VERDICT brief #4, explicit order): the
+    # gc-hygienic boot-fresh probe reads 3.29s/20.19s growth 6.14x, and
+    # the r9 gate itself (hygiene live) read 18.09s — in-gate now UNDER
+    # fresh, the session constant is gone. growth = fresh x 1.15, abs =
+    # fresh median x 1.3 (= 1.3x fresh, inside the brief's <= 1.5x).
+    "dd_curation_pipeline": (7.1, 26.3),
     # SECOND r9 re-base on the reboot's draw: fresh probe 4.03s/75.5s
     # median (growth 18.73x, sf1 reps 54.6-135.0s — GC-bound variance),
     # in-gate 3.27s/56.4s (17.27x): fresh and in-gate AGREE, so unlike
@@ -187,23 +187,24 @@ GROWTH_BASELINE = {
     "dd_span_excision": (5.0, 10.3),
     "dd_semantic_dedup": (4.4, 21.0),
     "dd_bloom_decontam": (2.0, 3.4),
-    # SECOND r9 re-base (growth arm only): this boot's fresh probe reads
-    # 7.97x / sf1 median 16.6s — growth tightens to fresh x 1.15. The
-    # ABSOLUTE arm keeps the documented gate-session inflation allowance
-    # (r8 measured in-gate 39.8s vs 17.8s fresh on a fresh median this
-    # boot reproduces within 7%), so the AND-gate cannot convert the
-    # known per-session constant into a violation.
-    "g1_pagerank_copurchase": (9.2, 45.8),
+    # Round-10 re-anchor (r9 VERDICT brief #4, explicit order): the
+    # gc-hygienic boot-fresh probe reads 2.61s/18.51s growth 7.08x; the
+    # r9 gate (hygiene live) read 26.4s/9.7x — 1.4x over fresh, down
+    # from the 2.2x pre-hygiene constant, and that residual lands INSIDE
+    # this band's AND-gate margins (growth 9.7 < 8.1 x 1.25; an abs-only
+    # drift past 2x the 24.1 top is the warnings arm's job). growth =
+    # fresh x 1.15, abs = fresh median x 1.3 (<= 1.5x fresh per brief).
+    "g1_pagerank_copurchase": (8.1, 24.1),
     "ml_kmeans_train": (1.6, 5.3),
     "dd_simhash_pairs": (5.1, 5.3),
-    # SECOND r9 re-base, IN-GATE-anchored (same attribution as j4): gate
-    # read 1.69s/46.74s (27.65x) vs same-boot fresh 3.14s/23.39s (7.44x)
-    # — fresh abs is UNDER the old band top, so the excursion is session
-    # inflation on this boot's denser uniform-df draw, not a plan
-    # change (ppjoin untouched since r6). Bands = in-gate x 1.15 on both
-    # arms; the uniform-df sum(df^2) quadratic is documented and the
-    # Zipf linearity is gated exactly in check_zipf.py.
-    "dd_ppjoin_pairs": (31.8, 53.8),
+    # Round-10 re-anchor under GC hygiene: gc-hygienic fresh probe
+    # 2.48s/25.17s growth 10.14x (sf1 reps 23.1-54.7 — the uniform-df
+    # draw's GC-bound spread persists, but the MEDIAN the gate compares
+    # is stable); r9 in-gate (hygiene live) 22.97s/7.87x agrees with
+    # fresh. growth = fresh x 1.15, abs = fresh median x 1.3. The
+    # uniform-df sum(df^2) quadratic is documented; Zipf linearity is
+    # gated exactly in check_zipf.py.
+    "dd_ppjoin_pairs": (11.7, 32.7),
     "ml_logreg_train": (1.2, 3.4),
     "ml_logreg_holdout": (1.2, 6.5),
     # r9 re-base: this boot's draw is NOT bimodal at sf1 (reps 2.7-5.3
@@ -220,19 +221,13 @@ GROWTH_BASELINE = {
     "txt_chunk_overlap": (2.3, 1.1),
     "u5_cdc_merge": (1.4, 1.0),
     "sm9_importance_resample": (1.5, 2.3),
-    # d64 trainer re-based on THIS round's code: the staged bucket
-    # array (ADVICE r8 #1 fix) cut the fresh sf0.1 median 29.3 -> 7.4s
-    # and sf1 to 8.3s — the old 52.0 band measured the unfixed
-    # featurize and would hide a 5x regression.
-    # SECOND r9 re-anchor, IN-GATE (the j4 doctrine): the gc-hygiene
-    # gate run flagged this query (2.38x / 13.69s) while the same-boot
-    # fresh probe reads 7.88s/6.77s growth 0.86x — sf1 FASTER than
-    # sf0.1 fresh, i.e. the trainer is scale-flat and the in-gate
-    # reading is the residual session constant (SCALING "inflation
-    # mechanism") landing on the late-session iterative query. Bands =
-    # in-gate x 1.15 on both arms, fresh probe on record as the
-    # plan-health proof.
-    "ml_logreg_train_d64": (2.7, 15.7),
+    # Round-10 re-anchor: gc-hygienic fresh probe 8.47s/10.88s growth
+    # 1.28x (trainer ~scale-flat as designed); r9 in-gate 13.69s/2.38x —
+    # the residual per-session compile/GC constant still lands on this
+    # late-session iterative query even under hygiene, so the growth arm
+    # keeps the in-gate anchor (2.38 x 1.15) while the abs arm tightens
+    # to fresh x 1.3 = 14.1 (still covers the 13.69 in-gate reading).
+    "ml_logreg_train_d64": (2.7, 14.1),
     "sim_ivf_topk": (1.2, 6.6),
     # round-9 addition, seeded from its first fresh-session probe
     # (sf0.1 10.28s / sf1 37.83s / growth 3.68x — trainer term ~flat,
@@ -254,6 +249,30 @@ TOLERANCE = 0.25
 #: growth arm passes — the constant-factor blind spot surfaced, without
 #: re-introducing the disjoint-false-alarm problem the AND-gate kills
 WARN_ABS_FACTOR = 2.0
+
+#: ADVICE r9 #1 — the session-inflation constant, MONITORED machine-side
+#: instead of living only in SCALING.md arbitration prose: for every
+#: query whose band was ever re-based off a fresh-session probe, the
+#: fresh sf1 median the re-base used (gc-hygienic scripts/probe_query.py
+#: runs; round-10 boot except where noted). Each gate run records
+#: measured_sf1 / fresh_anchor per query in the JSON
+#: (`session_inflation`) and WARNS (report-only) when the ratio exceeds
+#: INFLATION_WARN — so a ratcheting session constant (bands re-based
+#: ever wider off inflated in-gate readings) is caught the round it
+#: starts drifting, not rounds later by a judge re-deriving it. Anchors
+#: are this boot's content; a future boot's corpus redraw moves them
+#: WITH the bands (both re-derive from the same probe protocol), so the
+#: ratio stays comparable across re-bases.
+FRESH_SF1_ANCHORS = {
+    "j4_pair_names_lookup": 3.829,
+    "dd_curation_pipeline": 20.193,
+    "g1_pagerank_copurchase": 18.508,
+    "dd_ppjoin_pairs": 25.174,
+    "ml_logreg_train_d64": 10.882,
+    "dd_curation_ppjoin": 75.5,  # r9 second-boot probe (same boot)
+    "dd_curation_classifier": 29.0,  # r9 second-boot probe (same boot)
+}
+INFLATION_WARN = 2.0
 
 
 def warn_drift(sf1: dict, growth: dict) -> list[str]:
@@ -303,6 +322,28 @@ def warn_drift(sf1: dict, growth: dict) -> list[str]:
     return warnings
 
 
+def session_inflation(sf1: dict) -> tuple[dict, list[str]]:
+    """ADVICE r9 #1: in-gate/fresh ratio per anchored query, recorded in
+    the JSON every run; ratios past INFLATION_WARN are report-only
+    warnings (the AND-gate still owns violations). A drifting ratio
+    means the gate session is re-inflating and the next band re-base
+    would encode it — re-probe fresh and re-anchor instead."""
+    ratios = {
+        name: round(sf1[name] / anchor, 2)
+        for name, anchor in FRESH_SF1_ANCHORS.items()
+        if name in sf1
+    }
+    warns = [
+        f"{name}: in-gate/fresh inflation {r}x > {INFLATION_WARN}x "
+        f"(sf1 {sf1[name]}s vs fresh anchor {FRESH_SF1_ANCHORS[name]}s) — "
+        "session constant drifting; fresh-probe and re-anchor before any "
+        "band re-base uses this session's readings"
+        for name, r in ratios.items()
+        if r > INFLATION_WARN
+    ]
+    return ratios, warns
+
+
 def gate(sf1: dict, growth: dict) -> list[str]:
     violations = []
     for name in GROWTH_BASELINE:
@@ -333,6 +374,9 @@ def main() -> int:
         payload["baseline"] = GROWTH_BASELINE
         payload["violations"] = gate(payload["sf1"], payload["growth"])
         payload["warnings"] = warn_drift(payload["sf1"], payload["growth"])
+        infl, infl_warns = session_inflation(payload["sf1"])
+        payload["session_inflation"] = infl
+        payload["warnings"] += infl_warns
         with open(out_path, "w") as f:
             json.dump(payload, f, indent=1)
         print(json.dumps({"violations": payload["violations"],
@@ -388,7 +432,14 @@ def main() -> int:
             # remains (not GC — documented in SCALING.md), so absolute
             # bands stay anchored on IN-GATE readings, which this
             # hygiene can only bring CLOSER to fresh, never past.
-            spark.sparkContext._jvm.System.gc()
+            # Guarded (ADVICE r9 #2): _jvm is py4j-private and absent
+            # under Spark Connect; Python driver garbage accumulated
+            # across reps is collected explicitly alongside it so the
+            # hygiene degrades gracefully on non-py4j sessions.
+            gc.collect()
+            jvm = getattr(spark.sparkContext, "_jvm", None)
+            if jvm is not None:
+                jvm.System.gc()
             t0 = time.perf_counter()
             queries[name](spark, d).write.format("noop").mode("overwrite").save()
             ts.append(time.perf_counter() - t0)
@@ -407,6 +458,8 @@ def main() -> int:
               flush=True)
     violations = gate(sf1, growth)
     warnings = warn_drift(sf1, growth)
+    infl, infl_warns = session_inflation(sf1)
+    warnings += infl_warns
     for w in warnings:
         print(f"WARN (report-only): {w}", flush=True)
 
@@ -419,6 +472,8 @@ def main() -> int:
         "baseline": GROWTH_BASELINE,
         "tolerance": TOLERANCE,
         "warn_abs_factor": WARN_ABS_FACTOR,
+        "fresh_anchors": FRESH_SF1_ANCHORS,
+        "session_inflation": infl,
         "violations": violations,
         "warnings": warnings,
     }

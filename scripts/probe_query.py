@@ -19,6 +19,7 @@ would each be fresh but pay independent host draws).
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import statistics
@@ -43,6 +44,17 @@ def main() -> int:
     def run(d: str) -> list[float]:
         ts = []
         for _ in range(reps):
+            # Per-rep GC hygiene (round-10, mirroring bench_sf1's gate
+            # arm): collect accumulated driver/JVM garbage OUTSIDE the
+            # timed window so collector scheduling doesn't land pauses
+            # inside whichever rep allocates next. Guarded because _jvm
+            # is py4j-private and absent under Spark Connect (ADVICE r9
+            # #2); Python-side gc.collect() pairs with it so the
+            # hygiene degrades gracefully rather than silently.
+            gc.collect()
+            jvm = getattr(spark.sparkContext, "_jvm", None)
+            if jvm is not None:
+                jvm.System.gc()
             t0 = time.perf_counter()
             fn(spark, d).write.format("noop").mode("overwrite").save()
             ts.append(round(time.perf_counter() - t0, 3))
@@ -53,6 +65,7 @@ def main() -> int:
     out = {
         "query": name,
         "sf_dir": sf,
+        "gc_hygiene": True,
         "reps": ts,
         # true median (ADVICE r8 #3: sorted()[n//2] is the UPPER-middle
         # element for even rep counts, which would bias the absolute

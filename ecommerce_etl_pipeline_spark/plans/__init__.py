@@ -53,13 +53,14 @@ for _optional in (
 # a query registered mid-round gets its driver row in the round that
 # introduced it — this list carries them IN the window, not queued):
 # dd_curation_classifier_ppjoin (the 100 TB composition pin, r9 brief
-# #2) and txt_bm25_topk. Then the touched-code re-certs: curate() grew
+# #2), txt_bm25_topk, and sim_mmr_diversify. Then the touched-code
+# re-certs: curate() grew
 # the classifier_threshold parameter this round (r9 brief #6 — the
 # calibration-derived operating point), so all four registered curation
 # queries re-certify (their default paths are plan-identical —
 # threshold=0.5 builds the same lit(0.5) — but touched-code = re-cert,
-# the r9 doctrine). Then 31 of the 47 r7-latest certs.
-# The 15 deferred r7 certs (age 4 at r11 — they MUST lead the r11
+# the r9 doctrine). Then 30 of the 47 r7-latest certs.
+# The 16 deferred r7 certs (age 4 at r11 — they MUST lead the r11
 # window) all carry standing per-round signal while they wait:
 # dd_exact_dedup + j4_pair_names_lookup + n2_hof_array_aggregate +
 # sim_cosine_topk + txt_quality_scores (BENCH headline + sf1 gate
@@ -71,10 +72,12 @@ for _optional in (
 # j2_customer_geo_broadcast (test_plans BroadcastHashJoin plan gate),
 # j6_semi_cascade (test_plans LeftSemi plan gate),
 # j11_bloom_pruned_join (test_plans bloom-prune plan gate),
-# u4_unpivot (test_plans unpivot gate).
+# u4_unpivot (test_plans unpivot gate),
+# sim_lsh_topk (tests/test_similarity_recall.py LSH recall floor +
+# L-monotonicity gates over the same lsh_topk operator).
 # Honest steady-state arithmetic:
-# 160 oracle-backed queries vs 50 slots/round, of which new-query
-# promotions and touched-code re-certs also claim slots (6 this round)
+# 161 oracle-backed queries vs 50 slots/round, of which new-query
+# promotions and touched-code re-certs also claim slots (7 this round)
 # — so the staleness tail runs at age <= 4, not <= 3, whenever a round
 # spends slots on new work; the deferral choice above always parks the
 # excess on machine-gated queries.
@@ -104,12 +107,13 @@ _DRIVER_WINDOW = [
     # both registered AND windowed this round)
     "dd_curation_classifier_ppjoin",
     "txt_bm25_topk",
+    "sim_mmr_diversify",
     # -- touched-code re-certs: curate() grew classifier_threshold
     "dd_curation_classifier",
     "dd_curation_minhash",
     "dd_curation_pipeline",
     "dd_curation_ppjoin",
-    # -- 31 of the 47 round-7-latest certs (age 3 -> re-certed); the 15
+    # -- 30 of the 47 round-7-latest certs (age 3 -> re-certed); the 16
     # deferred are listed in the header comment with their standing
     # gates
     "a22_cube",
@@ -125,7 +129,6 @@ _DRIVER_WINDOW = [
     "sc_string_functions",
     "sim_knn_label_audit",
     "sim_label_centroids",
-    "sim_lsh_topk",
     "sim_rp_topk",
     "sk_cms_token_counts",
     "sm10_epoch_shuffle",

@@ -7,6 +7,8 @@ analogue (SURVEY.md §2.4 note, §2.9).
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -18,10 +20,27 @@ from ecommerce_etl_pipeline_spark.functions.exact_agg import (
 from ecommerce_etl_pipeline_spark.plans.registry import register
 from ecommerce_etl_pipeline_spark.sources.io import load_table
 
+#: createOrReplaceTempView is DROP+CREATE under the hood, so two sql_*
+#: queries racing on a thread pool (the check_correctness sweep runs 4
+#: workers) can catch each other mid-replace and fail analysis with an
+#: opaque collectToPython error (observed round 10: a transient
+#: sql_nation_revenue/sql_top_revenue_orders pair failure at sf0.1 that
+#: a single-threaded rerun couldn't reproduce). Registration is memoized
+#: per (session, view) -> sf_dir under a lock: after first registration
+#: the call is a no-op for an unchanged sf_dir — no replace, no race.
+#: A session keyed by id() can alias a garbage-collected predecessor in
+#: principle; the only consequence would be one redundant re-register.
+_VIEW_LOCK = threading.Lock()
+_VIEWS_REGISTERED: dict[tuple[int, str], str] = {}
+
 
 def _register_views(spark: SparkSession, sf_dir: str, *tables: str) -> None:
-    for t in tables:
-        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    with _VIEW_LOCK:
+        sid = id(spark)
+        for t in tables:
+            if _VIEWS_REGISTERED.get((sid, t)) != sf_dir:
+                load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+                _VIEWS_REGISTERED[(sid, t)] = sf_dir
 
 
 @register(

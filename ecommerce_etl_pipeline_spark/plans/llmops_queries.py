@@ -489,6 +489,194 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# MMR diversified re-ranking (round 10): the selection step a training-data
+# pipeline runs AFTER retrieval — eval-set sampling, hard-negative mining,
+# and dedup-aware context packing all want the top results to be RELEVANT
+# but not redundant. Maximal Marginal Relevance (Carbonell & Goldstein '98):
+# greedily pick argmax of lambda*rel(d) - (1-lambda)*max_{s in S} sim(d, s).
+# Scale shape: the DISTRIBUTED part is the top-N pool (brute_force_topk —
+# broadcast query x corpus scan; swap in the IVF/LSH index at 100 TB), the
+# greedy re-rank then operates on the BOUNDED pool (N=20 rows, N^2 pairwise
+# sims) as K unrolled lazy DataFrame steps — no driver collect anywhere, no
+# iterative literal re-planning; the oracle replays the identical greedy
+# unroll as chained CTEs. Scores stay raw doubles through the argmax (the
+# sim_cosine_topk precedent: the HOF fold is bit-identical to DuckDB's
+# list_sum, ties break on vec_id) and round only at the output boundary.
+# ---------------------------------------------------------------------------
+_MMR_POOL = 20
+_MMR_K = 5
+_MMR_LAMBDA = 0.5
+_MMR_QUERY_ID = 0
+
+
+def _mmr_cos_sql(a: str, b: str) -> str:
+    """DuckDB cosine between two embedding expressions — the exact
+    left-to-right fold shape of similarity.cosine (one summation order,
+    so the doubles match Spark's bit-for-bit)."""
+    return (
+        f"list_sum(list_transform(generate_series(1, len({a})),"
+        f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+        f" / (sqrt(list_sum(list_transform(generate_series(1, len({a})),"
+        f" i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
+        f" * sqrt(list_sum(list_transform(generate_series(1, len({b})),"
+        f" i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))))"
+    )
+
+
+def _mmr_sel_ctes() -> str:
+    """The K greedy selection steps as chained CTEs. Step 1 has an empty
+    selected set (diversity term literally 0.0); step t>1 subtracts the
+    max pairwise similarity to the union of all prior picks."""
+    lam, om = _MMR_LAMBDA, 1 - _MMR_LAMBDA
+    parts = [
+        f"""
+    sel1 AS (
+        SELECT vec_id, rel, ({lam} * rel) - ({om} * 0.0) AS mmr, 1 AS step
+        FROM pool ORDER BY ({lam} * rel) - ({om} * 0.0) DESC, vec_id LIMIT 1
+    )"""
+    ]
+    for t in range(2, _MMR_K + 1):
+        prev_ids = " UNION ALL ".join(
+            f"SELECT vec_id FROM sel{i}" for i in range(1, t)
+        )
+        parts.append(
+            f"""
+    sel{t} AS (
+        SELECT p.vec_id, p.rel,
+               ({lam} * p.rel) - ({om} * coalesce(
+                   (SELECT MAX(s.sim) FROM sims s
+                    WHERE s.a_id = p.vec_id
+                      AND s.b_id IN ({prev_ids})), 0.0)) AS mmr,
+               {t} AS step
+        FROM pool p
+        WHERE p.vec_id NOT IN ({prev_ids})
+        ORDER BY mmr DESC, p.vec_id LIMIT 1
+    )"""
+        )
+    return ",".join(parts)
+
+
+@register(
+    "sim_mmr_diversify",
+    oracle=f"""
+    WITH q AS (
+        SELECT embedding AS qv FROM embeddings WHERE vec_id = {_MMR_QUERY_ID}
+    ),
+    scored AS (
+        SELECT e.vec_id, {_mmr_cos_sql('q.qv', 'e.embedding')} AS rel
+        FROM embeddings e, q WHERE e.vec_id != {_MMR_QUERY_ID}
+    ),
+    pool AS (
+        SELECT vec_id, rel FROM (
+            SELECT *, ROW_NUMBER() OVER (ORDER BY rel DESC, vec_id) AS rn
+            FROM scored
+        ) WHERE rn <= {_MMR_POOL}
+    ),
+    pvec AS (
+        SELECT p.vec_id, e.embedding FROM pool p
+        JOIN embeddings e USING (vec_id)
+    ),
+    sims AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               {_mmr_cos_sql('a.embedding', 'b.embedding')} AS sim
+        FROM pvec a, pvec b WHERE a.vec_id != b.vec_id
+    ),{_mmr_sel_ctes()}
+    SELECT CAST(step AS INTEGER) AS step, vec_id,
+           {sql_round('rel', 6)} AS relevance,
+           {sql_round('mmr', 6)} AS mmr
+    FROM ({" UNION ALL ".join(
+        f"SELECT * FROM sel{t}" for t in range(1, _MMR_K + 1))})
+    """,
+    doc="Maximal-Marginal-Relevance diversified top-k — the post-retrieval "
+    "selection step for eval sampling / hard-negative mining / context "
+    "packing, where the top results must be relevant but NOT redundant: "
+    "greedy argmax of lambda*rel - (1-lambda)*max-sim-to-selected over a "
+    "relevance top-N pool. The distributed stage is the pool (broadcast "
+    "query x one corpus scan, the brute_force_topk kernel — at 100 TB the "
+    "IVF/LSH index swaps in for the same bounded pool); the greedy K-step "
+    "re-rank then runs as UNROLLED LAZY DataFrame steps over the cached "
+    "N-row pool and its N^2 pairwise-sim table — no driver collect, no "
+    "per-iteration literal re-planning. Scores stay raw doubles through "
+    "every argmax (HOF-fold cosine is bit-identical to the oracle's "
+    "list_sum; ties break on vec_id) and round only at the output.",
+)
+def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lam, om = _MMR_LAMBDA, 1 - _MMR_LAMBDA
+    emb = load_table(spark, sf_dir, "embeddings")
+    pool = (
+        similarity.brute_force_topk(
+            emb, emb.filter(F.col("vec_id") == _MMR_QUERY_ID), k=_MMR_POOL
+        )
+        .select(F.col("neighbor_id").alias("vec_id"), F.col("cosine").alias("rel"))
+        .cache()
+    )
+    pvec = emb.join(F.broadcast(pool.select("vec_id")), "vec_id").select(
+        "vec_id", "embedding"
+    )
+    # the self-pairing is a non-equi join over the POOL-BOUNDED frame
+    # (<= N rows by the row_number limit); broadcast one side explicitly
+    # so it plans BroadcastNestedLoopJoin, never CartesianProduct (the
+    # plan gate) — bounded by construction, listed in audit_plans
+    sims = (
+        pvec.alias("a")
+        .join(F.broadcast(pvec.alias("b")), F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("a_id"),
+            F.col("b.vec_id").alias("b_id"),
+            similarity.cosine(F.col("a.embedding"), F.col("b.embedding")).alias(
+                "sim"
+            ),
+        )
+        .cache()
+    )
+
+    selected = None
+    remaining = pool
+    for t in range(1, _MMR_K + 1):
+        if selected is None:
+            scored = remaining.select(
+                "vec_id",
+                "rel",
+                ((F.lit(lam) * F.col("rel")) - (F.lit(om) * F.lit(0.0))).alias(
+                    "mmr"
+                ),
+            )
+        else:
+            maxsim = (
+                sims.join(
+                    F.broadcast(selected.select(F.col("vec_id").alias("b_id"))),
+                    "b_id",
+                )
+                .groupBy(F.col("a_id").alias("vec_id"))
+                .agg(F.max("sim").alias("ms"))
+            )
+            scored = remaining.join(maxsim, "vec_id", "left").select(
+                "vec_id",
+                "rel",
+                (
+                    (F.lit(lam) * F.col("rel"))
+                    - (F.lit(om) * F.coalesce(F.col("ms"), F.lit(0.0)))
+                ).alias("mmr"),
+            )
+        pick = (
+            scored.orderBy(F.desc("mmr"), F.asc("vec_id"))
+            .limit(1)
+            .withColumn("step", F.lit(t))
+        )
+        selected = pick if selected is None else selected.unionByName(pick)
+        remaining = remaining.join(pick.select("vec_id"), "vec_id", "left_anti")
+
+    out = selected.select(
+        F.col("step").cast("int").alias("step"),
+        "vec_id",
+        portable_round(F.col("rel"), 6).alias("relevance"),
+        portable_round(F.col("mmr"), 6).alias("mmr"),
+    )
+    out.retained_caches = [pool, sims]
+    return out
+
+
 @register(
     "sim_hard_negatives",
     oracle=f"""

@@ -70,6 +70,13 @@ EXPECTED = {
     "sim_ivf_recall": "query vectors + probe-cell assignments (|q| x n_probe)",
     "sim_ivf_topk": "probe-cell assignments (|q| x n_probe)",
     "sim_lsh_recall": "query vectors + top-k outputs (|q| x k)",
+    "sim_mmr_diversify": (
+        "every forced side is pool-bounded by construction: the top-N "
+        "pool (N=20 via row_number limit — the Window+Filter reducer "
+        "pair the scan-subtree heuristic doesn't list), its N^2=380-row "
+        "pairwise-sim table, and the <=K selected-id sets (limit(1) "
+        "unions)"
+    ),
     "sim_lsh_topk": "query signatures",
     "sim_quantized_topk": "query codes",
     "sim_rp_topk": "projected query vectors (vec_id < 5)",

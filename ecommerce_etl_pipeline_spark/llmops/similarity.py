@@ -15,6 +15,7 @@ Two paths, mirroring how ANN is actually deployed:
 
 from __future__ import annotations
 
+import math
 import random
 
 from pyspark.sql import Column, DataFrame
@@ -762,6 +763,182 @@ def rp_rerank_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def cosine_py(a, b) -> float:
+    """Driver-side twin of :func:`cosine` — the SAME left-to-right fold
+    (acc starts at 0.0, each float32 element widened to double before the
+    multiply, one summation order), so the result is bit-identical to the
+    JVM HOF fold and to DuckDB's list_sum. Used only over bounded state
+    (the kmeans_train_portable precedent: pure-Python replay is what makes
+    a driver-side step oracle-checkable)."""
+    num = 0.0
+    for x, y in zip(a, b):
+        num += float(x) * float(y)
+    na = 0.0
+    for x in a:
+        na += float(x) * float(x)
+    nb = 0.0
+    for y in b:
+        nb += float(y) * float(y)
+    return num / (math.sqrt(na) * math.sqrt(nb))
+
+
+def mmr_greedy(
+    pool: list[tuple[int, float]],
+    sims: dict[tuple[int, int], float],
+    *,
+    k: int,
+    lam: float,
+) -> list[tuple[int, int, float, float]]:
+    """The K-step greedy Maximal-Marginal-Relevance argmax over BOUNDED
+    collected state: ``pool`` is the ≤N-row (id, relevance) list, ``sims``
+    the ≤N² pairwise-similarity map. Each step picks
+    ``argmax lam*rel - (1-lam)*max(sim to selected)`` with ties broken on
+    the smaller id — float ops in the exact order the SQL oracle replays
+    (lam*rel - om*ms; max is a comparison, not arithmetic), so the scores
+    are bit-identical to the unrolled DataFrame venue. Returns
+    (step, id, rel, mmr) tuples."""
+    om = 1 - lam
+    remaining = dict(sorted(pool))
+    selected: list[int] = []
+    out: list[tuple[int, int, float, float]] = []
+    for step in range(1, k + 1):
+        best_id, best_mmr, best_rel = None, None, None
+        for cid, rel in remaining.items():
+            ms = 0.0
+            if selected:
+                ms = max(sims[(cid, sid)] for sid in selected)
+            mmr = (lam * rel) - (om * ms)
+            if best_mmr is None or mmr > best_mmr:
+                best_id, best_mmr, best_rel = cid, mmr, rel
+        if best_id is None:
+            break
+        out.append((step, best_id, best_rel, best_mmr))
+        selected.append(best_id)
+        del remaining[best_id]
+    return out
+
+
+def mmr_diversify_rows(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    pool_n: int = 20,
+    lam: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, int, float, float]]:
+    """Bounded-state MMR diversified re-ranking (the production venue).
+
+    The ONLY corpus-scaled term is the relevance pool build — one
+    :func:`brute_force_topk` scan (at 100 TB the IVF/LSH index swaps in
+    for the same bounded pool). Everything after is ≤pool_n rows + ≤pool_n²
+    pairwise sims, i.e. bounded DRIVER state by construction — so it
+    collects ONCE (ids, relevances, embeddings in a single small job) and
+    the K-step greedy argmax runs in pure Python via :func:`mmr_greedy`
+    (the kmeans_train/bpe_train bounded-state doctrine). This replaces the
+    r10 unrolled-lineage venue, which paid ~9s of Catalyst planning to
+    re-rank 20 cached rows; output is pinned bit-equal to that venue in
+    tests/test_llmops_algos.py."""
+    pool = brute_force_topk(corpus, queries, id_col=id_col, vec_col=vec_col,
+                            k=pool_n).select(
+        F.col("neighbor_id").alias("_mid"), F.col("cosine").alias("_rel")
+    )
+    rows = (
+        corpus.select(F.col(id_col).alias("_mid"), F.col(vec_col).alias("_vec"))
+        .join(F.broadcast(pool), "_mid")
+        .collect()
+    )
+    pool_rows = [(r["_mid"], r["_rel"]) for r in rows]
+    vecs = {r["_mid"]: r["_vec"] for r in rows}
+    ids = sorted(vecs)
+    sims = {
+        (a, b): cosine_py(vecs[a], vecs[b]) for a in ids for b in ids if a != b
+    }
+    return mmr_greedy(pool_rows, sims, k=k, lam=lam)
+
+
+def mmr_diversify_unrolled(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    pool_n: int = 20,
+    lam: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The r10 unrolled-lazy-lineage MMR venue, kept as the distributed
+    parity twin for :func:`mmr_diversify_rows` (the pinned-equal test
+    pattern kmeans/BPE established). Correct and scale-safe — the pool and
+    sim frames are bounded and cached — but each greedy step chains
+    orderBy/limit/unionByName/left_anti lineage over the previous steps,
+    so Catalyst re-plans an exponentially-wider tree every step: ~9s of
+    planning constant for a 20-row pool (SCALING.md round-10 close). Not
+    registered; the bounded-state venue is the production plan. Caller
+    owns the retained caches (``.retained_caches`` on the result)."""
+    om = 1 - lam
+    pool = (
+        brute_force_topk(corpus, queries, id_col=id_col, vec_col=vec_col,
+                         k=pool_n)
+        .select(F.col("neighbor_id").alias("vec_id"), F.col("cosine").alias("rel"))
+        .cache()
+    )
+    pvec = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    ).join(F.broadcast(pool.select("vec_id")), "vec_id")
+    # non-equi self-join over the POOL-BOUNDED frame (<= pool_n rows);
+    # broadcast one side explicitly so it plans BroadcastNestedLoopJoin,
+    # never CartesianProduct (the test_plans gate)
+    sims = (
+        pvec.alias("a")
+        .join(F.broadcast(pvec.alias("b")), F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("a_id"),
+            F.col("b.vec_id").alias("b_id"),
+            cosine(F.col("a.embedding"), F.col("b.embedding")).alias("sim"),
+        )
+        .cache()
+    )
+    selected = None
+    remaining = pool
+    for t in range(1, k + 1):
+        if selected is None:
+            scored = remaining.select(
+                "vec_id",
+                "rel",
+                ((F.lit(lam) * F.col("rel")) - (F.lit(om) * F.lit(0.0))).alias("mmr"),
+            )
+        else:
+            maxsim = (
+                sims.join(
+                    F.broadcast(selected.select(F.col("vec_id").alias("b_id"))),
+                    "b_id",
+                )
+                .groupBy(F.col("a_id").alias("vec_id"))
+                .agg(F.max("sim").alias("ms"))
+            )
+            scored = remaining.join(maxsim, "vec_id", "left").select(
+                "vec_id",
+                "rel",
+                (
+                    (F.lit(lam) * F.col("rel"))
+                    - (F.lit(om) * F.coalesce(F.col("ms"), F.lit(0.0)))
+                ).alias("mmr"),
+            )
+        pick = (
+            scored.orderBy(F.desc("mmr"), F.asc("vec_id"))
+            .limit(1)
+            .withColumn("step", F.lit(t))
+        )
+        selected = pick if selected is None else selected.unionByName(pick)
+        remaining = remaining.join(pick.select("vec_id"), "vec_id", "left_anti")
+    out = selected.select(F.col("step").cast("int").alias("step"),
+                          "vec_id", "rel", "mmr")
+    out.retained_caches = [pool, sims]
+    return out
 
 
 def _first_dim(df: DataFrame, vec_col: str) -> int:

@@ -496,13 +496,16 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # but not redundant. Maximal Marginal Relevance (Carbonell & Goldstein '98):
 # greedily pick argmax of lambda*rel(d) - (1-lambda)*max_{s in S} sim(d, s).
 # Scale shape: the DISTRIBUTED part is the top-N pool (brute_force_topk —
-# broadcast query x corpus scan; swap in the IVF/LSH index at 100 TB), the
-# greedy re-rank then operates on the BOUNDED pool (N=20 rows, N^2 pairwise
-# sims) as K unrolled lazy DataFrame steps — no driver collect anywhere, no
-# iterative literal re-planning; the oracle replays the identical greedy
-# unroll as chained CTEs. Scores stay raw doubles through the argmax (the
-# sim_cosine_topk precedent: the HOF fold is bit-identical to DuckDB's
-# list_sum, ties break on vec_id) and round only at the output boundary.
+# broadcast query x corpus scan; swap in the IVF/LSH index at 100 TB); the
+# pool (N=20 rows) and its N^2 pairwise sims are BOUNDED state by
+# construction, so the greedy re-rank runs driver-side over one small
+# collect (round 11, the kmeans/bpe bounded-state doctrine — the r10
+# unrolled-lineage venue paid a ~9s Catalyst planning constant and is kept
+# as the pinned parity twin in llmops/similarity.py). The oracle replays
+# the identical greedy steps as chained CTEs. Scores stay raw doubles
+# through the argmax (the sim_cosine_topk precedent: the driver fold is
+# bit-identical to DuckDB's list_sum, ties break on vec_id) and round only
+# at the output boundary.
 # ---------------------------------------------------------------------------
 _MMR_POOL = 20
 _MMR_K = 5
@@ -592,89 +595,36 @@ def _mmr_sel_ctes() -> str:
     "selection step for eval sampling / hard-negative mining / context "
     "packing, where the top results must be relevant but NOT redundant: "
     "greedy argmax of lambda*rel - (1-lambda)*max-sim-to-selected over a "
-    "relevance top-N pool. The distributed stage is the pool (broadcast "
-    "query x one corpus scan, the brute_force_topk kernel — at 100 TB the "
-    "IVF/LSH index swaps in for the same bounded pool); the greedy K-step "
-    "re-rank then runs as UNROLLED LAZY DataFrame steps over the cached "
-    "N-row pool and its N^2 pairwise-sim table — no driver collect, no "
-    "per-iteration literal re-planning. Scores stay raw doubles through "
-    "every argmax (HOF-fold cosine is bit-identical to the oracle's "
-    "list_sum; ties break on vec_id) and round only at the output.",
+    "relevance top-N pool. The ONLY corpus-scaled term is the pool build "
+    "(broadcast query x one corpus scan, the brute_force_topk kernel — at "
+    "100 TB the IVF/LSH index swaps in for the same bounded pool); the "
+    "pool and its pairwise sims are BOUNDED state by construction (<= N + "
+    "N^2 rows), so the K-step greedy argmax runs driver-side over one "
+    "small collect (the kmeans_train/bpe_train bounded-state doctrine — "
+    "r10's unrolled-lineage venue paid ~9s of Catalyst planning to re-rank "
+    "20 cached rows and is kept only as the pinned parity twin, "
+    "similarity.mmr_diversify_unrolled). Scores stay raw doubles through "
+    "every argmax (the driver fold is bit-identical to DuckDB's list_sum; "
+    "ties break on vec_id) and round only at the output.",
 )
 def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    lam, om = _MMR_LAMBDA, 1 - _MMR_LAMBDA
     emb = load_table(spark, sf_dir, "embeddings")
-    pool = (
-        similarity.brute_force_topk(
-            emb, emb.filter(F.col("vec_id") == _MMR_QUERY_ID), k=_MMR_POOL
-        )
-        .select(F.col("neighbor_id").alias("vec_id"), F.col("cosine").alias("rel"))
-        .cache()
+    picks = similarity.mmr_diversify_rows(
+        emb,
+        emb.filter(F.col("vec_id") == _MMR_QUERY_ID),
+        k=_MMR_K,
+        pool_n=_MMR_POOL,
+        lam=_MMR_LAMBDA,
     )
-    pvec = emb.join(F.broadcast(pool.select("vec_id")), "vec_id").select(
-        "vec_id", "embedding"
+    out = spark.createDataFrame(
+        picks, "step int, vec_id bigint, rel double, mmr double"
     )
-    # the self-pairing is a non-equi join over the POOL-BOUNDED frame
-    # (<= N rows by the row_number limit); broadcast one side explicitly
-    # so it plans BroadcastNestedLoopJoin, never CartesianProduct (the
-    # plan gate) — bounded by construction, listed in audit_plans
-    sims = (
-        pvec.alias("a")
-        .join(F.broadcast(pvec.alias("b")), F.col("a.vec_id") != F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("a_id"),
-            F.col("b.vec_id").alias("b_id"),
-            similarity.cosine(F.col("a.embedding"), F.col("b.embedding")).alias(
-                "sim"
-            ),
-        )
-        .cache()
-    )
-
-    selected = None
-    remaining = pool
-    for t in range(1, _MMR_K + 1):
-        if selected is None:
-            scored = remaining.select(
-                "vec_id",
-                "rel",
-                ((F.lit(lam) * F.col("rel")) - (F.lit(om) * F.lit(0.0))).alias(
-                    "mmr"
-                ),
-            )
-        else:
-            maxsim = (
-                sims.join(
-                    F.broadcast(selected.select(F.col("vec_id").alias("b_id"))),
-                    "b_id",
-                )
-                .groupBy(F.col("a_id").alias("vec_id"))
-                .agg(F.max("sim").alias("ms"))
-            )
-            scored = remaining.join(maxsim, "vec_id", "left").select(
-                "vec_id",
-                "rel",
-                (
-                    (F.lit(lam) * F.col("rel"))
-                    - (F.lit(om) * F.coalesce(F.col("ms"), F.lit(0.0)))
-                ).alias("mmr"),
-            )
-        pick = (
-            scored.orderBy(F.desc("mmr"), F.asc("vec_id"))
-            .limit(1)
-            .withColumn("step", F.lit(t))
-        )
-        selected = pick if selected is None else selected.unionByName(pick)
-        remaining = remaining.join(pick.select("vec_id"), "vec_id", "left_anti")
-
-    out = selected.select(
-        F.col("step").cast("int").alias("step"),
+    return out.select(
+        "step",
         "vec_id",
         portable_round(F.col("rel"), 6).alias("relevance"),
         portable_round(F.col("mmr"), 6).alias("mmr"),
     )
-    out.retained_caches = [pool, sims]
-    return out
 
 
 @register(

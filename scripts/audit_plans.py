@@ -71,11 +71,12 @@ EXPECTED = {
     "sim_ivf_topk": "probe-cell assignments (|q| x n_probe)",
     "sim_lsh_recall": "query vectors + top-k outputs (|q| x k)",
     "sim_mmr_diversify": (
-        "every forced side is pool-bounded by construction: the top-N "
-        "pool (N=20 via row_number limit — the Window+Filter reducer "
-        "pair the scan-subtree heuristic doesn't list), its N^2=380-row "
-        "pairwise-sim table, and the <=K selected-id sets (limit(1) "
-        "unions)"
+        "r11 bounded-state venue: the registered plan is a LocalTableScan "
+        "of the K driver-side picks; the pool build (broadcast query x "
+        "corpus scan) runs as an eager bounded-collect job inside the "
+        "query builder, so no forced broadcast appears in the final plan "
+        "— entry kept so the unrolled parity twin (similarity."
+        "mmr_diversify_unrolled, pytest-only) stays documented"
     ),
     "sim_lsh_topk": "query signatures",
     "sim_quantized_topk": "query codes",

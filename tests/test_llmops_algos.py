@@ -1527,3 +1527,33 @@ def test_logreg_calibration_structure(spark, sf_dir):
         assert 0 <= r["bin"] <= 9
         assert 0.0 <= r["frac_pos"] <= 1.0
         assert r["bin"] / 10 - 1e-6 <= r["mean_score"] < (r["bin"] + 1) / 10 + 1e-6
+
+
+def test_mmr_bounded_state_matches_unrolled_venue(spark, sf_dir):
+    """The r11 bounded-state MMR (collect-once + driver greedy,
+    llmops/similarity.mmr_diversify_rows — the registered venue) is pinned
+    bit-equal to the r10 unrolled-lazy-lineage venue it replaced
+    (mmr_diversify_unrolled): same picks in the same order, and the raw
+    double rel/mmr scores identical to the last ulp (the driver fold is
+    the same left-to-right IEEE sequence as the JVM HOF fold). This is the
+    kmeans/bpe pinned-equal-to-distributed pattern applied to the MMR fix
+    (r10 VERDICT brief #2)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0)
+    bounded = similarity.mmr_diversify_rows(emb, q, k=5, pool_n=20, lam=0.5)
+    unrolled_df = similarity.mmr_diversify_unrolled(emb, q, k=5, pool_n=20, lam=0.5)
+    unrolled = [
+        (r["step"], r["vec_id"], r["rel"], r["mmr"])
+        for r in unrolled_df.orderBy("step").collect()
+    ]
+    for c in getattr(unrolled_df, "retained_caches", []):
+        c.unpersist()
+    assert len(bounded) == 5
+    assert bounded == unrolled
+    # greedy invariants: step 1 is the pure-relevance argmax; picks are
+    # distinct; the diversity term is a max over cosines in [-1, 1], so
+    # mmr deviates from lam*rel by at most (1-lam)
+    assert bounded[0][3] == 0.5 * bounded[0][2]
+    assert len({b[1] for b in bounded}) == 5
+    for _, _, rel, mmr in bounded:
+        assert abs(mmr - 0.5 * rel) <= 0.5 + 1e-12

@@ -28,6 +28,7 @@ for _optional in (
     "llmops_queries",
     "extended",
     "temporal",
+    "pipelines_queries",
 ):
     try:
         _MODULES.append(

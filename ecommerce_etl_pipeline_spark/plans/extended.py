@@ -28,8 +28,13 @@ from ecommerce_etl_pipeline_spark.sources.io import load_table
 #: a single-threaded rerun couldn't reproduce). Registration is memoized
 #: per (session, view) -> sf_dir under a lock: after first registration
 #: the call is a no-op for an unchanged sf_dir — no replace, no race.
-#: A session keyed by id() can alias a garbage-collected predecessor in
-#: principle; the only consequence would be one redundant re-register.
+#: A session keyed by id() can alias a stopped-and-collected predecessor
+#: whose address was reused — and the consequence would be a silently
+#: SKIPPED registration ('table not found' at analysis), not a redundant
+#: re-register (ADVICE r10 #1 caught the inverted claim here). The memo
+#: is therefore only trusted when the view actually exists in the live
+#: session's catalog; tableExists is a cheap catalog lookup, so the
+#: no-replace fast path (the race fix) is preserved.
 _VIEW_LOCK = threading.Lock()
 _VIEWS_REGISTERED: dict[tuple[int, str], str] = {}
 
@@ -38,9 +43,10 @@ def _register_views(spark: SparkSession, sf_dir: str, *tables: str) -> None:
     with _VIEW_LOCK:
         sid = id(spark)
         for t in tables:
-            if _VIEWS_REGISTERED.get((sid, t)) != sf_dir:
-                load_table(spark, sf_dir, t).createOrReplaceTempView(t)
-                _VIEWS_REGISTERED[(sid, t)] = sf_dir
+            if _VIEWS_REGISTERED.get((sid, t)) == sf_dir and spark.catalog.tableExists(t):
+                continue
+            load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+            _VIEWS_REGISTERED[(sid, t)] = sf_dir
 
 
 @register(
@@ -482,6 +488,81 @@ def dq_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality.check_foreign_key(orders, "orders", "o_custkey", customer, "c_custkey"),
     ]
     return quality.validation_report(parts)
+
+
+#: Benford first-digit expectation log10(1 + 1/d), computed ONCE in Python
+#: and embedded as the SAME double literal in both the Spark plan and the
+#: DuckDB oracle — no engine libm call, so no cross-engine log10 ulp risk
+#: in an oracle-checked value (the portable_round doctrine applied to
+#: transcendentals: keep them out of both engines entirely).
+_BENFORD_EXPECTED = {d: __import__("math").log10(1 + 1 / d) for d in range(1, 10)}
+
+
+@register(
+    "dq_benford_deviation",
+    oracle=f"""
+    WITH c AS (
+        SELECT CAST(SUBSTRING(CAST(CAST(FLOOR(l_extendedprice) AS BIGINT)
+                    AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+               COUNT(*) AS n
+        FROM lineitem
+        WHERE l_extendedprice > 0
+        GROUP BY 1
+    ),
+    t AS (SELECT CAST(SUM(n) AS DOUBLE) AS tot FROM c)
+    SELECT digit,
+           CAST(n AS BIGINT) AS n,
+           {sql_round('CAST(n AS DOUBLE) / tot', 6)} AS observed_frac,
+           {sql_round(
+               'CASE digit '
+               + ' '.join(
+                   f'WHEN {d} THEN CAST({v!r} AS DOUBLE)'
+                   for d, v in _BENFORD_EXPECTED.items()
+               )
+               + ' END', 6)} AS expected_frac,
+           {sql_round(
+               'ABS(CAST(n AS DOUBLE) / tot - (CASE digit '
+               + ' '.join(
+                   f'WHEN {d} THEN CAST({v!r} AS DOUBLE)'
+                   for d, v in _BENFORD_EXPECTED.items()
+               )
+               + ' END))', 6)} AS abs_dev
+    FROM c, t
+    """,
+    doc="Benford first-digit conformance over the price fact — the "
+    "classic synthetic-/corrupted-data detector a DQ suite runs on every "
+    "money column (complements dq_validation_report's rule checks and "
+    "dq_psi_drift's distribution drift). First digit extracted via "
+    "floor -> bigint -> string (no log10 on data, so no cross-engine "
+    "libm divergence; the Benford expectations are Python-computed "
+    "literals shared by plan and oracle). Scale shape: one fact scan "
+    "into a 9-cell map-side-combined aggregate, total via a broadcast "
+    "one-row crossJoin over the 9-row rollup — no window, no second "
+    "scan.",
+)
+def dq_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    digit = F.substring(
+        F.floor(F.col("l_extendedprice")).cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    counts = (
+        li.filter(F.col("l_extendedprice") > 0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = counts.agg(F.sum("n").cast("double").alias("tot"))
+    expected = F.lit(None).cast("double")
+    for d, v in reversed(_BENFORD_EXPECTED.items()):
+        expected = F.when(F.col("digit") == d, F.lit(v)).otherwise(expected)
+    obs = F.col("n").cast("double") / F.col("tot")
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        F.col("n").cast("bigint").alias("n"),
+        portable_round(obs, 6).alias("observed_frac"),
+        portable_round(expected, 6).alias("expected_frac"),
+        portable_round(F.abs(obs - expected), 6).alias("abs_dev"),
+    )
 
 
 @register(

@@ -1,0 +1,113 @@
+"""Driver-certifiable faces of the reference's composite pipeline DAGs.
+
+pipelines/reference.py mirrors the reference's four Airflow DAGs as lazy
+multi-output Spark programs (SURVEY.md §3); their outputs were pinned by
+multi-statement DuckDB oracles in tests/test_pipelines.py only. This module
+registers the flagship sales_analytics DAG's ENTIRE four-table warehouse
+output as ONE oracle-backed query (r10 VERDICT brief #6): the tables are
+normalized onto a shared (warehouse_table, entity_key, metrics) spine and
+unioned, so a single-statement DuckDB oracle can replay the whole DAG and
+the grading driver certifies the composite end-to-end — extract, temporal
+enrichment, exact-quantile banding, and all four aggregates off the one
+shared scan Catalyst deduplicates.
+
+Reference parity: sales_analytics_dag.py (extract_orders ->
+transform_sales_metrics -> load_warehouse_tables task chain).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ecommerce_etl_pipeline_spark.functions.exact_agg import sql_round
+from ecommerce_etl_pipeline_spark.pipelines.reference import sales_pipeline
+from ecommerce_etl_pipeline_spark.plans.registry import register
+
+
+def _SUM2(x: str) -> str:
+    return sql_round(f"CAST(SUM(CAST({x} AS DECIMAL(18,2))) AS DOUBLE)", 2)
+
+
+def _AVG2(x: str) -> str:
+    return sql_round(
+        f"CAST(SUM(CAST({x} AS DECIMAL(18,2))) AS DOUBLE) / COUNT({x})", 2
+    )
+
+
+@register(
+    "pl_sales_warehouse",
+    oracle=f"""
+    WITH edges AS (
+        SELECT CAST(quantile_cont(o_totalprice, 0.25) AS DOUBLE) AS q1,
+               CAST(quantile_cont(o_totalprice, 0.50) AS DOUBLE) AS q2,
+               CAST(quantile_cont(o_totalprice, 0.75) AS DOUBLE) AS q3
+        FROM orders
+    )
+    SELECT 'fact_daily_sales' AS warehouse_table,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS entity_key,
+           COUNT(o_orderkey) AS n_orders,
+           {_SUM2('o_totalprice')} AS amount,
+           CAST(NULL AS INTEGER) AS lifetime_days
+    FROM orders GROUP BY 2
+    UNION ALL
+    SELECT 'fact_priority_sales', o_orderpriority, COUNT(*),
+           {_SUM2('o_totalprice')}, CAST(NULL AS INTEGER)
+    FROM orders GROUP BY 2
+    UNION ALL
+    SELECT 'fact_order_size',
+           CASE WHEN o_totalprice <= q1 THEN 'Small'
+                WHEN o_totalprice <= q2 THEN 'Medium'
+                WHEN o_totalprice <= q3 THEN 'Large'
+                ELSE 'Extra Large' END,
+           COUNT(*), {_AVG2('o_totalprice')}, CAST(NULL AS INTEGER)
+    FROM orders, edges GROUP BY 2
+    UNION ALL
+    SELECT 'fact_customer_ltv', CAST(o_custkey AS VARCHAR),
+           COUNT(o_orderkey), {_SUM2('o_totalprice')},
+           CAST(date_diff('day', CAST(MIN(o_orderdate) AS DATE),
+                          CAST(MAX(o_orderdate) AS DATE)) AS INTEGER)
+    FROM orders GROUP BY 2
+    """,
+    doc="The reference's flagship sales_analytics DAG certified END-TO-END "
+    "as one query: all four warehouse tables (daily sales, priority "
+    "rollup, exact-quartile order-size bands, customer LTV) from "
+    "pipelines/reference.py::sales_pipeline, normalized onto one spine "
+    "and unioned. Scale shape: ONE orders scan shared by all four "
+    "aggregates (Catalyst dedups the enrichment prefix), one exact-"
+    "quantile edge scalar, four map-side-combined groupBys — no join, no "
+    "window over a fact. Reference sales_analytics_dag.py:102-197.",
+)
+def pl_sales_warehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tables = sales_pipeline(spark, sf_dir)
+    null_days = F.lit(None).cast("int")
+
+    def face(df: DataFrame, name: str, key, n, amount, days) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("warehouse_table"),
+            key.cast("string").alias("entity_key"),
+            n.cast("bigint").alias("n_orders"),
+            amount.alias("amount"),
+            days.cast("int").alias("lifetime_days"),
+        )
+
+    daily = face(
+        tables["fact_daily_sales"], "fact_daily_sales",
+        F.col("order_date"), F.col("num_orders"), F.col("total_sales"), null_days,
+    )
+    prio = face(
+        tables["fact_priority_sales"], "fact_priority_sales",
+        F.col("o_orderpriority"), F.col("num_orders"), F.col("total_sales"),
+        null_days,
+    )
+    size = face(
+        tables["fact_order_size"], "fact_order_size",
+        F.col("order_size"), F.col("num_orders"), F.col("avg_order_value"),
+        null_days,
+    )
+    ltv = face(
+        tables["fact_customer_ltv"], "fact_customer_ltv",
+        F.col("customer_id"), F.col("order_count"), F.col("total_spent"),
+        F.col("lifetime_days"),
+    )
+    return daily.unionByName(prio).unionByName(size).unionByName(ltv)

@@ -91,6 +91,10 @@ EXTENDED = [
     # gate + prefix-filter candidates) — first round recorded, banded next
     "txt_bm25_topk",  # round 10: shuffle-free lexical retrieval (sparse face)
     "sim_mmr_diversify",  # round 10: MMR diversified re-rank over a bounded pool
+    "pl_sales_warehouse",  # round 11: the reference's sales DAG end-to-end
+    # (four warehouse tables off one shared scan) — first round recorded,
+    # banded next per the standing new-query protocol
+    "dq_benford_deviation",  # round 11: Benford first-digit DQ conformance
 ]
 
 

@@ -253,6 +253,26 @@ GROWTH_BASELINE = {
     # max rep; keeping it against this corpus would hide a 2x
     # regression)
     "dd_curation_classifier": (3.6, 42.5),
+    # Round-11 first banding of the three r10 registrations (r10 VERDICT
+    # brief #3), derived from the pre-seeded gc-hygienic fresh anchors
+    # (SCALING.md "Round-10 close" table) per the standing formula:
+    # growth = fresh x 1.15, abs = fresh sf1 median x 1.3.
+    # bm25: fresh 1.01x/0.970s, but the r10 in-gate session read 1.43x on
+    # this sub-second query — constant-term ratio jitter, not a scale
+    # exponent (the txt_chunk_overlap/sim_rp_rerank precedent), so the
+    # growth arm covers the measured in-gate envelope (1.43 x 1.15).
+    "txt_bm25_topk": (1.6, 1.3),
+    # classifier+ppjoin: fresh 5.85x/57.77s; the decade growth is the
+    # uniform-df adversarial fixture where the prefix filter provably
+    # cannot prune — the df-skewed production linearity is gated exactly
+    # in check_zipf assertion 5 (kept-docs pinned at both Zipf decades).
+    "dd_curation_classifier_ppjoin": (6.7, 75.1),
+    # mmr: banded AFTER the r11 bounded-state rewrite (r10 brief #2) on
+    # the NEW venue's fresh probes — 1.71s sf0.1 / 1.274s sf1, growth
+    # 0.75x (scale-invariant by construction: the only corpus term is
+    # the top-20 pool build). Growth arm widened over the fresh ratio
+    # for sub-2s constant-term noise, same precedent as bm25 above.
+    "sim_mmr_diversify": (1.3, 1.7),
 }
 TOLERANCE = 0.25
 #: report-only absolute-drift threshold: sf1 seconds > band top * this
@@ -282,6 +302,12 @@ FRESH_SF1_ANCHORS = {
     "ml_logreg_train_d64": 10.882,
     "dd_curation_ppjoin": 75.5,  # r9 second-boot probe (same boot)
     "dd_curation_classifier": 29.0,  # r9 second-boot probe (same boot)
+    # r11 first-banding anchors (same boot): the r10-close pre-seeded
+    # probes for bm25/classifier_ppjoin; the post-rewrite r11 round-open
+    # probe for the bounded-state MMR venue
+    "txt_bm25_topk": 0.970,
+    "dd_curation_classifier_ppjoin": 57.774,
+    "sim_mmr_diversify": 1.274,
 }
 INFLATION_WARN = 2.0
 
@@ -443,12 +469,17 @@ def main() -> int:
             # remains (not GC — documented in SCALING.md), so absolute
             # bands stay anchored on IN-GATE readings, which this
             # hygiene can only bring CLOSER to fresh, never past.
-            # Guarded (ADVICE r9 #2): _jvm is py4j-private and absent
-            # under Spark Connect; Python driver garbage accumulated
+            # Guarded (ADVICE r9 #2 + r10 #2): under Spark Connect the
+            # `spark.sparkContext` ACCESS itself raises (there is no
+            # py4j context object to getattr on), so the whole JVM hint
+            # sits in a try/except; Python driver garbage accumulated
             # across reps is collected explicitly alongside it so the
             # hygiene degrades gracefully on non-py4j sessions.
             gc.collect()
-            jvm = getattr(spark.sparkContext, "_jvm", None)
+            try:
+                jvm = getattr(spark.sparkContext, "_jvm", None)
+            except Exception:  # Spark Connect: no sparkContext at all
+                jvm = None
             if jvm is not None:
                 jvm.System.gc()
             t0 = time.perf_counter()

@@ -100,24 +100,38 @@ def _write_artifact(total: int, sf: str) -> None:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "DETERMINISM.md",
     )
-    head = subprocess.run(
-        ["git", "rev-parse", "--short", "HEAD"],
-        capture_output=True,
-        text=True,
-        cwd=os.path.dirname(path),
-    ).stdout.strip() or "unknown"
-    dirty = subprocess.run(
-        ["git", "status", "--porcelain"],
-        capture_output=True,
-        text=True,
-        cwd=os.path.dirname(path),
-    ).stdout.strip()
+    repo = os.path.dirname(path)
+
+    def git(*args: str) -> str:
+        return subprocess.run(
+            ["git", *args], capture_output=True, text=True, cwd=repo
+        ).stdout.strip()
+
+    # r10 VERDICT brief #4: stamp the ENGINE-PACKAGE tree hash (the
+    # PLANS.md format) — it names exactly the code the cert covers, so
+    # the stamp proves engine identity across later artifact-only
+    # commits by itself. A dirty engine package is marked LOUDLY (the
+    # cert then covers code no commit pins — re-run after committing);
+    # dirt outside the package (round artifacts, scripts) is irrelevant
+    # to what the cert certifies and is not flagged.
+    engine_tree = (
+        git("rev-parse", "--short", "HEAD:ecommerce_etl_pipeline_spark")
+        or "unknown"
+    )
+    engine_dirty = git("status", "--porcelain", "ecommerce_etl_pipeline_spark")
+    dirty_note = (
+        " **(ENGINE PACKAGE DIRTY — uncommitted engine changes; this "
+        "stamp pins no committed tree, re-run after committing)**"
+        if engine_dirty
+        else ""
+    )
     block = (
         f"{_BEGIN}\n"
         f"**{total}/{total} partition-stable, zero diffs** — written by\n"
         f"`scripts/check_determinism.py` on "
-        f"{datetime.date.today().isoformat()} against tree `{head}`"
-        f"{' (+uncommitted changes)' if dirty else ''}, sf_dir `{sf}`.\n"
+        f"{datetime.date.today().isoformat()} against engine tree "
+        f"`{engine_tree}`"
+        f"{dirty_note}, sf_dir `{sf}`.\n"
         f"{_END}"
     )
     text = open(path).read()
@@ -125,7 +139,11 @@ def _write_artifact(total: int, sf: str) -> None:
         pre = text.split(_BEGIN)[0]
         post = text.split(_END)[1]
         open(path, "w").write(pre + block + post)
-        print(f"DETERMINISM.md result block updated ({total}/{total}, tree {head})")
+        print(
+            f"DETERMINISM.md result block updated ({total}/{total}, "
+            f"engine tree {engine_tree}"
+            f"{' — ENGINE PACKAGE DIRTY' if engine_dirty else ''})"
+        )
     else:
         print("WARNING: AUTO markers missing in DETERMINISM.md — not updated")
 

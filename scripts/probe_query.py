@@ -52,7 +52,12 @@ def main() -> int:
             # #2); Python-side gc.collect() pairs with it so the
             # hygiene degrades gracefully rather than silently.
             gc.collect()
-            jvm = getattr(spark.sparkContext, "_jvm", None)
+            try:
+                # under Spark Connect the sparkContext ACCESS itself
+                # raises (ADVICE r10 #2) — not just the _jvm attribute
+                jvm = getattr(spark.sparkContext, "_jvm", None)
+            except Exception:
+                jvm = None
             if jvm is not None:
                 jvm.System.gc()
             t0 = time.perf_counter()

@@ -81,9 +81,9 @@ for _optional in (
 # registered in a future round MUST be added to this list (or queued
 # with a comment) or it silently gets no driver row. Names listed here
 # but not (yet) registered are skipped harmlessly; everything not listed
-# keeps its original relative order after the curated block. The two
-# names PAST position 50 are explicit overflow (named deferrals that
-# backfill deterministically if a listed name fails to register).
+# keeps its original relative order after the curated block.
+# tests/test_plans.py::test_driver_window_names_all_registered enforces
+# exactly 50 registered, duplicate-free names — no overflow entries.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW = [
     # -- the 16 r7-latest certs at age 4 (r10 VERDICT brief #1 — they
@@ -143,10 +143,6 @@ _DRIVER_WINDOW = [
     "w5_cumulative_daily_sales",
     "w6_event_gaps",
     "w9_sliding_window",
-    # -- explicit overflow (positions 51-52): named deferrals that
-    # backfill only if a name above fails to register
-    "w10_scd2_intervals",
-    "dd_eval_decontam",
 ]
 
 

@@ -20,9 +20,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ecommerce_etl_pipeline_spark.functions.exact_agg import sql_round
+from ecommerce_etl_pipeline_spark.functions.binning import quantile_bins
+from ecommerce_etl_pipeline_spark.functions.exact_agg import (
+    dec,
+    portable_round,
+    sql_round,
+)
 from ecommerce_etl_pipeline_spark.pipelines.reference import sales_pipeline
 from ecommerce_etl_pipeline_spark.plans.registry import register
+from ecommerce_etl_pipeline_spark.sources.io import load_table
 
 
 def _SUM2(x: str) -> str:
@@ -73,10 +79,16 @@ def _AVG2(x: str) -> str:
     "as one query: all four warehouse tables (daily sales, priority "
     "rollup, exact-quartile order-size bands, customer LTV) from "
     "pipelines/reference.py::sales_pipeline, normalized onto one spine "
-    "and unioned. Scale shape: ONE orders scan shared by all four "
-    "aggregates (Catalyst dedups the enrichment prefix), one exact-"
-    "quantile edge scalar, four map-side-combined groupBys — no join, no "
-    "window over a fact. Reference sales_analytics_dag.py:102-197.",
+    "and unioned — the cert covers the ACTUAL §3 pipeline code. Scale "
+    "shape, stated honestly: the union's four branches each keep their "
+    "own column-pruned orders scan (Catalyst does not dedup scans "
+    "across union branches), each branch one map-side-combined groupBy "
+    "— no join, no window over a fact, plus one exact-quantile edge "
+    "scalar. At 100 TB the pipeline API materializes the enriched "
+    "extract once (write_table, the reference's extract->XCom shape) "
+    "and all four aggregates read the persisted extract; a single-scan "
+    "GROUPING SETS fusion is the alternative when materialization is "
+    "unwanted. Reference sales_analytics_dag.py:102-197.",
 )
 def pl_sales_warehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables = sales_pipeline(spark, sf_dir)
@@ -111,3 +123,83 @@ def pl_sales_warehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lifetime_days"),
     )
     return daily.unionByName(prio).unionByName(size).unionByName(ltv)
+
+
+def sales_warehouse_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The single-scan GROUPING SETS fusion of :func:`pl_sales_warehouse`
+    — the 100 TB shape when materializing the enriched extract is
+    unwanted: ONE column-pruned orders scan, one Expand(x4), partial
+    aggregation that collapses map-side before the single shuffle, then a
+    narrow grouping-flag projection. All four warehouse tables derive
+    from the same five measures (counts, exact-decimal sum, min/max
+    order date), so no per-table rescan exists. Pinned row-for-row equal
+    to the registered union form in tests/test_pipelines.py.
+
+    Faces are selected via ``F.grouping(col)`` (0 exactly for the one
+    grouping column each set keeps) rather than grouping_id bit
+    arithmetic, so the mapping is robust to grouping-column order."""
+    orders = load_table(spark, sf_dir, "orders")
+    enriched = quantile_bins(
+        orders,
+        "o_totalprice",
+        ["Small", "Medium", "Large", "Extra Large"],
+        out="order_size",
+    )
+    base = enriched.select(
+        F.to_date("o_orderdate").alias("order_date"),
+        "o_orderpriority",
+        "order_size",
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        # duplicate of the date used ONLY as an aggregate input: Expand
+        # nulls grouping columns per set, so min/max must read a
+        # non-grouping attribute
+        F.to_date("o_orderdate").alias("_od"),
+    )
+    g = base.groupingSets(
+        [["order_date"], ["o_orderpriority"], ["order_size"], ["o_custkey"]],
+        "order_date",
+        "o_orderpriority",
+        "order_size",
+        "o_custkey",
+    ).agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.count("o_orderkey").alias("n_key"),
+        F.count("o_totalprice").alias("n_price"),
+        F.sum(dec("o_totalprice", 2)).alias("s"),
+        F.min("_od").alias("dmin"),
+        F.max("_od").alias("dmax"),
+        F.grouping("order_date").alias("g_date"),
+        F.grouping("o_orderpriority").alias("g_prio"),
+        F.grouping("order_size").alias("g_size"),
+        F.grouping("o_custkey").alias("g_cust"),
+    )
+    sum2 = portable_round(F.col("s").cast("double"), 2)
+    avg2 = portable_round(F.col("s").cast("double") / F.col("n_price"), 2)
+    is_daily = F.col("g_date") == 0
+    is_prio = F.col("g_prio") == 0
+    is_size = F.col("g_size") == 0
+    return g.select(
+        F.when(is_daily, "fact_daily_sales")
+        .when(is_prio, "fact_priority_sales")
+        .when(is_size, "fact_order_size")
+        .otherwise("fact_customer_ltv")
+        .alias("warehouse_table"),
+        F.when(is_daily, F.col("order_date").cast("string"))
+        .when(is_prio, F.col("o_orderpriority"))
+        .when(is_size, F.col("order_size"))
+        .otherwise(F.col("o_custkey").cast("string"))
+        .alias("entity_key"),
+        F.when(is_prio | is_size, F.col("n_all"))
+        .otherwise(F.col("n_key"))
+        .cast("bigint")
+        .alias("n_orders"),
+        F.when(is_size, avg2).otherwise(sum2).alias("amount"),
+        F.when(
+            ~(is_daily | is_prio | is_size),
+            F.datediff(F.col("dmax"), F.col("dmin")),
+        )
+        .cast("int")
+        .alias("lifetime_days"),
+    )

@@ -311,6 +311,27 @@ FRESH_SF1_ANCHORS = {
 }
 INFLATION_WARN = 2.0
 
+#: ADVICE r10 #3 — the second report-only arm for envelope-banded
+#: queries, keyed on FRESH-probe medians (not in-gate readings): every
+#: round-open gc-hygienic fresh sf1 median ever recorded for a query
+#: whose absolute band sits on a cross-session envelope. A real
+#: fresh-mode regression shows up as a NEW entry far above this history;
+#: session inflation does not move fresh medians at all — that is the
+#: distinguishability the in-gate monitor alone cannot provide. The
+#: history is emitted verbatim in every gate JSON (fresh_probe_history)
+#: so the judge and the next round read the trend machine-side; entries
+#: append at round open from scripts/probe_query.py runs (SCALING.md
+#: carries the full rep tables and arbitration prose).
+FRESH_PROBE_HISTORY = {
+    "dd_ppjoin_pairs": {
+        "r9": 19.5,
+        "r10_open": 25.174,
+        "r10_arbitration": 19.18,
+        "r11_open": 30.961,  # one rep 156.3s — slow mode seen fresh
+    },
+    "j4_pair_names_lookup": {"r10_open": 3.829, "r11_open": 3.808},
+}
+
 
 def warn_drift(sf1: dict, growth: dict) -> list[str]:
     """Report-only arm, SYMMETRIC over both gate dimensions (r8 VERDICT
@@ -413,6 +434,7 @@ def main() -> int:
         payload["warnings"] = warn_drift(payload["sf1"], payload["growth"])
         infl, infl_warns = session_inflation(payload["sf1"])
         payload["session_inflation"] = infl
+        payload["fresh_probe_history"] = FRESH_PROBE_HISTORY
         payload["warnings"] += infl_warns
         with open(out_path, "w") as f:
             json.dump(payload, f, indent=1)
@@ -515,6 +537,7 @@ def main() -> int:
         "tolerance": TOLERANCE,
         "warn_abs_factor": WARN_ABS_FACTOR,
         "fresh_anchors": FRESH_SF1_ANCHORS,
+        "fresh_probe_history": FRESH_PROBE_HISTORY,
         "session_inflation": infl,
         "violations": violations,
         "warnings": warnings,

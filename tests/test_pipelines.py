@@ -196,3 +196,31 @@ def test_curate_classifier_gate_matches_standalone_scorer(spark):
 
     assert got, "classifier gate kept zero documents — degenerate fixture"
     assert got == want
+
+
+def test_sales_warehouse_fused_matches_union_form(spark):
+    """The single-scan GROUPING SETS fusion (one Expand(x4) + one shuffle)
+    is row-for-row identical to the registered four-branch union face of
+    the sales DAG — the pl_sales_warehouse cert therefore also covers the
+    no-materialization 100 TB plan."""
+    from ecommerce_etl_pipeline_spark.plans.pipelines_queries import (
+        pl_sales_warehouse,
+        sales_warehouse_fused,
+    )
+
+    def canon(df):
+        return sorted(
+            (r["warehouse_table"], r["entity_key"], r["n_orders"],
+             r["amount"], r["lifetime_days"])
+            for r in df.collect()
+        )
+
+    union_rows = canon(pl_sales_warehouse(spark, SF))
+    fused_rows = canon(sales_warehouse_fused(spark, SF))
+    assert len(union_rows) > 0
+    assert union_rows == fused_rows
+    # the fusion's plan really is single-scan: exactly one orders file
+    # scan and one Expand
+    plan = sales_warehouse_fused(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("orders.parquet") == 1
+    assert "Expand" in plan

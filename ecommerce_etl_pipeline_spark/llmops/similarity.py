@@ -844,13 +844,18 @@ def mmr_diversify_rows(
     tests/test_llmops_algos.py."""
     pool = brute_force_topk(corpus, queries, id_col=id_col, vec_col=vec_col,
                             k=pool_n).select(
-        F.col("neighbor_id").alias("_mid"), F.col("cosine").alias("_rel")
+        "query_id", F.col("neighbor_id").alias("_mid"), F.col("cosine").alias("_rel")
     )
     rows = (
         corpus.select(F.col(id_col).alias("_mid"), F.col(vec_col).alias("_vec"))
         .join(F.broadcast(pool), "_mid")
         .collect()
     )
+    # MMR re-ranks ONE retrieval pool; a multi-query frame would
+    # silently interleave pools here (per-query MMR = call per query)
+    qids = {r["query_id"] for r in rows}
+    if len(qids) > 1:
+        raise ValueError(f"mmr_diversify_rows is single-query; got {sorted(qids)}")
     pool_rows = [(r["_mid"], r["_rel"]) for r in rows]
     vecs = {r["_mid"]: r["_vec"] for r in rows}
     ids = sorted(vecs)

@@ -7,6 +7,7 @@ analogue (SURVEY.md §2.4 note, §2.9).
 
 from __future__ import annotations
 
+import math
 import threading
 
 from pyspark.sql import DataFrame, SparkSession
@@ -495,7 +496,7 @@ def dq_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: DuckDB oracle — no engine libm call, so no cross-engine log10 ulp risk
 #: in an oracle-checked value (the portable_round doctrine applied to
 #: transcendentals: keep them out of both engines entirely).
-_BENFORD_EXPECTED = {d: __import__("math").log10(1 + 1 / d) for d in range(1, 10)}
+_BENFORD_EXPECTED = {d: math.log10(1 + 1 / d) for d in range(1, 10)}
 
 
 @register(

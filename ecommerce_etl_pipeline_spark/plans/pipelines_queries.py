@@ -8,8 +8,11 @@ output as ONE oracle-backed query (r10 VERDICT brief #6): the tables are
 normalized onto a shared (warehouse_table, entity_key, metrics) spine and
 unioned, so a single-statement DuckDB oracle can replay the whole DAG and
 the grading driver certifies the composite end-to-end — extract, temporal
-enrichment, exact-quantile banding, and all four aggregates off the one
-shared scan Catalyst deduplicates.
+enrichment, exact-quantile banding, and all four aggregates. The union
+form certifies the actual pipeline code (each branch keeps its own
+column-pruned scan); :func:`sales_warehouse_fused` is the pinned-equal
+single-scan GROUPING SETS plan for when materializing the extract is
+unwanted.
 
 Reference parity: sales_analytics_dag.py (extract_orders ->
 transform_sales_metrics -> load_warehouse_tables task chain).

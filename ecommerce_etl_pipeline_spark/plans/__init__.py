@@ -64,13 +64,17 @@ for _optional in (
 # a1_daily_sales + a4_customer_ltv + a8_pricing_summary +
 # j1_order_lineitem_join + j9_asof_join + w4_sessionize +
 # w7_moving_avg_7d + ml_kmeans_train + ml_logreg_train +
-# ml_logreg_holdout + u5_cdc_merge + sim_ivf_topk (all 12 banded in
+# ml_logreg_holdout + sim_ivf_topk (all 11 banded in
 # scripts/bench_sf1.py GROWTH_BASELINE, most also BENCH headline),
 # sim_ivf_recall (tests/test_similarity_recall.py IVF recall floor),
 # txt_bpe_merges + txt_bpe_token_counts (tests/test_bpe.py
 # driver-vs-distributed parity pins),
 # mm_asset_features (tests/test_multimodal_codecs.py decode parity),
-# dd_eval_decontam (tests/test_plans.py broadcast-postings plan gate).
+# dd_eval_decontam (tests/test_plans.py broadcast-postings plan gate),
+# dd_winnow_overlap_pairs (tests/test_llmops_algos.py containment gate).
+# (Self-review fix: an earlier draft listed u5_cdc_merge here — its
+# latest cert is r9, age 2, so it neither defers nor claims a slot; the
+# gate-less w10_scd2_intervals takes the window slot instead.)
 # Honest steady-state arithmetic:
 # 163 oracle-backed queries vs 50 slots/round, of which new-query
 # promotions and touched-code re-certs also claim slots (3 this round)
@@ -126,7 +130,7 @@ _DRIVER_WINDOW = [
     "dd_dup_clusters",
     "dd_segment_dup_ratio",
     "dd_source_overlap",
-    "dd_winnow_overlap_pairs",
+    "w10_scd2_intervals",
     "j3_parts_with_sales",
     "j8_customers_without_orders",
     "j10_range_band_join",

@@ -234,3 +234,63 @@ def test_merge_syms_invariants(syms, left, right):
     # unless new adjacencies formed — re-run reaches a fixpoint quickly
     twice = _merge_syms(out, left, right)
     assert "".join(twice) == "".join(syms)
+
+
+# ---------------------------------------------------------------------------
+# mmr_greedy (round 11): pure-Python greedy over bounded collected state —
+# exactly the kind of driver-side step property testing is for (no Spark).
+# ---------------------------------------------------------------------------
+
+_mmr_pools = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=30),
+        st.floats(min_value=-1.0, max_value=1.0, allow_nan=False),
+    ),
+    min_size=1,
+    max_size=12,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(pool=_mmr_pools, lam=st.floats(min_value=0.0, max_value=1.0,
+                                      allow_nan=False), data=st.data())
+def test_mmr_greedy_invariants(pool, lam, data):
+    from ecommerce_etl_pipeline_spark.llmops.similarity import mmr_greedy
+
+    ids = [i for i, _ in pool]
+    sims = {
+        (a, b): data.draw(
+            st.floats(min_value=-1.0, max_value=1.0, allow_nan=False)
+        )
+        for a in ids
+        for b in ids
+        if a != b
+    }
+    k = data.draw(st.integers(min_value=1, max_value=len(pool) + 2))
+    out = mmr_greedy(pool, sims, k=k, lam=lam)
+
+    # never more picks than the pool holds; steps are 1..n; ids distinct
+    assert len(out) == min(k, len(pool))
+    assert [s for s, *_ in out] == list(range(1, len(out) + 1))
+    assert len({i for _, i, *_ in out}) == len(out)
+
+    rel = dict(pool)
+    om = 1 - lam
+    picked: list[int] = []
+    for _, cid, r, m in out:
+        assert r == rel[cid]
+        # the recorded mmr is the objective at pick time...
+        ms = max((sims[(cid, s)] for s in picked), default=0.0)
+        assert m == (lam * r) - (om * ms)
+        # ...and no remaining candidate strictly beats it (greedy argmax),
+        # with ties resolved to the smaller id
+        for other, orel in rel.items():
+            if other == cid or other in picked:
+                continue
+            oms = max((sims[(other, s)] for s in picked), default=0.0)
+            omm = (lam * orel) - (om * oms)
+            assert omm < m or (omm == m and cid < other)
+        picked.append(cid)
+
+    # determinism: same inputs, same output
+    assert mmr_greedy(pool, sims, k=k, lam=lam) == out

@@ -68,3 +68,16 @@ def parse_currency(c: Column) -> Column:
     """Currency-string cleanup 'Rp1.234.567' -> 1234567 (SC10) —
     reference web_scraping_dag.py:100."""
     return F.regexp_replace(c, r"[Rp.]", "").cast("long")
+
+
+def benford_first_digit(value: Column) -> Column:
+    """First significant digit of a money-shaped double — shared by the
+    batch DQ check (plans/extended.py::dq_benford_deviation) and the
+    streaming monitor (streaming/streams.py::benford_monitor_stream) so
+    the two faces cannot drift. floor -> bigint -> string -> first char:
+    integer/string ops only, so Spark and DuckDB agree bit-for-bit (no
+    log10 on data — libm divergence risk). Caller filters to value >= 1
+    (sub-1 values have no integer first digit)."""
+    return F.substring(F.floor(value).cast("bigint").cast("string"), 1, 1).cast(
+        "int"
+    )

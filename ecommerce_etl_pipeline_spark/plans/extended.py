@@ -542,10 +542,10 @@ _BENFORD_EXPECTED = {d: math.log10(1 + 1 / d) for d in range(1, 10)}
     "scan.",
 )
 def dq_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecommerce_etl_pipeline_spark.functions.scalar import benford_first_digit
+
     li = load_table(spark, sf_dir, "lineitem")
-    digit = F.substring(
-        F.floor(F.col("l_extendedprice")).cast("bigint").cast("string"), 1, 1
-    ).cast("int")
+    digit = benford_first_digit(F.col("l_extendedprice"))
     counts = (
         li.filter(F.col("l_extendedprice") > 0)
         .select(digit.alias("digit"))

@@ -470,6 +470,27 @@ def decontam_gate_stream(
     return docs.select("doc_id", flagged.alias("flagged"), "text")
 
 
+def benford_monitor_stream(events: DataFrame) -> DataFrame:
+    """Streaming Benford first-digit monitor — the ingest-time face of
+    the batch dq_benford_deviation check, pointed at the live event
+    ``value`` feed: a running count per first digit, which a dashboard
+    (or an alerting foreachBatch sink) turns into observed-vs-expected
+    deviation to catch a corrupted or synthetic upstream the moment its
+    digit distribution bends. Stateful but with BOUNDED state by
+    construction — at most nine running cells regardless of stream
+    volume or key skew (contrast the per-user/session streams whose
+    state scales with distinct keys) — so it runs at line rate forever.
+    Complete-mode output: (digit, n)."""
+    from ecommerce_etl_pipeline_spark.functions.scalar import benford_first_digit
+
+    return (
+        events.filter(F.col("value") >= 1)
+        .select(benford_first_digit(F.col("value")).alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def ingest_dedup_stream(
     events: DataFrame, seen_index: DataFrame, *, watermark: str = "1 hour"
 ) -> DataFrame:

@@ -392,3 +392,27 @@ def test_decontam_gate_stream_no_false_negatives_and_batch_parity(spark):
         ).collect()
     }
     assert got_flagged == batch_flagged
+
+
+def test_benford_monitor_stream_matches_batch(spark):
+    """The streaming Benford monitor's final running counts equal the
+    batch computation of the SAME shared digit expression
+    (benford_first_digit — also the dq_benford_deviation extraction), and
+    the state is bounded: at most nine digit cells."""
+    from ecommerce_etl_pipeline_spark.functions.scalar import benford_first_digit
+    from ecommerce_etl_pipeline_spark.streaming.streams import benford_monitor_stream
+
+    ev = read_events_stream(spark, SF)
+    stream_to_memory(benford_monitor_stream(ev), "t_benford")
+    got = {r.digit: r.n for r in spark.table("t_benford").collect()}
+
+    batch = (
+        load_table(spark, SF, "events")
+        .filter(F.col("value") >= 1)
+        .select(benford_first_digit(F.col("value")).alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    want = {r.digit: r.n for r in batch.collect()}
+    assert got == want and len(got) > 0
+    assert set(got) <= set(range(1, 10))

@@ -2211,6 +2211,34 @@ _COS_SQL = (
 
 
 @register(
+    "sim_pq_rerank",
+    oracle=None,  # the index build embeds a trained product quantizer:
+    # 8 per-subspace k-means trainers (iterative, lowest-id-seeded) have
+    # no single-statement SQL replay — correctness is pinned instead by
+    # pytest (deterministic training, bounded codes, recall floor vs the
+    # oracle-checked brute force, bit-exact stage-2 cosines):
+    # tests/test_similarity_recall.py. Rows-only check, the sketch-query
+    # precedent.
+    doc="Product-quantization ANN at its production operating point (ADC "
+    "beam + exact re-rank): per-subspace codebooks trained by the "
+    "portable k-means (m x k x dim/m floats of bounded driver state), "
+    "every corpus vector encoded ONCE into m small int codes — 64-dim "
+    "float32 = 256 bytes collapses to ~8 bytes + id, so the query-time "
+    "scan reads ~32x fewer bytes and never touches the vector column "
+    "(per-query lookup tables ride in as literals). The memory-"
+    "compression leg of the ANN suite (brute/LSH/RP/int8/IVF/PQ); "
+    "compose with IVF cells for sub-linear candidates at 100 TB. "
+    "llmops/similarity.py::pq_train/pq_topk/pq_rerank_topk.",
+)
+def sim_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = similarity.pq_train(emb, m=8, k=16, max_iterations=4)
+    return similarity.pq_rerank_topk(
+        emb, emb.filter(F.col("vec_id") < 5), books, beam=100, k=10
+    )
+
+
+@register(
     "dd_embedding_neardup",
     oracle=f"""
     SELECT a.vec_id AS id1, b.vec_id AS id2,

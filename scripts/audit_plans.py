@@ -82,6 +82,12 @@ EXPECTED = {
     "sim_quantized_topk": "query codes",
     "sim_rp_topk": "projected query vectors (vec_id < 5)",
     "sim_rp_rerank": "beam candidate list (|q| x beam rows) + query vectors",
+    "sim_pq_rerank": (
+        "the rp_rerank shape with PQ stage 1: beam candidate list "
+        "(|q| x beam rows via row_number limit — the Window+Filter "
+        "reducer pair the scan-subtree heuristic doesn't list) + query "
+        "vectors (vec_id < 5)"
+    ),
 }
 
 

@@ -190,3 +190,58 @@ def test_lsh_topk_accepts_non_identifier_column_names(spark, clustered_embedding
             (r["query_id"], r["neighbor_id"], round(r["cosine"], 9)) for r in rows
         }
         assert as_set(plain) == as_set(quoted)
+
+
+def test_pq_codes_bounded_and_deterministic(spark, sf_dir):
+    """PQ contract: codebooks are bounded driver state (m x k x dim/m),
+    training is RNG-free (lowest-id seeds + lower-code tiebreaks) so two
+    trainings are identical, and every code column holds ints in
+    [0, k)."""
+    from ecommerce_etl_pipeline_spark.llmops.similarity import pq_encode, pq_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    b1 = pq_train(emb, m=8, k=16, max_iterations=4)
+    b2 = pq_train(emb, m=8, k=16, max_iterations=4)
+    assert b1 == b2
+    assert len(b1) == 8 and all(len(book) == 16 for book in b1)
+    assert all(len(c) == 8 for book in b1 for c in book)
+
+    coded = pq_encode(emb, b1)
+    stats = coded.select(
+        *[F.min(f"_pq{j}").alias(f"lo{j}") for j in range(8)],
+        *[F.max(f"_pq{j}").alias(f"hi{j}") for j in range(8)],
+    ).collect()[0]
+    for j in range(8):
+        assert 0 <= stats[f"lo{j}"] and stats[f"hi{j}"] < 16
+
+
+def test_pq_rerank_recall_and_exactness(spark, sf_dir):
+    """The PQ production point (ADC beam + exact re-rank, the
+    rp_rerank_topk shape): measured candidate recall at beam=100 on this
+    fixture is ~0.84 mean (raw ADC rank fidelity is poor on the
+    noise-like corpus, exactly like RP — the beam is the operating
+    point); gate with buffer for per-boot corpus redraws. Stage 2 must
+    return bit-exact brute-force cosines on every shared pair."""
+    from ecommerce_etl_pipeline_spark.llmops.similarity import (
+        brute_force_topk,
+        pq_rerank_topk,
+        pq_train,
+        topk_recall,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5)
+    books = pq_train(emb, m=8, k=16, max_iterations=4)
+    exact = brute_force_topk(emb, qs, k=10)
+    two_stage = pq_rerank_topk(emb, qs, books, beam=100, k=10)
+    rec = topk_recall(exact, two_stage, 10).collect()
+    mean = sum(float(r.recall) for r in rec) / len(rec)
+    assert mean >= 0.6, f"PQ two-stage recall collapsed: {mean:.2f}"
+    ex = {(r.query_id, r.neighbor_id): r.cosine for r in exact.collect()}
+    shared = 0
+    for r in two_stage.collect():
+        key = (r.query_id, r.neighbor_id)
+        if key in ex:
+            shared += 1
+            assert r.cosine == ex[key]
+    assert shared > 0

@@ -1208,6 +1208,136 @@ def pq_rerank_topk(
     )
 
 
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    beam: int = 100,
+    k: int = 10,
+    iterations: int = 5,
+) -> DataFrame:
+    """IVF+PQ — the production ANN index composition (what FAISS calls
+    IVFPQ, the shape large-scale retrieval actually deploys): a coarse
+    quantizer (the oracle-proven portable k-means from
+    clustering.kmeans_train_portable, imported unmodified) partitions the
+    corpus into ``n_cells`` inverted lists for SUB-LINEAR candidate sets,
+    PQ codes rank candidates inside the ``n_probe`` probed cells by ADC
+    (the code-column scan — ~32x narrower than vectors), and the final
+    ``beam`` re-ranks with exact cosines.
+
+    Scale shape: both index passes (cell assignment + PQ encode) fuse
+    into ONE write-side corpus scan producing (id, cell, m codes); the
+    query-time scan reads only that narrow index, filtered to probed
+    cells (candidates ~ corpus * n_probe / n_cells), with every query's
+    probe set and LUT riding in as literals (probe choice runs driver-
+    side over the hyperparameter-sized centroid matrix — the same
+    (dist, cid) lexicographic order as ivf_topk_portable). Exact stage-3
+    cosines are bit-equal to brute force on every returned pair."""
+    import numpy as np
+
+    from ecommerce_etl_pipeline_spark.llmops.clustering import (
+        assign_to_seeds,
+        kmeans_train_portable,
+    )
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    centroids = kmeans_train_portable(
+        corpus, k=n_cells, id_col=id_col, vec_col=vec_col, iterations=iterations
+    )
+    spark = corpus.sparkSession
+    seeds = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)], "cid INT, cvec ARRAY<DOUBLE>"
+    )
+    # one fused write-side pass: cell + PQ codes per corpus row
+    assigned = assign_to_seeds(
+        corpus, seeds, id_col=id_col, vec_col=vec_col
+    ).select(
+        F.col("id").alias("neighbor_id"),
+        F.col("cluster").alias("cell"),
+        F.col("vec"),
+    )
+    index = ensure_parallelism(
+        pq_encode(assigned, codebooks, vec_col="vec").select(
+            "neighbor_id", "cell", *[f"_pq{j}" for j in range(m)]
+        )
+    )
+
+    qrows = (
+        _unit_vec(queries, vec_col, "_uvq")
+        .select(
+            F.col(id_col).alias("_qid"),
+            "_uvq",
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_rawq"),
+        )
+        .collect()
+    )
+    cents = np.array(centroids, dtype=np.float64)
+    per_query = []
+    for r in qrows:
+        # probe choice: squared L2 on the RAW vector against the coarse
+        # centroids (the cells partition raw space), ties to lower cid —
+        # driver-side over k x dim floats, the bounded-state class
+        raw = np.array([float(x) for x in r["_rawq"]], dtype=np.float64)
+        d2 = ((cents - raw[None, :]) ** 2).sum(axis=1)
+        order = sorted(range(n_cells), key=lambda c: (d2[c], c))
+        probe_cells = order[:n_probe]
+        qv = [float(x) for x in r["_uvq"]]
+        dist = F.lit(0.0)
+        for j, book in enumerate(codebooks):
+            qs = qv[j * sub : (j + 1) * sub]
+            lut = [sum((a - b) * (a - b) for a, b in zip(qs, c)) for c in book]
+            dist = dist + F.element_at(
+                F.array(*[F.lit(v) for v in lut]), F.col(f"_pq{j}") + 1
+            )
+        in_probed = F.col("cell").isin(*[int(c) for c in probe_cells])
+        per_query.append(
+            F.struct(
+                F.lit(r["_qid"]).alias("query_id"),
+                F.when(in_probed, dist).alias("adc_dist"),  # null outside
+            )
+        )
+    cand = (
+        index.select("neighbor_id", F.explode(F.array(*per_query)).alias("_s"))
+        .select(
+            F.col("_s.query_id").alias("query_id"),
+            "neighbor_id",
+            F.col("_s.adc_dist").alias("adc_dist"),
+        )
+        .filter(
+            F.col("adc_dist").isNotNull()
+            & (F.col("neighbor_id") != F.col("query_id"))
+        )
+    )
+    wb = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    beam_df = (
+        cand.withColumn("rank", F.row_number().over(wb))
+        .filter(F.col("rank") <= beam)
+        .select("query_id", "neighbor_id")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    scored = (
+        c.join(F.broadcast(beam_df), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn("cosine", cosine(F.col("qv"), F.col("cv")))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def _first_dim(df: DataFrame, vec_col: str) -> int:
     """Embedding width read from the data (never a trusted parameter —
     see the lsh dim-mismatch guard this mirrors). NULL-vector rows are

@@ -84,11 +84,12 @@ for _optional in (
 # RULE (caught by the r4 self-review): any NEW query
 # registered in a future round MUST be added to this list (or queued
 # with a comment) or it silently gets no driver row.
-# Queued note (r11): sim_pq_rerank is ROWS-ONLY (trained-quantizer index
-# build, no single-statement SQL replay — the sk_hll precedent) and is
-# pytest-pinned in tests/test_similarity_recall.py; rows-only queries
-# carry no oracle cert to age, so it takes no window slot (same status
-# as the five r3 rows-only queries). Names listed here
+# Queued note (r11): sim_pq_rerank and sim_ivfpq_rerank are ROWS-ONLY
+# (trained-quantizer index builds, no single-statement SQL replay — the
+# sk_hll precedent) and are pytest-pinned in
+# tests/test_similarity_recall.py; rows-only queries carry no oracle
+# cert to age, so they take no window slot (same status as the five r3
+# rows-only queries). Names listed here
 # but not (yet) registered are skipped harmlessly; everything not listed
 # keeps its original relative order after the curated block.
 # tests/test_plans.py::test_driver_window_names_all_registered enforces

@@ -2239,6 +2239,34 @@ def sim_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_ivfpq_rerank",
+    oracle=None,  # rows-only: both index stages embed trained quantizers
+    # (coarse k-means cells + per-subspace PQ codebooks); pytest pins the
+    # composition's determinism, recall floor, and stage-3 exactness
+    # (tests/test_similarity_recall.py).
+    doc="IVF+PQ — the production ANN composition (FAISS IVFPQ): coarse "
+    "cells from the oracle-proven portable k-means give SUB-LINEAR "
+    "candidates (corpus * n_probe / n_cells per query), PQ ADC ranks "
+    "inside the probed cells reading only the ~8-byte code columns, and "
+    "the beam re-ranks with exact cosines. One fused write-side index "
+    "pass (id, cell, m codes); probe sets and LUTs ride in as literals. "
+    "llmops/similarity.py::ivfpq_topk.",
+)
+def sim_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = similarity.pq_train(emb, m=8, k=16, max_iterations=4)
+    return similarity.ivfpq_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        books,
+        n_cells=16,
+        n_probe=4,
+        beam=100,
+        k=10,
+    )
+
+
+@register(
     "dd_embedding_neardup",
     oracle=f"""
     SELECT a.vec_id AS id1, b.vec_id AS id2,

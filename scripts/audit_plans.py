@@ -88,6 +88,11 @@ EXPECTED = {
         "reducer pair the scan-subtree heuristic doesn't list) + query "
         "vectors (vec_id < 5)"
     ),
+    "sim_ivfpq_rerank": (
+        "same bounded sides as sim_pq_rerank (beam candidate list + "
+        "query vectors); the coarse-cell index side is a one-row seed "
+        "array broadcast, hyperparameter-sized by construction"
+    ),
 }
 
 

@@ -294,3 +294,31 @@ def test_mmr_greedy_invariants(pool, lam, data):
 
     # determinism: same inputs, same output
     assert mmr_greedy(pool, sims, k=k, lam=lam) == out
+
+
+@settings(deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    vals=st.lists(
+        st.floats(min_value=1.0, max_value=1e12, allow_nan=False,
+                  allow_infinity=False),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_benford_first_digit_matches_python_reference(spark, vals):
+    """The shared digit expression (functions/scalar.py::benford_first_digit
+    — both the batch DQ check's and the streaming monitor's extraction)
+    equals the obvious Python reference str(int(floor(x)))[0] for any
+    value >= 1, and always lands in 1..9."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_etl_pipeline_spark.functions.scalar import benford_first_digit
+
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = [r["d"] for r in df.select(
+        benford_first_digit(F.col("v")).alias("d")).collect()]
+    import math as _math
+
+    want = [int(str(int(_math.floor(v)))[0]) for v in vals]
+    assert got == want
+    assert all(1 <= d <= 9 for d in got)

@@ -61,6 +61,7 @@ def quantile_bins(
     *,
     out: str = "bin",
     exact: bool = True,
+    round_dp: int | None = 4,
 ) -> DataFrame:
     """pandas ``qcut(df[col], q=len(labels), labels=labels)`` (W1).
 
@@ -68,10 +69,20 @@ def quantile_bins(
     chain. Two Spark jobs (edge scalar, then bucketing) — the edge job reads
     one column and aggregates to a single row, so it is scan-bound, not
     shuffle-bound.
+
+    Edges are half-up-rounded to ``round_dp`` decimals before the ``<=``
+    comparisons (:func:`round_edges` — the a24/a26 boundary doctrine, r11
+    ADVICE): interpolated quantiles at non-exact indices are FP-order-
+    sensitive across engines, so every oracle-backed caller's DuckDB twin
+    must FLOOR-round its ``quantile_cont`` edges identically
+    (``FLOOR(e * 10^dp + 0.5) / 10^dp``). Pass ``round_dp=None`` for raw
+    edges.
     """
     q = len(labels)
     probs = [i / q for i in range(1, q)]
     edges = quantile_edges(df, col, probs, exact=exact)
+    if round_dp is not None:
+        edges = round_edges(edges, round_dp)
     return df.withColumn(out, bucket_by_edges(F.col(col), edges, labels))
 
 

@@ -337,9 +337,12 @@ def a11_brand_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a12_price_band_performance",
     oracle=f"""
     WITH edges AS (
-        SELECT CAST(quantile_cont(p_retailprice, 0.25) AS DOUBLE) AS q1,
-               CAST(quantile_cont(p_retailprice, 0.50) AS DOUBLE) AS q2,
-               CAST(quantile_cont(p_retailprice, 0.75) AS DOUBLE) AS q3
+        -- Edges half-up-rounded to 4dp on BOTH engines (the a24/a26
+        -- boundary doctrine, applied here per the r11 ADVICE): raw
+        -- interpolated quantiles are FP-order-sensitive across engines.
+        SELECT FLOOR(CAST(quantile_cont(p_retailprice, 0.25) AS DOUBLE) * 10000 + 0.5) / 10000 AS q1,
+               FLOOR(CAST(quantile_cont(p_retailprice, 0.50) AS DOUBLE) * 10000 + 0.5) / 10000 AS q2,
+               FLOOR(CAST(quantile_cont(p_retailprice, 0.75) AS DOUBLE) * 10000 + 0.5) / 10000 AS q3
         FROM part
     )
     SELECT CASE WHEN p_retailprice <= q1 THEN 'Budget'
@@ -352,9 +355,10 @@ def a11_brand_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1
     """,
     doc="qcut quartile banding then groupBy (A12+W1) — reference "
-    "product_analytics_dag.py:129-139. Exact interpolated quantile edges + "
-    "right-closed when-chain so DuckDB quantile_cont matches at bin edges "
-    "(SURVEY §4 item 1).",
+    "product_analytics_dag.py:129-139. Exact interpolated quantile edges, "
+    "half-up-rounded to 4dp on both engines (round_edges / the a24-a26 "
+    "boundary doctrine, r12 per the r11 ADVICE), + right-closed when-chain "
+    "so DuckDB quantile_cont matches at bin edges (SURVEY §4 item 1).",
 )
 def a12_price_band_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")

@@ -507,7 +507,11 @@ _BENFORD_EXPECTED = {d: math.log10(1 + 1 / d) for d in range(1, 10)}
                     AS VARCHAR), 1, 1) AS INTEGER) AS digit,
                COUNT(*) AS n
         FROM lineitem
-        WHERE l_extendedprice > 0
+        -- >= 1, not > 0: benford_first_digit's contract (values in (0,1)
+        -- have no integer first digit) and the streaming face's filter
+        -- (streams.py::benford_monitor_stream) — aligned r12 per the r11
+        -- ADVICE so the two faces cannot drift. No-op on TPC-H prices.
+        WHERE l_extendedprice >= 1
         GROUP BY 1
     ),
     t AS (SELECT CAST(SUM(n) AS DOUBLE) AS tot FROM c)
@@ -547,7 +551,7 @@ def dq_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     digit = benford_first_digit(F.col("l_extendedprice"))
     counts = (
-        li.filter(F.col("l_extendedprice") > 0)
+        li.filter(F.col("l_extendedprice") >= 1)
         .select(digit.alias("digit"))
         .groupBy("digit")
         .agg(F.count(F.lit(1)).alias("n"))

@@ -8,11 +8,15 @@ output as ONE oracle-backed query (r10 VERDICT brief #6): the tables are
 normalized onto a shared (warehouse_table, entity_key, metrics) spine and
 unioned, so a single-statement DuckDB oracle can replay the whole DAG and
 the grading driver certifies the composite end-to-end — extract, temporal
-enrichment, exact-quantile banding, and all four aggregates. The union
-form certifies the actual pipeline code (each branch keeps its own
-column-pruned scan); :func:`sales_warehouse_fused` is the pinned-equal
-single-scan GROUPING SETS plan for when materializing the extract is
-unwanted.
+enrichment, exact-quantile banding, and all four aggregates.
+
+Round 12 (r11 VERDICT brief #2) flipped the REGISTERED venue to the
+single-scan GROUPING SETS fusion — the plan you would actually run at
+100 TB (one column-pruned orders scan + one Expand(x4), vs the union
+form's four scans: Catalyst does not dedup scans across union branches).
+The union form stays as :func:`sales_warehouse_union`, the parity twin
+that certifies the actual §3 pipeline code path — pinned row-for-row
+equal to the fused plan in tests/test_pipelines.py.
 
 Reference parity: sales_analytics_dag.py (extract_orders ->
 transform_sales_metrics -> load_warehouse_tables task chain).
@@ -48,9 +52,12 @@ def _AVG2(x: str) -> str:
     "pl_sales_warehouse",
     oracle=f"""
     WITH edges AS (
-        SELECT CAST(quantile_cont(o_totalprice, 0.25) AS DOUBLE) AS q1,
-               CAST(quantile_cont(o_totalprice, 0.50) AS DOUBLE) AS q2,
-               CAST(quantile_cont(o_totalprice, 0.75) AS DOUBLE) AS q3
+        -- Edges half-up-rounded to 4dp on BOTH engines (round_edges /
+        -- the a24-a26 boundary doctrine, applied r12 per the r11
+        -- ADVICE): raw interpolated quantiles are FP-order-sensitive.
+        SELECT FLOOR(CAST(quantile_cont(o_totalprice, 0.25) AS DOUBLE) * 10000 + 0.5) / 10000 AS q1,
+               FLOOR(CAST(quantile_cont(o_totalprice, 0.50) AS DOUBLE) * 10000 + 0.5) / 10000 AS q2,
+               FLOOR(CAST(quantile_cont(o_totalprice, 0.75) AS DOUBLE) * 10000 + 0.5) / 10000 AS q3
         FROM orders
     )
     SELECT 'fact_daily_sales' AS warehouse_table,
@@ -80,20 +87,31 @@ def _AVG2(x: str) -> str:
     """,
     doc="The reference's flagship sales_analytics DAG certified END-TO-END "
     "as one query: all four warehouse tables (daily sales, priority "
-    "rollup, exact-quartile order-size bands, customer LTV) from "
-    "pipelines/reference.py::sales_pipeline, normalized onto one spine "
-    "and unioned — the cert covers the ACTUAL §3 pipeline code. Scale "
-    "shape, stated honestly: the union's four branches each keep their "
-    "own column-pruned orders scan (Catalyst does not dedup scans "
-    "across union branches), each branch one map-side-combined groupBy "
-    "— no join, no window over a fact, plus one exact-quantile edge "
-    "scalar. At 100 TB the pipeline API materializes the enriched "
-    "extract once (write_table, the reference's extract->XCom shape) "
-    "and all four aggregates read the persisted extract; a single-scan "
-    "GROUPING SETS fusion is the alternative when materialization is "
-    "unwanted. Reference sales_analytics_dag.py:102-197.",
+    "rollup, exact-quartile order-size bands, customer LTV) normalized "
+    "onto one (warehouse_table, entity_key, metrics) spine. The "
+    "REGISTERED venue is the single-scan GROUPING SETS fusion (r11 "
+    "VERDICT brief #2): ONE column-pruned orders scan + one Expand(x4), "
+    "map-side partial aggregation before the single shuffle — the 100 TB "
+    "plan (the union form rescans the fact 4x; Catalyst does not dedup "
+    "scans across union branches). The §3 pipeline code path "
+    "(pipelines/reference.py::sales_pipeline) stays certified via "
+    "sales_warehouse_union, pinned row-for-row equal in "
+    "tests/test_pipelines.py. Plus one exact-quantile edge scalar "
+    "(4dp-rounded on both engines). Reference "
+    "sales_analytics_dag.py:102-197.",
 )
 def pl_sales_warehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sales_warehouse_fused(spark, sf_dir)
+
+
+def sales_warehouse_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The four-branch union face over the ACTUAL §3 pipeline code
+    (pipelines/reference.py::sales_pipeline) — the registered venue until
+    r12, retained as the parity twin pinned row-for-row equal to the
+    registered fused plan in tests/test_pipelines.py. Each union branch
+    keeps its own column-pruned orders scan, so at scale this shape wants
+    the enriched extract materialized once (write_table, the reference's
+    extract->XCom shape); the fused plan needs no materialization."""
     tables = sales_pipeline(spark, sf_dir)
     null_days = F.lit(None).cast("int")
 
@@ -129,14 +147,14 @@ def pl_sales_warehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sales_warehouse_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The single-scan GROUPING SETS fusion of :func:`pl_sales_warehouse`
-    — the 100 TB shape when materializing the enriched extract is
-    unwanted: ONE column-pruned orders scan, one Expand(x4), partial
+    """The single-scan GROUPING SETS fusion — since r12 the REGISTERED
+    venue of pl_sales_warehouse (r11 VERDICT brief #2), the 100 TB shape:
+    ONE column-pruned orders scan, one Expand(x4), partial
     aggregation that collapses map-side before the single shuffle, then a
     narrow grouping-flag projection. All four warehouse tables derive
     from the same five measures (counts, exact-decimal sum, min/max
     order date), so no per-table rescan exists. Pinned row-for-row equal
-    to the registered union form in tests/test_pipelines.py.
+    to the §3 pipeline-code union twin in tests/test_pipelines.py.
 
     Faces are selected via ``F.grouping(col)`` (0 exactly for the one
     grouping column each set keeps) rather than grouping_id bit
@@ -206,3 +224,231 @@ def sales_warehouse_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("lifetime_days"),
     )
+
+
+_CW_AS_OF = "2024-06-30"
+_CW_STRUCT = (
+    "struct<warehouse_table:string,entity_key:string,n1:bigint,"
+    "n2:bigint,amount:double,label1:string,label2:string>"
+)
+
+
+@register(
+    "pl_customer_warehouse",
+    oracle=f"""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               CAST(MIN(o_orderdate) AS DATE) AS first_order,
+               COUNT(o_orderkey) AS order_count,
+               COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS active_days
+        FROM orders GROUP BY o_custkey
+    ),
+    base AS (
+        SELECT c.c_custkey, c.c_acctbal, c.c_mktsegment, c.c_nationkey,
+               (DATE '{_CW_AS_OF}' - p.first_order) AS tenure_days,
+               p.order_count, p.active_days
+        FROM customer c LEFT JOIN per_cust p ON c.c_custkey = p.o_custkey
+    )
+    SELECT 'dim_customer' AS warehouse_table,
+           CAST(c_custkey AS VARCHAR) AS entity_key,
+           CAST(tenure_days AS BIGINT) AS n1,
+           CAST(NULL AS BIGINT) AS n2,
+           CAST(c_acctbal AS DOUBLE) AS amount,
+           CASE WHEN tenure_days <= 9125 THEN 'New'
+                WHEN tenure_days <= 9490 THEN 'Regular'
+                WHEN tenure_days <= 10220 THEN 'Loyal'
+                ELSE 'VIP' END AS label1,
+           c_mktsegment AS label2
+    FROM base
+    UNION ALL
+    SELECT 'fact_customer_behavior', CAST(c_custkey AS VARCHAR),
+           order_count, active_days,
+           {sql_round('order_count * 1.0 / active_days', 2)},
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+    FROM base WHERE order_count IS NOT NULL
+    UNION ALL
+    SELECT 'fact_location_stats', n_name,
+           COUNT(c_custkey), CAST(NULL AS BIGINT),
+           {_AVG2('c_acctbal')},
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+    FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    doc="The reference's customer_analytics DAG certified END-TO-END as "
+    "one query (r11 VERDICT brief #6): all three warehouse tables "
+    "(dim_customer with tenure + fixed-bin segmentation, per-nation "
+    "location stats, per-customer behavior — the reference's only "
+    "in-database query, customer_analytics_dag.py:177-188) on one "
+    "(warehouse_table, entity_key, n1, n2, amount, label1, label2) "
+    "spine. The REGISTERED venue is fused from the start (the sales-"
+    "warehouse r11->r12 lesson applied proactively): ONE orders scan "
+    "(per-customer min-date/count/distinct-days rollup), ONE customer "
+    "scan, nation broadcast, then a 2-set GROUPING SETS (customer grain "
+    "+ nation grain, one Expand(x2)) and a post-aggregation face "
+    "explosion — no union branch ever rescans an input (the union-of-"
+    "pipeline form scans customer 3x and orders 2x; Catalyst does not "
+    "dedup scans across union branches). The actual SURVEY.md paragraph-3 "
+    "pipeline code path (pipelines/reference.py::customer_pipeline) stays "
+    "certified via customer_warehouse_union, pinned row-for-row equal in "
+    "tests/test_pipelines.py. Segment edges are fixed integers (no "
+    "quantile interpolation), money via exact decimal, ratios via the "
+    "portable_round formula on both engines.",
+)
+def pl_customer_warehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecommerce_etl_pipeline_spark.functions.binning import fixed_bins
+
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.to_date(F.min("o_orderdate")).alias("first_order"),
+        F.count("o_orderkey").alias("order_count"),
+        F.countDistinct(F.to_date("o_orderdate")).alias("active_days"),
+    )
+    tenure = F.datediff(F.to_date(F.lit(_CW_AS_OF)), F.col("first_order"))
+    base = (
+        customer.join(per_cust, customer.c_custkey == per_cust.o_custkey, "left")
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "left")
+        .select(
+            "c_custkey",
+            "c_acctbal",
+            "c_mktsegment",
+            "n_name",
+            tenure.alias("tenure_days"),
+            fixed_bins(
+                tenure, [9125, 9490, 10220], ["New", "Regular", "Loyal", "VIP"]
+            ).alias("segment"),
+            "order_count",
+            "active_days",
+            # duplicate used ONLY as an aggregate input: Expand nulls
+            # grouping columns per set (the sales-fusion `_od` pattern)
+            F.col("c_acctbal").alias("_bal"),
+        )
+    )
+    g = base.groupingSets(
+        [
+            [
+                "c_custkey",
+                "c_acctbal",
+                "c_mktsegment",
+                "tenure_days",
+                "segment",
+                "order_count",
+                "active_days",
+            ],
+            ["n_name"],
+        ],
+        "c_custkey",
+        "c_acctbal",
+        "c_mktsegment",
+        "tenure_days",
+        "segment",
+        "order_count",
+        "active_days",
+        "n_name",
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(dec("_bal", 2)).alias("bal_sum"),
+        F.count("_bal").alias("bal_n"),
+        F.grouping("c_custkey").alias("g_cust"),
+    )
+
+    def spine(table, key, n1, n2, amount, label1, label2):
+        return F.struct(
+            F.lit(table).alias("warehouse_table"),
+            key.cast("string").alias("entity_key"),
+            n1.cast("bigint").alias("n1"),
+            n2.cast("bigint").alias("n2"),
+            amount.cast("double").alias("amount"),
+            label1.cast("string").alias("label1"),
+            label2.cast("string").alias("label2"),
+        )
+
+    null_b = F.lit(None).cast("bigint")
+    null_s = F.lit(None).cast("string")
+    dim_face = spine(
+        "dim_customer",
+        F.col("c_custkey"),
+        F.col("tenure_days"),
+        null_b,
+        F.col("c_acctbal"),
+        F.col("segment"),
+        F.col("c_mktsegment"),
+    )
+    beh_face = spine(
+        "fact_customer_behavior",
+        F.col("c_custkey"),
+        F.col("order_count"),
+        F.col("active_days"),
+        portable_round(F.col("order_count") * 1.0 / F.col("active_days"), 2),
+        null_s,
+        null_s,
+    )
+    loc_face = spine(
+        "fact_location_stats",
+        F.col("n_name"),
+        F.col("cnt"),
+        null_b,
+        portable_round(F.col("bal_sum").cast("double") / F.col("bal_n"), 2),
+        null_s,
+        null_s,
+    )
+    faces = (
+        F.when(
+            F.col("g_cust") == 0,
+            F.array(dim_face, F.when(F.col("order_count").isNotNull(), beh_face)),
+        )
+        .otherwise(F.array(loc_face))
+        # when/otherwise over struct arrays can drop field names (r11
+        # gotcha) — the cast restores them before getField
+        .cast(f"array<{_CW_STRUCT}>")
+    )
+    face = F.explode(faces).alias("face")
+    return (
+        g.select(face)
+        .filter(F.col("face").isNotNull())
+        .select("face.*")
+    )
+
+
+def customer_warehouse_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three-branch union face over the ACTUAL SURVEY.md paragraph-3
+    pipeline code (pipelines/reference.py::customer_pipeline) — the parity
+    twin pinned row-for-row equal to the registered fused plan in
+    tests/test_pipelines.py, so the driver cert covers the pipeline code
+    path. Each branch keeps its own scans (customer 3x, orders 2x), so at
+    scale this shape wants the per-customer extract materialized once."""
+    from ecommerce_etl_pipeline_spark.pipelines.reference import customer_pipeline
+
+    tables = customer_pipeline(spark, sf_dir, as_of=_CW_AS_OF)
+    null_b = F.lit(None).cast("bigint")
+    null_s = F.lit(None).cast("string")
+
+    def face(df, table, key, n1, n2, amount, label1, label2):
+        return df.select(
+            F.lit(table).alias("warehouse_table"),
+            key.cast("string").alias("entity_key"),
+            n1.cast("bigint").alias("n1"),
+            n2.cast("bigint").alias("n2"),
+            amount.cast("double").alias("amount"),
+            label1.cast("string").alias("label1"),
+            label2.cast("string").alias("label2"),
+        )
+
+    dim = face(
+        tables["dim_customer"], "dim_customer",
+        F.col("c_custkey"), F.col("tenure_days"), null_b,
+        F.col("c_acctbal"), F.col("segment"), F.col("c_mktsegment"),
+    )
+    beh = face(
+        tables["fact_customer_behavior"], "fact_customer_behavior",
+        F.col("customer_id"), F.col("order_count"), F.col("active_days"),
+        F.col("orders_per_active_day"), null_s, null_s,
+    )
+    loc = face(
+        tables["fact_location_stats"], "fact_location_stats",
+        F.col("nation_name"), F.col("customer_count"), null_b,
+        F.col("avg_balance"), null_s, null_s,
+    )
+    return dim.unionByName(beh).unionByName(loc)

@@ -199,13 +199,15 @@ def test_curate_classifier_gate_matches_standalone_scorer(spark):
 
 
 def test_sales_warehouse_fused_matches_union_form(spark):
-    """The single-scan GROUPING SETS fusion (one Expand(x4) + one shuffle)
-    is row-for-row identical to the registered four-branch union face of
-    the sales DAG — the pl_sales_warehouse cert therefore also covers the
-    no-materialization 100 TB plan."""
+    """The REGISTERED pl_sales_warehouse venue (the single-scan GROUPING
+    SETS fusion, r12 flip per the r11 VERDICT brief #2) is row-for-row
+    identical to the four-branch union face built on the ACTUAL §3
+    pipeline code (sales_warehouse_union) — so the driver cert covers the
+    pipeline code path too, and the certified plan is the one you would
+    run at 100 TB."""
     from ecommerce_etl_pipeline_spark.plans.pipelines_queries import (
         pl_sales_warehouse,
-        sales_warehouse_fused,
+        sales_warehouse_union,
     )
 
     def canon(df):
@@ -215,12 +217,48 @@ def test_sales_warehouse_fused_matches_union_form(spark):
             for r in df.collect()
         )
 
-    union_rows = canon(pl_sales_warehouse(spark, SF))
-    fused_rows = canon(sales_warehouse_fused(spark, SF))
+    union_rows = canon(sales_warehouse_union(spark, SF))
+    fused_rows = canon(pl_sales_warehouse(spark, SF))
     assert len(union_rows) > 0
     assert union_rows == fused_rows
-    # the fusion's plan really is single-scan: exactly one orders file
+    # the REGISTERED plan really is single-scan: exactly one orders file
     # scan and one Expand
-    plan = sales_warehouse_fused(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    plan = pl_sales_warehouse(spark, SF)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("orders.parquet") == 1
+    assert "Expand" in plan
+
+
+def test_customer_warehouse_fused_matches_union_form(spark):
+    """The REGISTERED pl_customer_warehouse venue (one orders scan + one
+    customer scan + broadcast nation, 2-set GROUPING SETS, post-agg face
+    explosion) is row-for-row identical to the three-branch union face
+    built on the ACTUAL §3 pipeline code (customer_warehouse_union) — so
+    the driver cert covers pipelines/reference.py::customer_pipeline too,
+    and the certified plan is the one you would run at 100 TB."""
+    from ecommerce_etl_pipeline_spark.plans.pipelines_queries import (
+        customer_warehouse_union,
+        pl_customer_warehouse,
+    )
+
+    def canon(df):
+        return sorted(
+            (r["warehouse_table"], r["entity_key"], r["n1"], r["n2"],
+             r["amount"], r["label1"], r["label2"])
+            for r in df.collect()
+        )
+
+    union_rows = canon(customer_warehouse_union(spark, SF))
+    fused_rows = canon(pl_customer_warehouse(spark, SF))
+    assert len(union_rows) > 0
+    assert union_rows == fused_rows
+    # the REGISTERED plan really is single-scan per input: one orders
+    # scan, one customer scan, and an Expand for the grouping sets
+    plan = (
+        pl_customer_warehouse(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("orders.parquet") == 1
+    assert plan.count("customer.parquet") == 1
     assert "Expand" in plan

@@ -95,6 +95,11 @@ EXTENDED = [
     # (four warehouse tables off one shared scan) — first round recorded,
     # banded next per the standing new-query protocol
     "dq_benford_deviation",  # round 11: Benford first-digit DQ conformance
+    "pl_customer_warehouse",  # round 12: the customer DAG end-to-end (fused
+    # grouping-sets venue — one orders scan + one customer scan)
+    "sim_pq_rerank",  # round 12: PQ ADC beam + exact re-rank, measured after
+    # the Arrow encode kernel landed (r11 brief #3)
+    "sim_ivfpq_rerank",  # round 12: the FAISS-shaped IVF+PQ composition
 ]
 
 
@@ -191,6 +196,14 @@ def main() -> None:
                 "queries": runs[0],
                 "value_median3": round(sum(median3.values()), 3),
                 "queries_median3": median3,
+                # r11 VERDICT brief #5: the first-run/med3 ratio, machine-
+                # visible per round (12.01/9.83 -> 12.97/12.66 ->
+                # 17.29/12.37 so far) so first-rep warmup drift cannot
+                # hide a real constant-factor regression (SCALING.md
+                # carries the trend table)
+                "first_run_over_median3": round(
+                    sum(runs[0].values()) / max(sum(median3.values()), 1e-9), 3
+                ),
                 "extended": extended,
                 "warmup": warmup_desc,
                 "warmup_mode": warmup_mode,

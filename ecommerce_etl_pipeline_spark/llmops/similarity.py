@@ -18,6 +18,8 @@ from __future__ import annotations
 import math
 import random
 
+import pandas as pd  # module-level: pandas_udf type hints resolve from here
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -1062,23 +1064,45 @@ def pq_encode(
     *,
     vec_col: str = "embedding",
     prefix: str = "_pq",
+    kernel: str = "arrow",
 ) -> DataFrame:
     """Append one small int code column per subspace: the argmin-distance
-    centroid, ties to the lower code (struct least). One narrow scan —
-    this is the WRITE-side pass that turns a 100 TB vector column into a
-    few bytes per row; at rest the codes live next to the id and the
-    vectors need never be scanned again for ANN.
+    centroid, ties to the lower code. One narrow scan — this is the
+    WRITE-side pass that turns a 100 TB vector column into a few bytes
+    per row; at rest the codes live next to the id and the vectors need
+    never be scanned again for ANN.
 
-    Kernel note (the brute_force_topk jvm/arrow trade measured again):
-    the m x k distance argmin runs as JVM HOF folds, which execute
-    INTERPRETED — ~5M lambda evaluations for 5k rows at m=8,k=16
-    (measured ~10s at sf0.1). Correct and shuffle-free, and encode is a
-    one-time write-side pass, but for a hot re-encode path swap in an
-    Arrow kernel (numpy ``(X[:,None]-C)**2`` argmin per batch — the
-    cosine_arrow precedent in functions/udfs.py); this query is
-    rows-only so the no-Python-in-oracle-paths gate does not bind."""
+    Kernels (r11 VERDICT brief #3 / What's wrong #2):
+
+    - ``kernel="arrow"`` (default): one Arrow-batched pandas UDF computes
+      all m argmins per batch with numpy ``((X[:,None,:]-C)**2).sum(-1)
+      .argmin(1)`` — the cosine_arrow precedent (functions/udfs.py). The
+      r11-measured JVM-HOF constant (~10s for 5k rows at sf0.1, ~5M
+      interpreted lambda evaluations at m=8,k=16) collapses to a handful
+      of SIMD ops per batch.
+    - ``kernel="jvm"``: the original HOF-fold form (interpreted but
+      Python-free), retained as the parity twin —
+      tests/test_similarity_recall.py pins the two kernels code-for-code
+      on the full embeddings fixture.
+
+    The kernels agree BIT-FOR-BIT by construction, not luck: both read
+    the same JVM-normalized ``_unit_vec`` doubles, (a-b)*(a-b) is one
+    IEEE sub+mul either way, the JVM fold accumulates left-to-right and
+    numpy's last-axis sum is sequential below its 128-element pairwise
+    block (sub-dims are dim/m, far under it), and ties break to the
+    lower code on both (struct least / first argmin). The encode feeds
+    rows-only queries, so the no-Python-in-oracle-paths gate does not
+    bind; the UDF is Arrow-batched, never row-at-a-time."""
     sub = len(codebooks[0][0])
     out = _unit_vec(df, vec_col, "_uvenc")
+    if kernel == "arrow":
+        codes = _pq_codes_arrow_udf(codebooks)(F.col("_uvenc"))
+        out = out.withColumn("_pqcodes", codes)
+        for j in range(len(codebooks)):
+            out = out.withColumn(
+                f"{prefix}{j}", F.col("_pqcodes").getItem(j).cast("int")
+            )
+        return out.drop("_uvenc", "_pqcodes")
     for j, book in enumerate(codebooks):
         cands = [
             F.struct(
@@ -1092,6 +1116,40 @@ def pq_encode(
             F.least(*cands).cast("struct<d:double,c:int>").getField("c"),
         )
     return out.drop("_uvenc")
+
+
+def _pq_codes_arrow_udf(codebooks: list[list[list[float]]]):
+    """Build the Arrow batch kernel for :func:`pq_encode`: a SCALAR
+    pandas UDF mapping a unit-vector array<double> column to the m PQ
+    codes (array<int>). Null/width-mismatched vectors yield NULL codes
+    (the JVM fold's behavior on null input)."""
+    import numpy as np
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    cents = [np.array(book, dtype=np.float64) for book in codebooks]
+    m = len(codebooks)
+    sub = cents[0].shape[1]
+    dim = m * sub
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _codes(uv: pd.Series) -> pd.Series:
+        vals = uv.to_numpy()
+        ok = np.array(
+            [v is not None and len(v) == dim for v in vals], dtype=bool
+        )
+        out = np.empty(len(vals), dtype=object)
+        if ok.any():
+            X = np.stack(vals[ok]).astype(np.float64)
+            codes = np.empty((len(X), m), dtype=np.int32)
+            for j in range(m):
+                Xj = X[:, j * sub : (j + 1) * sub]
+                d2 = ((Xj[:, None, :] - cents[j][None, :, :]) ** 2).sum(-1)
+                codes[:, j] = d2.argmin(axis=1)
+            for i, row in zip(np.flatnonzero(ok), codes):
+                out[i] = row.tolist()
+        return pd.Series(out)
+
+    return _codes
 
 
 def pq_topk(

@@ -291,6 +291,31 @@ GROWTH_BASELINE = {
     # the top-20 pool build). Growth arm widened over the fresh ratio
     # for sub-2s constant-term noise, same precedent as bm25 above.
     "sim_mmr_diversify": (1.3, 1.7),
+    # Round-12 banding of the four r11 registrations (r11 VERDICT brief
+    # #4), anchored on round-12 gc-hygienic dual-scale probes taken
+    # AFTER the venue/kernel changes the brief ordered (SCALING.md
+    # "Round-12 open probe table"); standing formula growth = fresh x
+    # 1.15, abs = fresh sf1 median x 1.3. Ratio jitter on these 1-3s
+    # queries lands in the warnings arm (the bm25/u5/sm9 class); the
+    # AND-gate needs both arms.
+    # sales warehouse: probed on the FUSED venue (fresh 1.30x/2.653s;
+    # the r11 union-venue pre-seed read 1.59x — growth improved with
+    # the single-scan flip, the local constant carries the Expand(x4)).
+    "pl_sales_warehouse": (1.5, 3.4),
+    # benford: fresh 1.64x/1.553s this boot; the r11 pre-seed read
+    # 0.79x (sf1 FASTER) — the ratio is constant-term noise on a ~1s
+    # query, so the band covers the larger measured session.
+    "dq_benford_deviation": (1.9, 2.0),
+    # PQ rerank: probed AFTER the Arrow encode kernel (brief #3) —
+    # fresh 1.09x/3.688s (was 9.604s sf0.1 on the interpreted HOF
+    # encode; the kernel change, parity-pinned, is the whole delta).
+    "sim_pq_rerank": (1.3, 4.8),
+    # IVF+PQ: fresh 1.18x/7.924s (was 14.11s sf0.1 pre-kernel).
+    "sim_ivfpq_rerank": (1.4, 10.3),
+    # Round-12 same-round banding of this round's registration (the
+    # r11-close lesson: unbanded registrations pass the next gate
+    # silently): fused customer DAG, fresh 1.07x/1.519s.
+    "pl_customer_warehouse": (1.3, 2.0),
 }
 TOLERANCE = 0.25
 #: report-only absolute-drift threshold: sf1 seconds > band top * this
@@ -328,6 +353,13 @@ FRESH_SF1_ANCHORS = {
     "txt_bm25_topk": 0.970,
     "dd_curation_classifier_ppjoin": 57.774,
     "sim_mmr_diversify": 1.274,
+    # r12 banding anchors (round-open probes on this boot, post-flip /
+    # post-kernel where the brief ordered changes first)
+    "pl_sales_warehouse": 2.653,
+    "dq_benford_deviation": 1.553,
+    "sim_pq_rerank": 3.688,
+    "sim_ivfpq_rerank": 7.924,
+    "pl_customer_warehouse": 1.519,
 }
 INFLATION_WARN = 2.0
 

@@ -284,3 +284,40 @@ def test_ivfpq_recall_and_exactness(spark, sf_dir):
         ).collect()
     )
     assert a == b
+
+
+def test_pq_encode_arrow_kernel_matches_jvm_fold(spark, sf_dir):
+    """The vectorized Arrow encode kernel (r11 VERDICT brief #3) is
+    pinned CODE-FOR-CODE against the retained JVM HOF fold on the full
+    embeddings fixture: both kernels read the same JVM-normalized unit
+    vectors, accumulate subspace distances in the same sequential order
+    (numpy's last-axis sum is sequential below its 128-element pairwise
+    block), and break ties to the lower code — so equality is by
+    construction, and this pin catches either side drifting. Null and
+    width-mismatched vectors yield NULL codes on both kernels."""
+    from ecommerce_etl_pipeline_spark.llmops.similarity import pq_encode, pq_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_train(emb, m=8, k=16, max_iterations=4)
+    cols = ["vec_id"] + [f"_pq{j}" for j in range(8)]
+    arrow = {
+        r["vec_id"]: tuple(r[f"_pq{j}"] for j in range(8))
+        for r in pq_encode(emb, books, kernel="arrow").select(*cols).collect()
+    }
+    jvm = {
+        r["vec_id"]: tuple(r[f"_pq{j}"] for j in range(8))
+        for r in pq_encode(emb, books, kernel="jvm").select(*cols).collect()
+    }
+    assert len(arrow) == len(jvm) > 0
+    assert arrow == jvm
+
+    # degenerate inputs: NULL vector and wrong-width vector -> NULL codes
+    bad = spark.createDataFrame(
+        [(1, None), (2, [0.5, 0.25])],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    got = {
+        r["vec_id"]: tuple(r[f"_pq{j}"] for j in range(8))
+        for r in pq_encode(bad, books, kernel="arrow").select(*cols).collect()
+    }
+    assert got == {1: (None,) * 8, 2: (None,) * 8}

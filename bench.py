@@ -100,6 +100,10 @@ EXTENDED = [
     "sim_pq_rerank",  # round 12: PQ ADC beam + exact re-rank, measured after
     # the Arrow encode kernel landed (r11 brief #3)
     "sim_ivfpq_rerank",  # round 12: the FAISS-shaped IVF+PQ composition
+    "pl_product_warehouse",  # round 12: the product DAG end-to-end (5 tables;
+    # grouping-sets fusion + HOF pairs, no lineitem self-join)
+    "pl_pricing_warehouse",  # round 12: the pricing DAG end-to-end (single
+    # pass, both faces exploded per part row)
 ]
 
 

@@ -54,9 +54,11 @@ for _optional in (
 # streaming face's >= 1 contract — plan AND oracle change together);
 # a12_price_band_performance (touched: quantile_bins now 4dp-rounds its
 # edges per ADVICE r11 #2, oracle FLOOR-rounds to match);
-# pl_customer_warehouse (r12 brief #6, registered this round) holds the
-# fourth same-round slot. Then 29 of the 47 r9-latest certs (age 3).
-# The 18 deferred r9 certs (age 4 at r13 — they MUST lead the r13
+# pl_customer_warehouse (r12 brief #6), pl_product_warehouse and
+# pl_pricing_warehouse (r12 extension: ALL FOUR reference DAGs now
+# driver-certified end-to-end on the spine pattern) are this round's
+# registrations. Then 27 of the 47 r9-latest certs (age 3).
+# The 20 deferred r9 certs (age 4 at r13 — they MUST lead the r13
 # window) all carry standing per-round machine signal while they wait:
 # a10_product_rollup + dd_bloom_decontam + dd_minhash_pairs +
 # dd_ppjoin_pairs + dd_semantic_dedup + dd_simhash_pairs +
@@ -73,10 +75,12 @@ for _optional in (
 # dd_embedding_neardup (tests/test_llmops_algos.py cosine-threshold
 # pin), dd_contamination_report (tests/test_llmops_algos.py
 # decontamination family pins — displaced by the a12 touched-code
-# re-cert).
+# re-cert), txt_unigram_logprob + txt_vocabulary (pytest pins in
+# tests/test_text_battery.py — displaced by the product/pricing
+# warehouse registrations).
 # Honest steady-state arithmetic:
-# 164 oracle-backed queries vs 50 slots/round, of which new-query
-# promotions and touched-code re-certs also claim slots (3 this round)
+# 166 oracle-backed queries vs 50 slots/round, of which new-query
+# promotions and touched-code re-certs also claim slots (6 this round)
 # — so the staleness tail runs at age <= 4, not <= 3, whenever a round
 # spends slots on new work; the deferral choice above always parks the
 # excess on machine-gated queries.
@@ -121,7 +125,9 @@ _DRIVER_WINDOW = [
     "dq_benford_deviation",
     "a12_price_band_performance",
     "pl_customer_warehouse",
-    # -- 29 of the 47 round-9-latest certs (age 3 -> re-certed); the 18
+    "pl_product_warehouse",
+    "pl_pricing_warehouse",
+    # -- 27 of the 47 round-9-latest certs (age 3 -> re-certed); the 20
     # deferred are listed in the header comment with their standing
     # gates
     "a17_percentiles",
@@ -145,8 +151,6 @@ _DRIVER_WINDOW = [
     "txt_pii_redaction",
     "txt_tfidf_top_terms",
     "txt_token_stats",
-    "txt_unigram_logprob",
-    "txt_vocabulary",
     "txt_winnow_fingerprints",
     "w12_funnel_conversion",
     "w13_retention_cohorts",

@@ -605,7 +605,13 @@ def _mmr_sel_ctes() -> str:
     "20 cached rows and is kept only as the pinned parity twin, "
     "similarity.mmr_diversify_unrolled). Scores stay raw doubles through "
     "every argmax (the driver fold is bit-identical to DuckDB's list_sum; "
-    "ties break on vec_id) and round only at the output.",
+    "ties break on vec_id) and round only at the output. "
+    "EAGER-EXECUTION CONTRACT (ADVICE r11 #4): building this query RUNS "
+    "the pool job and a bounded collect inside the registered callable "
+    "(the returned frame is a LocalTableScan over the driver-computed "
+    "picks) — plan-only tooling (audit_plans' explain pass, explain-only "
+    "probes) executes real Spark work for this entry; audit_plans carries "
+    "the matching EXPECTED note.",
 )
 def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")

@@ -312,10 +312,18 @@ GROWTH_BASELINE = {
     "sim_pq_rerank": (1.3, 4.8),
     # IVF+PQ: fresh 1.18x/7.924s (was 14.11s sf0.1 pre-kernel).
     "sim_ivfpq_rerank": (1.4, 10.3),
-    # Round-12 same-round banding of this round's registration (the
+    # Round-12 same-round banding of this round's registrations (the
     # r11-close lesson: unbanded registrations pass the next gate
     # silently): fused customer DAG, fresh 1.07x/1.519s.
     "pl_customer_warehouse": (1.3, 2.0),
+    # product DAG: fresh 2.22x/5.977s — the growing term is the pairs
+    # face (pair count scales with orders; blow-up bounded by max
+    # items/order), the grouping-sets faces are part-grain.
+    "pl_product_warehouse": (2.6, 7.8),
+    # pricing DAG: fresh 1.03x/1.480s — single-pass part-grain plan,
+    # scale-flat at local SFs; growth arm widened for sub-2s ratio
+    # jitter (the bm25/u5/sm9 class).
+    "pl_pricing_warehouse": (1.2, 1.9),
 }
 TOLERANCE = 0.25
 #: report-only absolute-drift threshold: sf1 seconds > band top * this
@@ -360,6 +368,8 @@ FRESH_SF1_ANCHORS = {
     "sim_pq_rerank": 3.688,
     "sim_ivfpq_rerank": 7.924,
     "pl_customer_warehouse": 1.519,
+    "pl_product_warehouse": 5.977,
+    "pl_pricing_warehouse": 1.480,
 }
 INFLATION_WARN = 2.0
 

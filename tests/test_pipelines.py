@@ -262,3 +262,70 @@ def test_customer_warehouse_fused_matches_union_form(spark):
     assert plan.count("orders.parquet") == 1
     assert plan.count("customer.parquet") == 1
     assert "Expand" in plan
+
+
+def test_product_warehouse_fused_matches_union_form(spark):
+    """The REGISTERED pl_product_warehouse venue (one base computed once
+    through a 3-set GROUPING SETS + TakeOrdered top-100 branch +
+    single-scan HOF pairs — no lineitem self-join) is row-for-row
+    identical to the five-branch union face built on the ACTUAL §3
+    pipeline code (product_warehouse_union)."""
+    from ecommerce_etl_pipeline_spark.plans.pipelines_queries import (
+        pl_product_warehouse,
+        product_warehouse_union,
+    )
+
+    def canon(df):
+        return sorted(
+            (r["warehouse_table"], r["entity_key"], r["n1"], r["n2"],
+             r["amount"], r["label1"], r["label2"])
+            for r in df.collect()
+        )
+
+    union_rows = canon(product_warehouse_union(spark, SF))
+    fused_rows = canon(pl_product_warehouse(spark, SF))
+    assert len(union_rows) > 0
+    assert union_rows == fused_rows
+    # the registered plan never self-joins lineitem: the pairs face is
+    # the HOF expansion, and the Expand marks the grouping-sets fusion
+    plan = (
+        pl_product_warehouse(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Expand" in plan
+    assert "SortMergeJoin" not in plan or "l_orderkey" not in plan.split(
+        "SortMergeJoin"
+    )[1][:200], "pairs face regressed to a lineitem self-join"
+
+
+def test_pricing_warehouse_fused_matches_union_form(spark):
+    """The REGISTERED pl_pricing_warehouse venue (one lineitem rollup +
+    one part join, both faces exploded per row — no table scanned twice)
+    is row-for-row identical to the union face built on the ACTUAL §3
+    pipeline code (pricing_warehouse_union)."""
+    from ecommerce_etl_pipeline_spark.plans.pipelines_queries import (
+        pl_pricing_warehouse,
+        pricing_warehouse_union,
+    )
+
+    def canon(df):
+        return sorted(
+            (r["warehouse_table"], r["entity_key"], r["v1"], r["v2"],
+             r["v3"], r["v4"], r["label"])
+            for r in df.collect()
+        )
+
+    union_rows = canon(pricing_warehouse_union(spark, SF))
+    fused_rows = canon(pl_pricing_warehouse(spark, SF))
+    assert len(union_rows) > 0
+    assert union_rows == fused_rows
+    plan = (
+        pl_pricing_warehouse(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("lineitem.parquet") == 1
+    assert plan.count("part.parquet") == 1

@@ -1,6 +1,7 @@
 """Structured Streaming surface (SURVEY.md §2.11)."""
 
 from ecommerce_etl_pipeline_spark.streaming.streams import (  # noqa: F401
+    ann_index_stream,
     cdc_apply_stream,
     cdc_snapshot,
     classifier_gate_stream,
@@ -10,6 +11,7 @@ from ecommerce_etl_pipeline_spark.streaming.streams import (  # noqa: F401
     decontam_gate_stream,
     quality_gate_stream,
     read_documents_stream,
+    read_embeddings_stream,
     read_events_stream,
     session_window_stream,
     sliding_window_stream,

@@ -511,3 +511,48 @@ def ingest_dedup_stream(
     return fresh.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
+
+
+def read_embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source replay of the embeddings table as a stream (micro-batch
+    per file) — the arrival feed for :func:`ann_index_stream`."""
+    schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+    return spark.readStream.schema(schema).parquet(
+        _replay_dir(sf_dir, "embeddings")
+    )
+
+
+def ann_index_stream(
+    vectors: DataFrame,
+    seeds: DataFrame,
+    codebooks: list[list[list[float]]],
+) -> DataFrame:
+    """Streaming ANN index ingestion — the write-side face of
+    ``ivfpq_topk``'s fused index pass applied at line rate: each arriving
+    (vec_id, embedding) row gets its coarse IVF cell (the
+    assign_to_seeds argmin fold over ONE broadcast seed row — ties to the
+    lowest cid, bit-identical to the batch assignment) and its m PQ codes
+    (the pq_encode JVM kernel — shared verbatim with the batch index
+    build, so the two faces cannot drift). STATELESS by construction:
+    every row is independent (no aggregation, no watermark, the static
+    side is hyperparameter-sized driver state), so the stream runs at
+    line rate forever and the index table stays append-only — new vectors
+    become searchable by the NEXT ``ivfpq``/ADC query scan without a
+    batch index rebuild, which at 100 TB is the difference between
+    index freshness in seconds and an O(corpus) recompute. Quantizer
+    refresh (retraining cells/codebooks on drifted data) remains a batch
+    job by design — exactly how production IVF systems (the FAISS
+    lineage) separate ingest from training. Output: (vec_id, cell,
+    _pq0.._pq{m-1})."""
+    from ecommerce_etl_pipeline_spark.llmops.clustering import assign_to_seeds
+    from ecommerce_etl_pipeline_spark.llmops.similarity import pq_encode
+
+    assigned = assign_to_seeds(vectors, seeds).select(
+        F.col("id").alias("vec_id"),
+        F.col("cluster").alias("cell"),
+        F.col("vec"),
+    )
+    m = len(codebooks)
+    return pq_encode(assigned, codebooks, vec_col="vec", kernel="jvm").select(
+        "vec_id", "cell", *[f"_pq{j}" for j in range(m)]
+    )

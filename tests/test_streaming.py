@@ -416,3 +416,51 @@ def test_benford_monitor_stream_matches_batch(spark):
     want = {r.digit: r.n for r in batch.collect()}
     assert got == want and len(got) > 0
     assert set(got) <= set(range(1, 10))
+
+
+def test_ann_index_stream_matches_batch_index_pass(spark):
+    """The streaming ANN-index ingestion face (ann_index_stream) emits,
+    for every replayed vector, EXACTLY the (cell, PQ codes) row the batch
+    index pass (assign_to_seeds + pq_encode — the ivfpq_topk write side)
+    produces: both faces share the assignment fold and the encode kernel
+    verbatim, so the pin is bit-exact by construction. Stateless: no
+    aggregation state, so the plan needs no watermark and runs in append
+    mode."""
+    from ecommerce_etl_pipeline_spark.llmops.clustering import (
+        assign_to_seeds,
+        kmeans_train_portable,
+    )
+    from ecommerce_etl_pipeline_spark.llmops.similarity import pq_encode, pq_train
+    from ecommerce_etl_pipeline_spark.streaming.streams import (
+        ann_index_stream,
+        read_embeddings_stream,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    books = pq_train(emb, m=8, k=16, max_iterations=3)
+    centroids = kmeans_train_portable(emb, k=8, iterations=3)
+    seeds = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)], "cid INT, cvec ARRAY<DOUBLE>"
+    )
+
+    stream = ann_index_stream(read_embeddings_stream(spark, SF), seeds, books)
+    stream_to_memory(stream, "t_ann_index", output_mode="append")
+    got = {
+        r["vec_id"]: (r["cell"],) + tuple(r[f"_pq{j}"] for j in range(8))
+        for r in spark.table("t_ann_index").collect()
+    }
+
+    batch = pq_encode(
+        assign_to_seeds(emb, seeds).select(
+            F.col("id").alias("vec_id"), F.col("cluster").alias("cell"), F.col("vec")
+        ),
+        books,
+        vec_col="vec",
+        kernel="jvm",
+    ).select("vec_id", "cell", *[f"_pq{j}" for j in range(8)])
+    want = {
+        r["vec_id"]: (r["cell"],) + tuple(r[f"_pq{j}"] for j in range(8))
+        for r in batch.collect()
+    }
+    assert len(got) == len(want) > 0
+    assert got == want

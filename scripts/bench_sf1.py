@@ -396,6 +396,15 @@ FRESH_PROBE_HISTORY = {
         "r9": 18.09,
         "r10_open": 20.193,
         "r11_arbitration": 16.728,  # in-gate read 30.87s the same day
+        # r12: the inflation monitor fired (in-gate 35.9 vs the 16.728
+        # anchor) and the SAME-DAY fresh probe read 35.824 median (reps
+        # 30.0-67.9, sf0.1 reps 9.8-27.4 — bimodal within one probe):
+        # fresh AGREES with in-gate, so this is the uniform-df slow
+        # mode landing in a fresh session (the dd_ppjoin_pairs r11
+        # arbitration precedent), NOT gate-session drift. Band (12.4,
+        # 40.1) already envelopes it; anchor kept at the fast mode so
+        # the monitor keeps flagging slow-mode sessions for the record.
+        "r12_arbitration": 35.824,
     },
     "u5_cdc_merge": {"r11_arbitration": 1.153},
     "sm9_importance_resample": {"r11_arbitration": 1.876},

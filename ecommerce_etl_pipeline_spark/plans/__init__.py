@@ -68,16 +68,16 @@ for _optional in (
 # path as the banded train_d64 + tests/test_classifier.py family),
 # sim_lsh_recall (tests/test_plans.py fold-count gate +
 # tests/test_similarity_recall.py recall floor), sim_quantized_topk
-# (int8 parity pin, tests/test_llmops_algos.py), txt_quality_logit +
-# txt_repetition (pytest pins in test_text_battery.py),
-# dd_jaccard_pairs (tests/test_llmops_algos.py postings parity),
-# w11_salted_hot_keys (tests/test_plans.py salted-plan gate),
-# dd_embedding_neardup (tests/test_llmops_algos.py cosine-threshold
-# pin), dd_contamination_report (tests/test_llmops_algos.py
-# decontamination family pins — displaced by the a12 touched-code
-# re-cert), txt_unigram_logprob + txt_vocabulary (pytest pins in
-# tests/test_text_battery.py — displaced by the product/pricing
-# warehouse registrations).
+# (tests/test_plans.py plan gate), txt_quality_logit (its logit
+# expression is pinned batch-vs-stream in tests/test_streaming.py's
+# quality-gate parity test), txt_repetition
+# (tests/test_llmops_algos.py pins), dd_jaccard_pairs +
+# dd_contamination_report (tests/test_plans.py plan gates incl. the
+# zero-Python-UDF table), w11_salted_hot_keys (tests/test_plans.py
+# salted-plan gate), dd_embedding_neardup + txt_unigram_logprob +
+# txt_vocabulary (tests/test_plans.py plan gates — the latter two
+# displaced by the product/pricing warehouse registrations;
+# dd_contamination_report displaced by the a12 touched-code re-cert).
 # Honest steady-state arithmetic:
 # 166 oracle-backed queries vs 50 slots/round, of which new-query
 # promotions and touched-code re-certs also claim slots (6 this round)

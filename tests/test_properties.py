@@ -322,3 +322,57 @@ def test_benford_first_digit_matches_python_reference(spark, vals):
     want = [int(str(int(_math.floor(v)))[0]) for v in vals]
     assert got == want
     assert all(1 <= d <= 9 for d in got)
+
+
+# ---------------------------------------------------------------------------
+# value-strict HOF pair expansion (pl_product_warehouse pairs face) vs a
+# pure-Python self-join reference — the MULTISET semantics: duplicate
+# parts within an order multiply the pair count, equal values never pair
+# ---------------------------------------------------------------------------
+
+
+@settings(deadline=None, max_examples=25, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    baskets=st.lists(
+        st.lists(st.integers(min_value=1, max_value=9), min_size=0, max_size=6),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_hof_pair_expansion_matches_selfjoin_reference(spark, baskets):
+    """flatten(transform(parts, x -> transform(filter(parts, y -> x < y),
+    ...))) must equal the raw lineitem self-join's pair multiset on EVERY
+    input shape, including duplicate items within a basket (each
+    occurrence pairs independently) and equal values (never pair)."""
+    from collections import Counter
+    from itertools import combinations
+
+    from pyspark.sql import functions as F
+
+    rows = [(i, parts) for i, parts in enumerate(baskets)]
+    df = spark.createDataFrame(rows, "order_id LONG, parts ARRAY<INT>")
+    got = Counter(
+        (r["pair"]["product1"], r["pair"]["product2"])
+        for r in df.select(
+            F.explode(
+                F.expr(
+                    """
+                    flatten(transform(parts, x ->
+                        transform(filter(parts, y -> x < y), y ->
+                            struct(x AS product1, y AS product2))))
+                    """
+                )
+            ).alias("pair")
+        ).collect()
+    )
+    # reference: the self-join ON a.order=b.order AND a.item < b.item
+    # over row occurrences = every unordered occurrence pair with
+    # strictly increasing values, counted per occurrence
+    want = Counter()
+    for parts in baskets:
+        for a, b in combinations(parts, 2):
+            if a < b:
+                want[(a, b)] += 1
+            elif b < a:
+                want[(b, a)] += 1
+    assert got == want

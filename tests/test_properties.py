@@ -376,3 +376,68 @@ def test_hof_pair_expansion_matches_selfjoin_reference(spark, baskets):
             elif b < a:
                 want[(b, a)] += 1
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Spark <-> DuckDB quantile-edge parity at 4dp (the r12 round_edges
+# doctrine, ADVICE r11 #2): rounded interpolated edges AND the bucket
+# assignment they induce must agree on both engines for money-shaped data
+# ---------------------------------------------------------------------------
+
+
+def test_quantile_edge_rounding_parity_with_duckdb(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from ecommerce_etl_pipeline_spark.functions.binning import (
+        bucket_by_edges,
+        quantile_edges,
+        round_edges,
+    )
+
+    rng = random.Random(7)
+    # money-shaped 2dp values + adversarial repeats so interpolation
+    # lands BETWEEN equal values and exactly ON data values (the edge ==
+    # data-value case the rounding doctrine exists for)
+    vals = [round(rng.uniform(0.01, 99999.99), 2) for _ in range(997)]
+    vals += [vals[0]] * 7 + [4201.315, 4201.315, 0.01, 99999.99]
+    labels = ["a", "b", "c", "d"]
+    probs = [0.25, 0.50, 0.75]
+
+    df = spark.createDataFrame([(v,) for v in vals], "x DOUBLE")
+    spark_edges = round_edges(quantile_edges(df, "x", probs))
+    duck_edges = list(
+        duckdb.connect()
+        .execute(
+            "SELECT "
+            + ", ".join(
+                f"FLOOR(CAST(quantile_cont(x, {p}) AS DOUBLE) * 10000 + 0.5) / 10000"
+                for p in probs
+            )
+            + " FROM (SELECT unnest(?) AS x)",
+            [vals],
+        )
+        .fetchone()
+    )
+    assert spark_edges == duck_edges, (spark_edges, duck_edges)
+
+    # and the bucket assignment the edges induce is identical per value
+    got = {
+        (r["x"], r["b"])
+        for r in df.select(
+            "x", bucket_by_edges(F.col("x"), spark_edges, labels).alias("b")
+        ).collect()
+    }
+    e1, e2, e3 = duck_edges
+    want = {
+        (r[0], r[1])
+        for r in duckdb.connect()
+        .execute(
+            f"""SELECT x, CASE WHEN x <= {e1!r} THEN 'a' WHEN x <= {e2!r} THEN 'b'
+                WHEN x <= {e3!r} THEN 'c' ELSE 'd' END FROM (SELECT unnest(?) AS x)""",
+            [vals],
+        )
+        .fetchall()
+    }
+    assert got == want

@@ -441,3 +441,52 @@ def test_quantile_edge_rounding_parity_with_duckdb(spark):
         .fetchall()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# PQ Arrow encode kernel vs an INDEPENDENT pure-Python reference (the JVM
+# parity pin in test_similarity_recall.py shares the normalized input —
+# this reference recomputes normalization and argmin from raw floats, so
+# the two kernels cannot be "wrong together")
+# ---------------------------------------------------------------------------
+
+
+def test_pq_encode_matches_pure_python_reference(spark):
+    import math
+    import random
+
+    from ecommerce_etl_pipeline_spark.llmops.similarity import pq_encode
+
+    rng = random.Random(42)
+    m, k, sub = 4, 5, 3
+    dim = m * sub
+    books = [
+        [[rng.uniform(-1, 1) for _ in range(sub)] for _ in range(k)]
+        for _ in range(m)
+    ]
+    vecs = [
+        (i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(200)
+    ] + [(200, [0.0] * dim)]  # zero vector: passes through unscaled
+
+    def ref_codes(v):
+        n = math.sqrt(sum(x * x for x in v))
+        u = v if n == 0 else [x / n for x in v]
+        out = []
+        for j, book in enumerate(books):
+            s = u[j * sub : (j + 1) * sub]
+            d2 = [sum((a - b) ** 2 for a, b in zip(s, c)) for c in book]
+            out.append(min(range(k), key=lambda ci: (d2[ci], ci)))
+        return tuple(out)
+
+    df = spark.createDataFrame(vecs, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    got = {
+        r["vec_id"]: tuple(r[f"_pq{j}"] for j in range(m))
+        for r in pq_encode(df, books, kernel="arrow")
+        .select("vec_id", *[f"_pq{j}" for j in range(m)])
+        .collect()
+    }
+    want = {i: ref_codes(v) for i, v in vecs}
+    # Python's x/n and sum-of-squares use the same IEEE ops in the same
+    # order as the JVM normalization and the numpy sequential sums, so
+    # equality is exact, not approximate
+    assert got == want

@@ -104,6 +104,8 @@ EXTENDED = [
     # grouping-sets fusion + HOF pairs, no lineitem self-join)
     "pl_pricing_warehouse",  # round 12: the pricing DAG end-to-end (single
     # pass, both faces exploded per part row)
+    "dd_cluster_safe_split",  # round 12: leakage-safe splitting (near-dup
+    # clusters hash as a unit; singletons = dd_hash_split exactly)
 ]
 
 

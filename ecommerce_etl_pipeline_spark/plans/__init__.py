@@ -56,9 +56,11 @@ for _optional in (
 # edges per ADVICE r11 #2, oracle FLOOR-rounds to match);
 # pl_customer_warehouse (r12 brief #6), pl_product_warehouse and
 # pl_pricing_warehouse (r12 extension: ALL FOUR reference DAGs now
-# driver-certified end-to-end on the spine pattern) are this round's
-# registrations. Then 27 of the 47 r9-latest certs (age 3).
-# The 20 deferred r9 certs (age 4 at r13 — they MUST lead the r13
+# driver-certified end-to-end on the spine pattern), and
+# dd_cluster_safe_split (r12 extension: leakage-safe splitting —
+# near-dup clusters hash as a unit) are this round's registrations.
+# Then 26 of the 47 r9-latest certs (age 3).
+# The 21 deferred r9 certs (age 4 at r13 — they MUST lead the r13
 # window) all carry standing per-round machine signal while they wait:
 # a10_product_rollup + dd_bloom_decontam + dd_minhash_pairs +
 # dd_ppjoin_pairs + dd_semantic_dedup + dd_simhash_pairs +
@@ -77,10 +79,12 @@ for _optional in (
 # salted-plan gate), dd_embedding_neardup + txt_unigram_logprob +
 # txt_vocabulary (tests/test_plans.py plan gates — the latter two
 # displaced by the product/pricing warehouse registrations;
-# dd_contamination_report displaced by the a12 touched-code re-cert).
+# dd_contamination_report displaced by the a12 touched-code re-cert),
+# sql_correlated_exists (tests/test_plans.py decorrelation plan gate —
+# displaced by the dd_cluster_safe_split registration).
 # Honest steady-state arithmetic:
-# 166 oracle-backed queries vs 50 slots/round, of which new-query
-# promotions and touched-code re-certs also claim slots (6 this round)
+# 167 oracle-backed queries vs 50 slots/round, of which new-query
+# promotions and touched-code re-certs also claim slots (7 this round)
 # — so the staleness tail runs at age <= 4, not <= 3, whenever a round
 # spends slots on new work; the deferral choice above always parks the
 # excess on machine-gated queries.
@@ -127,7 +131,8 @@ _DRIVER_WINDOW = [
     "pl_customer_warehouse",
     "pl_product_warehouse",
     "pl_pricing_warehouse",
-    # -- 27 of the 47 round-9-latest certs (age 3 -> re-certed); the 20
+    "dd_cluster_safe_split",
+    # -- 26 of the 47 round-9-latest certs (age 3 -> re-certed); the 21
     # deferred are listed in the header comment with their standing
     # gates
     "a17_percentiles",
@@ -142,7 +147,6 @@ _DRIVER_WINDOW = [
     "dd_incremental_dedup",
     "dd_jaccard_clusters",
     "sim_hard_negatives",
-    "sql_correlated_exists",
     "sql_nation_revenue",
     "sql_top_revenue_orders",
     "txt_bigram_logprob",

@@ -4422,3 +4422,75 @@ def dd_curation_classifier_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     out = curated.select("doc_id", F.col("n_tokens").cast("int").alias("n_tokens"))
     return carry_caches(out, curated, feats)
+
+
+# ---------------------------------------------------------------------------
+# Cluster-safe (leakage-safe) splitting (round 12): dd_hash_split assigns
+# splits per document, and the decontamination family REMOVES leakage
+# post-hoc — this operator PREVENTS it at assignment time by hashing the
+# near-duplicate CLUSTER, so two documents with jaccard >= 0.5
+# (transitively) can never straddle train/test. Composes two certified
+# oracles verbatim: dd_dup_clusters' recursive-CTE components over the
+# md5-portable MinHash banding, and dd_hash_split's threshold CASE.
+# ---------------------------------------------------------------------------
+
+
+_CSS_CASE = splits.split_thresholds_sql(
+    "COALESCE(c.component, d.doc_id)", _SPLIT_WEIGHTS, "split:v1"
+)
+
+
+@register(
+    "dd_cluster_safe_split",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_minhash_pairs_sql()}),
+    edges AS (
+        SELECT doc1 AS a, doc2 AS b FROM pairs
+        UNION SELECT doc2, doc1 FROM pairs
+    ),
+    reach(node, r) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.a, re.r FROM edges e JOIN reach re ON e.b = re.node
+    ),
+    comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+    SELECT d.doc_id,
+           COALESCE(c.component, d.doc_id) AS cluster_id,
+           {_CSS_CASE} AS split
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    """,
+    doc="Leakage-safe train/val/test split: near-dup clusters (the "
+    "certified MinHash banding + min-label connected components) are "
+    "hashed as a UNIT — every member inherits the cluster "
+    "representative's md5 split — so near-duplicate documents can never "
+    "straddle splits (the leakage the decontam family otherwise has to "
+    "remove post-hoc). Singletons hash their own doc_id with the same "
+    "salt, so they receive EXACTLY dd_hash_split's assignment: adopting "
+    "the cluster-safe split migrates only documents that have a "
+    "near-duplicate. Scale shape: banded candidate pairs (never "
+    "all-pairs), components over the pair graph only (bounded by dup "
+    "density, the dd_dup_clusters venue), one broadcast-or-shuffle "
+    "left join back to the corpus, then a narrow md5 map — stable "
+    "under corpus growth exactly like dd_hash_split (a new document "
+    "can only move an EXISTING one by joining its cluster, which is "
+    "the correctness requirement, not a defect). The leakage "
+    "invariant is pytest-pinned pair-by-pair; singleton parity with "
+    "dd_hash_split is pinned in the same test.",
+)
+def dd_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecommerce_etl_pipeline_spark.llmops.clustering import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    cand = dedup.minhash_candidate_pairs(docs, portable=True)
+    pairs = cand.filter(F.col("jaccard") >= 0.5)
+    comps = connected_components(pairs)
+    keyed = docs.join(
+        comps, docs.doc_id == comps.node, "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_id"),
+    )
+    out = splits.assign_splits(keyed, "cluster_id", _SPLIT_WEIGHTS).select(
+        "doc_id", "cluster_id", "split"
+    )
+    return carry_caches(out, cand, comps)

@@ -324,6 +324,10 @@ GROWTH_BASELINE = {
     # scale-flat at local SFs; growth arm widened for sub-2s ratio
     # jitter (the bm25/u5/sm9 class).
     "pl_pricing_warehouse": (1.2, 1.9),
+    # leakage-safe split: fresh 1.88x/4.412s — the growing term is the
+    # minhash candidate pass (the dd_minhash_pairs shape); components
+    # are bounded by dup density, the split a narrow md5 map.
+    "dd_cluster_safe_split": (2.2, 5.7),
 }
 TOLERANCE = 0.25
 #: report-only absolute-drift threshold: sf1 seconds > band top * this
@@ -370,6 +374,7 @@ FRESH_SF1_ANCHORS = {
     "pl_customer_warehouse": 1.519,
     "pl_product_warehouse": 5.977,
     "pl_pricing_warehouse": 1.480,
+    "dd_cluster_safe_split": 4.412,
 }
 INFLATION_WARN = 2.0
 

@@ -1557,3 +1557,47 @@ def test_mmr_bounded_state_matches_unrolled_venue(spark, sf_dir):
     assert len({b[1] for b in bounded}) == 5
     for _, _, rel, mmr in bounded:
         assert abs(mmr - 0.5 * rel) <= 0.5 + 1e-12
+
+
+def test_cluster_safe_split_leakage_invariant_and_singleton_parity(spark):
+    """dd_cluster_safe_split's two contracts: (1) LEAKAGE — every
+    near-dup candidate pair at the clustering threshold lands in ONE
+    split (the property dd_hash_split cannot give); (2) SINGLETON
+    PARITY — documents with no near-duplicate receive exactly
+    dd_hash_split's assignment (same salt, own id), so adopting the
+    cluster-safe split migrates only clustered documents."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_etl_pipeline_spark.plans.registry import get
+    from ecommerce_etl_pipeline_spark.llmops import dedup
+    from ecommerce_etl_pipeline_spark.sources.io import load_table
+
+    sf = "/root/testdata/sf0.001"
+    out = get("dd_cluster_safe_split").fn(spark, sf)
+    rows = out.collect()
+    split_of = {r["doc_id"]: r["split"] for r in rows}
+    cluster_of = {r["doc_id"]: r["cluster_id"] for r in rows}
+    assert len(rows) == load_table(spark, sf, "documents").count()
+
+    docs = load_table(spark, sf, "documents")
+    pairs = (
+        dedup.minhash_candidate_pairs(docs, portable=True)
+        .filter(F.col("jaccard") >= 0.5)
+        .collect()
+    )
+    assert pairs, "fixture has no near-dup pairs — invariant untested"
+    for p in pairs:
+        a, b = p["doc1"], p["doc2"]
+        assert split_of[a] == split_of[b], (a, b)
+        assert cluster_of[a] == cluster_of[b], (a, b)
+
+    clustered = {d for p in pairs for d in (p["doc1"], p["doc2"])}
+    base = {
+        r["doc_id"]: r["split"]
+        for r in get("dd_hash_split").fn(spark, sf).collect()
+    }
+    singles = [d for d in split_of if d not in clustered]
+    assert singles
+    for d in singles:
+        assert cluster_of[d] == d
+        assert split_of[d] == base[d], d

@@ -461,11 +461,20 @@ _PW_STRUCT = (
     "n2:bigint,amount:double,label1:string,label2:string>"
 )
 
-
-@register(
-    "pl_product_warehouse",
-    oracle=f"""
-    WITH rollup AS (
+# ---------------------------------------------------------------------------
+# pl_product_warehouse — shared SQL fragments. The composite oracle is
+# the UNION ALL of exactly these five face fragments over the same base
+# CTEs, and each fragment is ALSO registered standalone as a
+# pl_pw_face_* diagnostic (r12 VERDICT brief "Next round" #2b: the
+# composite's only driver cert attempt failed on hash, unreproducible
+# locally — a repeat failure must name the face). Version-stability pins
+# (brief #2d): quantile_cont input CAST to DOUBLE (a DECIMAL-typed input
+# engages a different interpolation path in newer DuckDB builds), the
+# comma join rewritten as explicit CROSS JOIN, and the top-100 selected
+# via ROW_NUMBER instead of ORDER-BY-LIMIT-in-subquery.
+# ---------------------------------------------------------------------------
+_PW_BASE_CTES = f"""
+    rollup AS (
         SELECT l_partkey,
                SUM(CAST(l_quantity AS BIGINT)) AS tq,
                {_SUM2('l_extendedprice')} AS tv
@@ -473,9 +482,9 @@ _PW_STRUCT = (
     ),
     edges AS (
         -- 4dp half-up-rounded on BOTH engines (quantile_bins round_dp=4)
-        SELECT FLOOR(CAST(quantile_cont(p_retailprice, 0.25) AS DOUBLE) * 10000 + 0.5) / 10000 AS q1,
-               FLOOR(CAST(quantile_cont(p_retailprice, 0.50) AS DOUBLE) * 10000 + 0.5) / 10000 AS q2,
-               FLOOR(CAST(quantile_cont(p_retailprice, 0.75) AS DOUBLE) * 10000 + 0.5) / 10000 AS q3
+        SELECT FLOOR(CAST(quantile_cont(CAST(p_retailprice AS DOUBLE), 0.25) AS DOUBLE) * 10000 + 0.5) / 10000 AS q1,
+               FLOOR(CAST(quantile_cont(CAST(p_retailprice AS DOUBLE), 0.50) AS DOUBLE) * 10000 + 0.5) / 10000 AS q2,
+               FLOOR(CAST(quantile_cont(CAST(p_retailprice AS DOUBLE), 0.75) AS DOUBLE) * 10000 + 0.5) / 10000 AS q3
         FROM part
     ),
     banded AS (
@@ -486,31 +495,50 @@ _PW_STRUCT = (
                     ELSE 'Luxury' END AS price_band,
                COALESCE(tq, 0) AS total_quantity,
                COALESCE(tv, 0.0) AS total_value
-        FROM part LEFT JOIN rollup ON p_partkey = l_partkey, edges
+        FROM part LEFT JOIN rollup ON p_partkey = l_partkey
+        CROSS JOIN edges
     )
+"""
+
+_PW_FACE_SALES = """
     SELECT 'fact_product_sales' AS warehouse_table,
            CAST(p_partkey AS VARCHAR) AS entity_key,
            total_quantity AS n1, CAST(NULL AS BIGINT) AS n2,
            total_value AS amount, p_brand AS label1, p_type AS label2
     FROM banded
-    UNION ALL
-    SELECT 'fact_category_performance', p_brand, COUNT(*),
-           SUM(total_quantity), {_SUM2('total_value')},
-           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+"""
+
+_PW_FACE_CATEGORY = f"""
+    SELECT 'fact_category_performance' AS warehouse_table,
+           p_brand AS entity_key, COUNT(*) AS n1,
+           SUM(total_quantity) AS n2, {_SUM2('total_value')} AS amount,
+           CAST(NULL AS VARCHAR) AS label1, CAST(NULL AS VARCHAR) AS label2
     FROM banded GROUP BY 2
-    UNION ALL
-    SELECT 'fact_price_bands', price_band, COUNT(*), CAST(NULL AS BIGINT),
-           CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+"""
+
+_PW_FACE_BANDS = """
+    SELECT 'fact_price_bands' AS warehouse_table,
+           price_band AS entity_key, COUNT(*) AS n1, CAST(NULL AS BIGINT) AS n2,
+           CAST(NULL AS DOUBLE) AS amount,
+           CAST(NULL AS VARCHAR) AS label1, CAST(NULL AS VARCHAR) AS label2
     FROM banded GROUP BY 2
-    UNION ALL
-    SELECT 'fact_top_products', CAST(p_partkey AS VARCHAR), total_quantity,
-           CAST(NULL AS BIGINT), total_value, p_brand, p_type
-    FROM (SELECT * FROM banded ORDER BY total_value DESC, p_partkey LIMIT 100)
-    UNION ALL
-    SELECT 'fact_product_pairs',
-           CAST(product1 AS VARCHAR) || '-' || CAST(product2 AS VARCHAR),
-           pair_count, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
-           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+"""
+
+_PW_FACE_TOP = """
+    SELECT 'fact_top_products' AS warehouse_table,
+           CAST(p_partkey AS VARCHAR) AS entity_key, total_quantity AS n1,
+           CAST(NULL AS BIGINT) AS n2, total_value AS amount,
+           p_brand AS label1, p_type AS label2
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY total_value DESC, p_partkey) AS rn
+          FROM banded) ranked
+    WHERE rn <= 100
+"""
+
+_PW_FACE_PAIRS = """
+    SELECT 'fact_product_pairs' AS warehouse_table,
+           CAST(product1 AS VARCHAR) || '-' || CAST(product2 AS VARCHAR) AS entity_key,
+           pair_count AS n1, CAST(NULL AS BIGINT) AS n2, CAST(NULL AS DOUBLE) AS amount,
+           CAST(NULL AS VARCHAR) AS label1, CAST(NULL AS VARCHAR) AS label2
     FROM (
         SELECT a.l_partkey AS product1, b.l_partkey AS product2,
                COUNT(*) AS pair_count
@@ -519,59 +547,154 @@ _PW_STRUCT = (
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         GROUP BY 1, 2
     )
+"""
+
+
+def _product_base(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """The product DAG's shared per-part base: banded part LEFT JOIN one
+    lineitem rollup, quartile edges computed ONCE (one eager edge job —
+    ADVICE r12 #4 fixed the double quantile_bins invocation) and 4dp
+    half-up-rounded before the ``<=`` comparisons (boundary doctrine).
+    Returns (base, lineitem) so the pairs face reuses the same scan
+    definition. Mirrors the composite oracle's ``banded`` CTE exactly."""
+    from ecommerce_etl_pipeline_spark.functions.binning import (
+        bucket_by_edges,
+        quantile_edges,
+        round_edges,
+    )
+    from ecommerce_etl_pipeline_spark.functions.exact_agg import exact_sum
+
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    rollup = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("tq"),
+        exact_sum("l_extendedprice").alias("tv"),
+    )
+    edges = round_edges(
+        quantile_edges(part, "p_retailprice", [0.25, 0.50, 0.75])
+    )
+    banded = part.withColumn(
+        "price_band",
+        bucket_by_edges(
+            F.col("p_retailprice"),
+            edges,
+            ["Budget", "Medium", "Premium", "Luxury"],
+        ),
+    )
+    base = banded.join(rollup, banded.p_partkey == rollup.l_partkey, "left").select(
+        "p_partkey",
+        "p_brand",
+        "p_type",
+        "price_band",
+        F.coalesce(F.col("tq"), F.lit(0).cast("bigint")).alias("total_quantity"),
+        F.coalesce(F.col("tv"), F.lit(0.0)).alias("total_value"),
+    )
+    return base, li
+
+
+def _product_pairs(li: DataFrame) -> DataFrame:
+    """Market-basket pairs on the warehouse spine: the J7 HOF expansion
+    over ONE lineitem scan — no self-join. Value-strict i<j expansion
+    over the raw MULTISET (duplicate parts within an order multiply the
+    pair count, the pipeline's self-join semantics — contrast n4's
+    collect_set/DISTINCT face; property-tested vs itertools in
+    tests/test_properties.py)."""
+    from ecommerce_etl_pipeline_spark.operators.parallelism import (
+        repartition_for_collect,
+    )
+
+    baskets = (
+        repartition_for_collect(li.select("l_orderkey", "l_partkey"), "l_orderkey")
+        .groupBy("l_orderkey")
+        .agg(F.collect_list("l_partkey").alias("parts"))
+    )
+    return (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    """
+                    flatten(transform(parts, x ->
+                        transform(filter(parts, y -> x < y), y ->
+                            struct(x AS product1, y AS product2))))
+                    """
+                )
+            ).alias("pair")
+        )
+        .groupBy(
+            F.col("pair.product1").alias("product1"),
+            F.col("pair.product2").alias("product2"),
+        )
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .select(
+            F.lit("fact_product_pairs").alias("warehouse_table"),
+            F.concat_ws(
+                "-",
+                F.col("product1").cast("string"),
+                F.col("product2").cast("string"),
+            ).alias("entity_key"),
+            F.col("pair_count").cast("bigint").alias("n1"),
+            F.lit(None).cast("bigint").alias("n2"),
+            F.lit(None).cast("double").alias("amount"),
+            F.lit(None).cast("string").alias("label1"),
+            F.lit(None).cast("string").alias("label2"),
+        )
+    )
+
+
+@register(
+    "pl_product_warehouse",
+    oracle=f"""
+    WITH {_PW_BASE_CTES}
+    {_PW_FACE_SALES}
+    UNION ALL
+    {_PW_FACE_CATEGORY}
+    UNION ALL
+    {_PW_FACE_BANDS}
+    UNION ALL
+    {_PW_FACE_TOP}
+    UNION ALL
+    {_PW_FACE_PAIRS}
     """,
     doc="The reference's product_analytics DAG certified END-TO-END as one "
     "query: all five warehouse tables (per-part sales rollup with "
     "zero-fill, per-brand category performance, exact-quartile price "
     "bands, deterministic top-100 products, market-basket pairs) on one "
     "(warehouse_table, entity_key, n1, n2, amount, label1, label2) "
-    "spine. Scale shape of the REGISTERED venue: the per-part base "
-    "(banded part LEFT JOIN one lineitem rollup) is computed once and "
-    "fanned through a 3-set GROUPING SETS (part grain / brand / band — "
-    "one Expand(x3) over PART-grain rows, the cheap side); the top-100 "
-    "face is a TakeOrderedAndProject branch over the same base "
-    "definition (a second scan pair, bounded output — at 100 TB you "
-    "materialize the base once, the reference's XCom shape); the pairs "
-    "face is the J7 HOF expansion over ONE lineitem scan — NO self-join "
-    "(the union-of-pipeline twin pays 5 part + 5 lineitem scans "
-    "including a lineitem self-join). Ordering doctrine: top-100 orders "
-    "by the 2dp-rounded exact-decimal total_value with p_partkey "
-    "tiebreak, so both engines pick the identical set. Category "
-    "aggregates the ROUNDED per-part doubles via exact decimal — the "
-    "pipeline's two-level rounding, replicated. Reference "
+    "spine. Scale shape of the REGISTERED venue (single-derivation since "
+    "r13, VERDICT r12 brief #3): the per-part base (banded part LEFT "
+    "JOIN one lineitem rollup, ONE eager 4dp-rounded quantile-edge job) "
+    "is computed ONCE and MATERIALIZED (persist locally; at 100 TB the "
+    "reference's extract->XCom parquet handoff — the base is part-grain, "
+    "dimension-sized); the GROUPING SETS fan (part grain / brand / band, "
+    "one Expand(x3)) and the top-100 TakeOrderedAndProject both read the "
+    "materialized base, so ONE part scan + ONE lineitem rollup feed both "
+    "faces; the pairs face is the J7 HOF expansion over "
+    "ONE lineitem scan — NO self-join (the union-of-pipeline twin pays "
+    "5 part + 5 lineitem scans including a lineitem self-join). "
+    "Ordering doctrine: top-100 orders by the 2dp-rounded exact-decimal "
+    "total_value with p_partkey tiebreak, so both engines pick the "
+    "identical set. Category aggregates the ROUNDED per-part doubles "
+    "via exact decimal — the pipeline's two-level rounding, replicated. "
+    "Oracle pinned to version-stable forms (r13): quantile_cont over an "
+    "explicit DOUBLE cast, CROSS JOIN instead of comma join, top-100 "
+    "via ROW_NUMBER. Per-face diagnostic twins: pl_pw_face_*. Reference "
     "product_analytics_dag.py:96-206.",
 )
 def pl_product_warehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    part = load_table(spark, sf_dir, "part")
-    li = load_table(spark, sf_dir, "lineitem")
+    base, li = _product_base(spark, sf_dir)
+    # Materialize the base ONCE (the reference's extract->XCom handoff;
+    # at 100 TB this is a write_table parquet handoff, locally a spill-
+    # safe persist). Measured alternative rejected: deriving the top-100
+    # from the fan's exploded output does NOT reuse the grouping-sets
+    # exchange (the nested-ReusedExchange limitation — the fan branch
+    # holds the original broadcast exchange, the top branch its Reused
+    # twin, so the agg exchanges no longer canonicalize equal) and pays
+    # a second part scan PLUS a duplicated Expand+shuffle. The cache is
+    # part-grain (dimension-sized, bounded by |part|), released by
+    # consumers via the retained_caches contract.
+    base = base.persist()
 
-    def base_frame() -> DataFrame:
-        from ecommerce_etl_pipeline_spark.functions.exact_agg import exact_sum
-
-        rollup = li.groupBy("l_partkey").agg(
-            F.sum(F.col("l_quantity").cast("bigint")).alias("tq"),
-            exact_sum("l_extendedprice").alias("tv"),
-        )
-        banded = quantile_bins(
-            part,
-            "p_retailprice",
-            ["Budget", "Medium", "Premium", "Luxury"],
-            out="price_band",
-        )
-        return banded.join(
-            rollup, banded.p_partkey == rollup.l_partkey, "left"
-        ).select(
-            "p_partkey",
-            "p_brand",
-            "p_type",
-            "price_band",
-            F.coalesce(F.col("tq"), F.lit(0).cast("bigint")).alias(
-                "total_quantity"
-            ),
-            F.coalesce(F.col("tv"), F.lit(0.0)).alias("total_value"),
-        )
-
-    base = base_frame().withColumns(
+    fan_in = base.withColumns(
         {
             # duplicates used ONLY as aggregate inputs (Expand nulls
             # grouping columns per set — the warehouse-fusion pattern)
@@ -579,7 +702,7 @@ def pl_product_warehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
             "_tv": F.col("total_value"),
         }
     )
-    g = base.groupingSets(
+    g = fan_in.groupingSets(
         [
             ["p_partkey", "p_brand", "p_type", "total_quantity", "total_value"],
             ["p_brand"],
@@ -638,9 +761,12 @@ def pl_product_warehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("face.*")
     )
 
+    # Top-100 = TakeOrderedAndProject over the SAME materialized base
+    # (r12 VERDICT brief #3 / ADVICE #4): no second part scan, no second
+    # lineitem rollup, no second eager edge job — both faces feed off
+    # one base derivation.
     top = (
-        base_frame()
-        .orderBy(F.desc("total_value"), F.asc("p_partkey"))
+        base.orderBy(F.desc("total_value"), F.asc("p_partkey"))
         .limit(100)
         .select(
             F.lit("fact_top_products").alias("warehouse_table"),
@@ -652,54 +778,11 @@ def pl_product_warehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_type").cast("string").alias("label2"),
         )
     )
-
-    from ecommerce_etl_pipeline_spark.operators.parallelism import (
-        repartition_for_collect,
-    )
-
-    baskets = (
-        repartition_for_collect(
-            li.select("l_orderkey", "l_partkey"), "l_orderkey"
-        )
-        .groupBy("l_orderkey")
-        .agg(F.collect_list("l_partkey").alias("parts"))
-    )
-    # value-strict i<j expansion over the raw MULTISET (the pipeline's
-    # self-join semantics: duplicate parts within an order multiply the
-    # pair count; contrast n4's collect_set/DISTINCT face) — one
-    # lineitem scan, no self-join, blow-up bounded by max items/order
-    pairs = (
-        baskets.select(
-            F.explode(
-                F.expr(
-                    """
-                    flatten(transform(parts, x ->
-                        transform(filter(parts, y -> x < y), y ->
-                            struct(x AS product1, y AS product2))))
-                    """
-                )
-            ).alias("pair")
-        )
-        .groupBy(
-            F.col("pair.product1").alias("product1"),
-            F.col("pair.product2").alias("product2"),
-        )
-        .agg(F.count(F.lit(1)).alias("pair_count"))
-        .select(
-            F.lit("fact_product_pairs").alias("warehouse_table"),
-            F.concat_ws(
-                "-",
-                F.col("product1").cast("string"),
-                F.col("product2").cast("string"),
-            ).alias("entity_key"),
-            F.col("pair_count").cast("bigint").alias("n1"),
-            F.lit(None).cast("bigint").alias("n2"),
-            F.lit(None).cast("double").alias("amount"),
-            F.lit(None).cast("string").alias("label1"),
-            F.lit(None).cast("string").alias("label2"),
-        )
-    )
-    return fanned.unionByName(top).unionByName(pairs)
+    out = fanned.unionByName(top).unionByName(_product_pairs(li))
+    # release handle for sequential consumers (bench/cost_report); the
+    # concurrent sweep retains deliberately (check_correctness docstring)
+    out.retained_caches = [base]
+    return out
 
 
 def product_warehouse_union(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -762,6 +845,126 @@ def product_warehouse_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(top)
         .unionByName(pairs)
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-face diagnostic slices of pl_product_warehouse (r12 VERDICT brief
+# #2b). Each registers ONE face of the composite, its oracle the SAME
+# SQL fragment the composite's UNION ALL uses — so if the composite's
+# driver hash ever goes red again (r12: hash_match=false, rows/schema
+# green, unreproducible locally in 5 driver-faithful bit-exact repros),
+# the driver itself localizes the divergence to a face. Spark sides
+# share _product_base/_product_pairs with the composite.
+# ---------------------------------------------------------------------------
+
+_PW_DIAG_DOC = (
+    " Diagnostic slice of pl_product_warehouse (r12 brief #2b): same "
+    "face SQL as the composite's UNION branch, same spine column names, "
+    "shared _product_base — a driver red on the composite plus greens "
+    "here names the diverging face."
+)
+
+
+def _pw_spine_select(df: DataFrame, table: str, key, n1, n2, amount, label1, label2) -> DataFrame:
+    return df.select(
+        F.lit(table).alias("warehouse_table"),
+        key.cast("string").alias("entity_key"),
+        n1.cast("bigint").alias("n1"),
+        n2.cast("bigint").alias("n2"),
+        amount.cast("double").alias("amount"),
+        label1.cast("string").alias("label1"),
+        label2.cast("string").alias("label2"),
+    )
+
+
+_NULL_B = F.lit(None).cast("bigint")
+_NULL_D = F.lit(None).cast("double")
+_NULL_S = F.lit(None).cast("string")
+
+
+@register(
+    "pl_pw_face_sales",
+    oracle=f"WITH {_PW_BASE_CTES} {_PW_FACE_SALES}",
+    doc="fact_product_sales face: the per-part banded base (zero-filled "
+    "lineitem rollup LEFT-joined to quartile-banded part) at part grain "
+    "— one part scan, one lineitem rollup, one 4dp-rounded edge job."
+    + _PW_DIAG_DOC,
+)
+def pl_pw_face_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base, _ = _product_base(spark, sf_dir)
+    return _pw_spine_select(
+        base, "fact_product_sales", F.col("p_partkey"),
+        F.col("total_quantity"), _NULL_B, F.col("total_value"),
+        F.col("p_brand"), F.col("p_type"),
+    )
+
+
+@register(
+    "pl_pw_face_category",
+    oracle=f"WITH {_PW_BASE_CTES} {_PW_FACE_CATEGORY}",
+    doc="fact_category_performance face: per-brand counts and exact-"
+    "decimal sums of the ROUNDED per-part doubles (the pipeline's "
+    "two-level rounding)." + _PW_DIAG_DOC,
+)
+def pl_pw_face_category(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base, _ = _product_base(spark, sf_dir)
+    agg = base.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("total_quantity").alias("sum_tq"),
+        portable_round(
+            F.sum(dec("total_value", 2)).cast("double"), 2
+        ).alias("sum_tv"),
+    )
+    return _pw_spine_select(
+        agg, "fact_category_performance", F.col("p_brand"),
+        F.col("cnt"), F.col("sum_tq"), F.col("sum_tv"), _NULL_S, _NULL_S,
+    )
+
+
+@register(
+    "pl_pw_face_bands",
+    oracle=f"WITH {_PW_BASE_CTES} {_PW_FACE_BANDS}",
+    doc="fact_price_bands face: part counts per exact-quartile price "
+    "band (4dp half-up-rounded edges on both engines — the boundary "
+    "doctrine)." + _PW_DIAG_DOC,
+)
+def pl_pw_face_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base, _ = _product_base(spark, sf_dir)
+    agg = base.groupBy("price_band").agg(F.count(F.lit(1)).alias("cnt"))
+    return _pw_spine_select(
+        agg, "fact_price_bands", F.col("price_band"),
+        F.col("cnt"), _NULL_B, _NULL_D, _NULL_S, _NULL_S,
+    )
+
+
+@register(
+    "pl_pw_face_top",
+    oracle=f"WITH {_PW_BASE_CTES} {_PW_FACE_TOP}",
+    doc="fact_top_products face: deterministic top-100 by 2dp-rounded "
+    "exact-decimal total_value with integer p_partkey tiebreak "
+    "(TakeOrderedAndProject; oracle via ROW_NUMBER — version-stable "
+    "form)." + _PW_DIAG_DOC,
+)
+def pl_pw_face_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base, _ = _product_base(spark, sf_dir)
+    top = base.orderBy(F.desc("total_value"), F.asc("p_partkey")).limit(100)
+    return _pw_spine_select(
+        top, "fact_top_products", F.col("p_partkey"),
+        F.col("total_quantity"), _NULL_B, F.col("total_value"),
+        F.col("p_brand"), F.col("p_type"),
+    )
+
+
+@register(
+    "pl_pw_face_pairs",
+    oracle=_PW_FACE_PAIRS,
+    doc="fact_product_pairs face: market-basket pair counts — the J7 "
+    "HOF multiset expansion over ONE lineitem scan (no self-join; the "
+    "oracle replays the reference's self-join form, value-equal by the "
+    "property-tested multiset semantics)." + _PW_DIAG_DOC,
+)
+def pl_pw_face_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _product_pairs(load_table(spark, sf_dir, "lineitem"))
 
 
 @register(

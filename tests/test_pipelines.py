@@ -282,22 +282,33 @@ def test_product_warehouse_fused_matches_union_form(spark):
             for r in df.collect()
         )
 
-    union_rows = canon(product_warehouse_union(spark, SF))
-    fused_rows = canon(pl_product_warehouse(spark, SF))
+    union_df = product_warehouse_union(spark, SF)
+    fused_df = pl_product_warehouse(spark, SF)
+    union_rows = canon(union_df)
+    fused_rows = canon(fused_df)
     assert len(union_rows) > 0
     assert union_rows == fused_rows
-    # the registered plan never self-joins lineitem: the pairs face is
-    # the HOF expansion, and the Expand marks the grouping-sets fusion
-    plan = (
-        pl_product_warehouse(spark, SF)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
-    assert "Expand" in plan
-    assert "SortMergeJoin" not in plan or "l_orderkey" not in plan.split(
-        "SortMergeJoin"
-    )[1][:200], "pairs face regressed to a lineitem self-join"
+    for c in getattr(fused_df, "retained_caches", []):
+        c.unpersist()
+    # Plan gates (ADVICE r12 #3 hardened these from a first-SMJ substring
+    # peek to strategy-independent structural counts):
+    # - single derivation: the part-grain base is materialized once and
+    #   BOTH the grouping-sets fan and the top-100 branch read the cache
+    # - exactly one Expand (one fused fan, never a duplicated rollup)
+    # - the pairs face never joins lineitem to itself: NO join node of
+    #   ANY strategy may carry l_orderkey (the basket build is a groupBy,
+    #   not a join)
+    probe = pl_product_warehouse(spark, SF)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    for c in getattr(probe, "retained_caches", []):
+        c.unpersist()
+    assert plan.count("InMemoryTableScan") == 2, plan
+    assert plan.count("Expand") == 1, plan
+    for line in plan.splitlines():
+        if "Join" in line and "l_orderkey" in line:
+            raise AssertionError(
+                f"pairs face regressed to a lineitem self-join: {line}"
+            )
 
 
 def test_pricing_warehouse_fused_matches_union_form(spark):

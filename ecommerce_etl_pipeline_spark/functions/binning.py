@@ -88,5 +88,11 @@ def quantile_bins(
 
 def fixed_bins(c: Column, edges: Sequence[float], labels: Sequence[str]) -> Column:
     """pandas ``cut(x, bins=[-inf, *edges, inf], labels=labels)`` (W2) —
-    right-closed fixed intervals, reference customer_analytics_dag.py:88-92."""
+    right-closed fixed intervals, reference customer_analytics_dag.py:88-92.
+
+    NULL handling is the CALLER's job: the when-chain's ``otherwise``
+    catches NULL input and labels it ``labels[-1]``, whereas pandas
+    ``cut`` maps NaN to NaN — callers whose input can be NULL must guard
+    with ``F.when(c.isNotNull(), fixed_bins(...))`` (and mirror the guard
+    in their oracle's CASE — ADVICE r12 #2)."""
     return bucket_by_edges(c, edges, labels)

@@ -87,9 +87,16 @@ def customer_pipeline(
             "c_acctbal",
             "c_mktsegment",
             tenure.alias("tenure_days"),
-            fixed_bins(tenure, [9125, 9490, 10220], ["New", "Regular", "Loyal", "VIP"]).alias(
-                "segment"
-            ),
+            # NULL tenure (customer with no orders) -> NULL segment: the
+            # reference's pandas.cut maps NaN to NaN
+            # (customer_analytics_dag.py:88-92); an unguarded when-chain
+            # would fall through to the 'VIP' else-branch (ADVICE r12 #2)
+            F.when(
+                tenure.isNotNull(),
+                fixed_bins(
+                    tenure, [9125, 9490, 10220], ["New", "Regular", "Loyal", "VIP"]
+                ),
+            ).alias("segment"),
         )
     )
     location_stats = customer.join(

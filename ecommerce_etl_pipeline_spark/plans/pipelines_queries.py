@@ -256,7 +256,8 @@ _CW_STRUCT = (
            CAST(tenure_days AS BIGINT) AS n1,
            CAST(NULL AS BIGINT) AS n2,
            CAST(c_acctbal AS DOUBLE) AS amount,
-           CASE WHEN tenure_days <= 9125 THEN 'New'
+           CASE WHEN tenure_days IS NULL THEN CAST(NULL AS VARCHAR)
+                WHEN tenure_days <= 9125 THEN 'New'
                 WHEN tenure_days <= 9490 THEN 'Regular'
                 WHEN tenure_days <= 10220 THEN 'Loyal'
                 ELSE 'VIP' END AS label1,
@@ -294,7 +295,10 @@ _CW_STRUCT = (
     "certified via customer_warehouse_union, pinned row-for-row equal in "
     "tests/test_pipelines.py. Segment edges are fixed integers (no "
     "quantile interpolation), money via exact decimal, ratios via the "
-    "portable_round formula on both engines.",
+    "portable_round formula on both engines. NULL tenure (customers "
+    "with no orders) yields NULL segment on both engines since r13 "
+    "(ADVICE r12 #2 — pandas.cut maps NaN to NaN; the previous "
+    "else-branch mislabeled them 'VIP').",
 )
 def pl_customer_warehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ecommerce_etl_pipeline_spark.functions.binning import fixed_bins
@@ -318,8 +322,14 @@ def pl_customer_warehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_mktsegment",
             "n_name",
             tenure.alias("tenure_days"),
-            fixed_bins(
-                tenure, [9125, 9490, 10220], ["New", "Regular", "Loyal", "VIP"]
+            # NULL tenure (no orders, ~1/3 of TPC-H customers) -> NULL
+            # segment, matching pandas.cut's NaN -> NaN (ADVICE r12 #2:
+            # the unguarded else-branch mislabeled them 'VIP')
+            F.when(
+                tenure.isNotNull(),
+                fixed_bins(
+                    tenure, [9125, 9490, 10220], ["New", "Regular", "Loyal", "VIP"]
+                ),
             ).alias("segment"),
             "order_count",
             "active_days",

@@ -23,6 +23,44 @@ def test_sales_pipeline(spark):
     assert total == n_orders
 
 
+def test_customer_segment_null_tenure(spark, tmp_path):
+    """A customer with NO orders gets a NULL segment, not 'VIP' (ADVICE
+    r12 #2: pandas.cut maps NaN to NaN; the unguarded fixed_bins
+    else-branch mislabeled NULL tenure as the highest band). The
+    driver corpus has no order-less customers, so the case is
+    constructed: copy the sf0.001 tables and add one customer whose key
+    matches no order."""
+    import shutil
+
+    src = SF
+    dst = str(tmp_path / "sf_nullcase")
+    shutil.copytree(src, dst)
+    cust = load_table(spark, src, "customer")
+    extra = spark.createDataFrame(
+        [(999999999, "no-orders", 0, 0.0, "BUILDING")], cust.schema
+    )
+    cust.unionByName(extra).write.mode("overwrite").parquet(
+        f"{dst}/customer.parquet"
+    )
+    out = customer_pipeline(spark, dst)
+    row = out["dim_customer"].filter("c_custkey = 999999999").collect()
+    assert len(row) == 1
+    assert row[0]["tenure_days"] is None
+    assert row[0]["segment"] is None, "NULL tenure must not fall into 'VIP'"
+    # the registered fused venue agrees
+    from ecommerce_etl_pipeline_spark.plans.pipelines_queries import (
+        pl_customer_warehouse,
+    )
+
+    w = (
+        pl_customer_warehouse(spark, dst)
+        .filter("warehouse_table = 'dim_customer' AND entity_key = '999999999'")
+        .collect()
+    )
+    assert len(w) == 1
+    assert w[0]["n1"] is None and w[0]["label1"] is None
+
+
 def test_customer_pipeline(spark):
     out = customer_pipeline(spark, SF)
     n_cust = load_table(spark, SF, "customer").count()

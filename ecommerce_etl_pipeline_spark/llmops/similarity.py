@@ -1085,14 +1085,21 @@ def pq_encode(
       tests/test_similarity_recall.py pins the two kernels code-for-code
       on the full embeddings fixture.
 
-    The kernels agree BIT-FOR-BIT by construction, not luck: both read
-    the same JVM-normalized ``_unit_vec`` doubles, (a-b)*(a-b) is one
-    IEEE sub+mul either way, the JVM fold accumulates left-to-right and
-    numpy's last-axis sum is sequential below its 128-element pairwise
-    block (sub-dims are dim/m, far under it), and ties break to the
-    lower code on both (struct least / first argmin). The encode feeds
-    rows-only queries, so the no-Python-in-oracle-paths gate does not
-    bind; the UDF is Arrow-batched, never row-at-a-time."""
+    Kernel parity is EMPIRICAL, not structural (ADVICE r12 #1 corrected
+    the earlier 'bit-for-bit by construction' claim): both kernels read
+    the same JVM-normalized ``_unit_vec`` doubles and (a-b)*(a-b) is one
+    IEEE sub+mul either way, but numpy's last-axis sum uses an 8-way
+    multi-accumulator pairwise reduction for 8 <= n <= 128 (NOT a
+    sequential fold — the fixture's sub-dim is exactly 8), so individual
+    distances can differ from the JVM's left-to-right fold in the last
+    ulp. The kernels agree on CODES because argmin margins in real data
+    exceed 1 ulp — pinned on the full embeddings fixture in
+    tests/test_similarity_recall.py, and any consumer needing
+    fold-exact distances (e.g. an oracle-backed ADC face) must pass
+    ``kernel="jvm"``. Ties break to the lower code on both (struct
+    least / first argmin). The arrow encode feeds rows-only queries, so
+    the no-Python-in-oracle-paths gate does not bind; the UDF is
+    Arrow-batched, never row-at-a-time."""
     sub = len(codebooks[0][0])
     out = _unit_vec(df, vec_col, "_uvenc")
     if kernel == "arrow":

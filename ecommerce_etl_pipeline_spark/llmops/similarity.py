@@ -1167,6 +1167,7 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
+    kernel: str = "arrow",
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over PQ codes: each query builds a
     driver-side m x |codebook| lookup table of exact subspace distances
@@ -1187,6 +1188,11 @@ def pq_topk(
             corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)),
             codebooks,
             vec_col=vec_col,
+            # kernel="jvm" gives fold-exact distances (sequential
+            # left-to-right, bit-identical to a DuckDB list_sum twin) —
+            # what the oracle-backed pq_adc_topk face passes; the arrow
+            # default is the throughput path (parity pinned on codes)
+            kernel=kernel,
         ).select("neighbor_id", *[f"_pq{j}" for j in range(m)])
     )
     qrows = (

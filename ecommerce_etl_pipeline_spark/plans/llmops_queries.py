@@ -2272,6 +2272,125 @@ def sim_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# sim_pq_adc_topk (round 13, VERDICT r12 brief #5): puts the driver's
+# hash behind the PQ ENCODE + ADC + RANK legs — the heaviest rows-only
+# ANN path — by fixing the quantizer at its deterministic seed state
+# (max_iterations=0: codebook j = unit-subvectors of the 16 lowest-id
+# corpus rows, pure data selection, no FP-order-sensitive k-means means)
+# so the ENTIRE pipeline unrolls into DuckDB CTEs. Bit-parity chain:
+# unit vectors via the certified list_sum fold (the cosine precedent),
+# code assignment by the JVM encode kernel (kernel="jvm" — sequential
+# left-to-right fold, bit-identical to list_sum; the arrow kernel's
+# pairwise sums can differ in the last ulp at sub-dim 8, ADVICE r12 #1),
+# ADC via Python-sequential LUT sums == the oracle's per-subspace folds,
+# raw-double ordering with id tiebreak (the certified-cosine exception).
+# The TRAINED operating point stays covered by sim_pq_rerank /
+# sim_ivfpq_rerank (recall- and determinism-pinned rows-only).
+# ---------------------------------------------------------------------------
+_ADC_M, _ADC_KCB, _ADC_SUB = 8, 16, 8
+_ADC_UNIT = """
+    uv AS (
+        SELECT vec_id,
+               CASE WHEN list_sum(list_transform(embedding,
+                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) = 0
+                    THEN list_transform(embedding, x -> CAST(x AS DOUBLE))
+                    ELSE list_transform(embedding, x -> CAST(x AS DOUBLE) /
+                         sqrt(list_sum(list_transform(embedding,
+                              y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))))
+               END AS v
+        FROM embeddings
+    )
+"""
+
+
+def _adc_term(j: int) -> str:
+    """Fold-exact squared L2 between query subspace j and the seed row
+    joined as alias s{j} — the same expression shape list_sum certifies
+    in the cosine oracles (sequential fold == the JVM/Python sums)."""
+    off = j * _ADC_SUB
+    return (
+        f"list_sum(list_transform(generate_series(1, {_ADC_SUB}), "
+        f"i -> (q.v[{off} + i] - s{j}.sv[{off} + i]) "
+        f"* (q.v[{off} + i] - s{j}.sv[{off} + i])))"
+    )
+
+
+_ADC_CODE_COLS = ", ".join(
+    f"MAX(CASE WHEN j = {j} THEN code END) AS c{j}" for j in range(_ADC_M)
+)
+_ADC_SEED_JOINS = "\n        ".join(
+    f"JOIN seeds s{j} ON s{j}.sid = t.c{j}" for j in range(_ADC_M)
+)
+_ADC_DIST = " + ".join(_adc_term(j) for j in range(_ADC_M))
+
+
+@register(
+    "sim_pq_adc_topk",
+    oracle=f"""
+    WITH {_ADC_UNIT},
+    seeds AS (SELECT vec_id AS sid, v AS sv FROM uv WHERE vec_id < {_ADC_KCB}),
+    subdist AS (
+        SELECT u.vec_id, jj.j, s.sid,
+               list_sum(list_transform(generate_series(1, {_ADC_SUB}),
+                   i -> (u.v[jj.j * {_ADC_SUB} + i] - s.sv[jj.j * {_ADC_SUB} + i])
+                      * (u.v[jj.j * {_ADC_SUB} + i] - s.sv[jj.j * {_ADC_SUB} + i]))) AS d2
+        FROM uv u
+        CROSS JOIN (SELECT unnest(generate_series(0, {_ADC_M - 1})) AS j) jj
+        CROSS JOIN seeds s
+    ),
+    codes AS (
+        SELECT vec_id, {_ADC_CODE_COLS}
+        FROM (SELECT vec_id, j, sid AS code,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                        ORDER BY d2, sid) AS rn
+              FROM subdist)
+        WHERE rn = 1
+        GROUP BY vec_id
+    ),
+    q AS (SELECT vec_id AS query_id, v FROM uv WHERE vec_id < 5),
+    scored AS (
+        SELECT q.query_id, t.vec_id AS neighbor_id,
+               {_ADC_DIST} AS adc_dist
+        FROM codes t
+        CROSS JOIN q
+        {_ADC_SEED_JOINS}
+        WHERE t.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id, {sql_round('adc_dist', 6)} AS adc_dist,
+           CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY adc_dist, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= 10
+    """,
+    doc="Oracle-backed PQ ADC top-10 (r13, VERDICT r12 brief #5 — rows-"
+    "only tail 7 -> 6): seeds-only codebooks (m=8, k=16, 0 k-means "
+    "iterations — unit-subvectors of the 16 lowest-id rows, exact data "
+    "selection) so encode, per-query LUTs, ADC sums and ranking all "
+    "replay in single-statement SQL; the corpus scan reads only the m "
+    "int codes (the 32x narrower ADC scan). kernel='jvm' for fold-exact "
+    "distances; ordering by raw fold-identical doubles with id tiebreak "
+    "(the certified-cosine exception). The TRAINED quantizer operating "
+    "point remains sim_pq_rerank/sim_ivfpq_rerank (recall-pinned). "
+    "llmops/similarity.py::pq_train(max_iterations=0)/pq_topk.",
+)
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = similarity.pq_train(
+        emb, m=_ADC_M, k=_ADC_KCB, max_iterations=0
+    )
+    res = similarity.pq_topk(
+        emb, emb.filter(F.col("vec_id") < 5), books, k=10, kernel="jvm"
+    )
+    return res.select(
+        "query_id",
+        "neighbor_id",
+        portable_round(F.col("adc_dist"), 6).alias("adc_dist"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 @register(
     "dd_embedding_neardup",
     oracle=f"""

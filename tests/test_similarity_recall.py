@@ -289,11 +289,13 @@ def test_ivfpq_recall_and_exactness(spark, sf_dir):
 def test_pq_encode_arrow_kernel_matches_jvm_fold(spark, sf_dir):
     """The vectorized Arrow encode kernel (r11 VERDICT brief #3) is
     pinned CODE-FOR-CODE against the retained JVM HOF fold on the full
-    embeddings fixture: both kernels read the same JVM-normalized unit
-    vectors, accumulate subspace distances in the same sequential order
-    (numpy's last-axis sum is sequential below its 128-element pairwise
-    block), and break ties to the lower code — so equality is by
-    construction, and this pin catches either side drifting. Null and
+    embeddings fixture. Parity is EMPIRICAL, not structural (ADVICE r12
+    #1 corrected the earlier claim): numpy's last-axis sum uses an 8-way
+    pairwise reduction for 8 <= n <= 128 — the fixture's sub-dim is
+    exactly 8 — so individual DISTANCES can differ from the JVM's
+    sequential fold in the last ulp; the CODES agree because argmin
+    margins exceed 1 ulp on real data, which is precisely what this pin
+    checks (ties break to the lower code on both). Null and
     width-mismatched vectors yield NULL codes on both kernels."""
     from ecommerce_etl_pipeline_spark.llmops.similarity import pq_encode, pq_train
 
@@ -321,3 +323,45 @@ def test_pq_encode_arrow_kernel_matches_jvm_fold(spark, sf_dir):
         for r in pq_encode(bad, books, kernel="arrow").select(*cols).collect()
     }
     assert got == {1: (None,) * 8, 2: (None,) * 8}
+
+
+def test_pq_adc_fold_is_bit_exact_vs_duckdb(spark, sf_dir):
+    """The sim_pq_adc_topk parity chain holds BIT-FOR-BIT, not just to
+    the oracle compare's 6-sig-digit canon: with seeds-only codebooks
+    (max_iterations=0) and kernel="jvm", every ranked pair's raw ADC
+    distance equals the DuckDB replay's double exactly (unit-vec fold ==
+    list_sum, JVM sub-distance fold == list_sum, Python LUT sums ==
+    per-subspace folds, left-assoc m-term add both sides). A red here
+    means a kernel/fold regression that would surface as a driver hash
+    miss on sim_pq_adc_topk."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    import ecommerce_etl_pipeline_spark.plans  # noqa: F401
+    from ecommerce_etl_pipeline_spark.llmops import similarity
+    from ecommerce_etl_pipeline_spark.plans.registry import _REGISTRY
+    from tests.oracle import run_oracle
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = similarity.pq_train(emb, m=8, k=16, max_iterations=0)
+    res = similarity.pq_topk(
+        emb, emb.filter(F.col("vec_id") < 5), books, k=10, kernel="jvm"
+    )
+    got = {(r["query_id"], r["neighbor_id"]): r["adc_dist"] for r in res.collect()}
+
+    raw_sql = _REGISTRY["sim_pq_adc_topk"].oracle.replace(
+        "FLOOR((adc_dist) * 1000000 + 0.5) / 1000000", "adc_dist"
+    )
+    assert raw_sql != _REGISTRY["sim_pq_adc_topk"].oracle
+    want = {
+        (int(r.query_id), int(r.neighbor_id)): r.adc_dist
+        for r in run_oracle(raw_sql, sf_dir).itertuples(index=False)
+    }
+    assert set(got) == set(want) and len(got) == 50
+    for pair, v in got.items():
+        assert struct.pack("<d", v) == struct.pack("<d", want[pair]), (
+            pair,
+            v,
+            want[pair],
+        )

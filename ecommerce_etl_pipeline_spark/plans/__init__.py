@@ -43,124 +43,121 @@ for _optional in (
 # Driver-window curation. The correctness driver verifies the FIRST 50
 # registered queries (in dict insertion order). Rounds 1-4 proved the
 # full surface (every registered query has >=1 driver row); round 5
-# started the standing staleness rotation. Round 12 (this list; entering
-# cert histogram r11:50/r10:49/r9:47/r8:17 + 7 rows-only which carry no
-# oracle to age): per the r11 VERDICT brief #1, the window LEADS with
-# the 17 r8-latest certs at age 4, in the judge's order. Then the
-# SAME-ROUND slots (standing doctrine: touched-code = re-cert even if
-# the pinned output is unchanged): pl_sales_warehouse (r12 brief #2
-# flips its registered venue to the single-scan GROUPING SETS fusion)
-# and dq_benford_deviation (ADVICE r11 #1 aligns the batch filter to the
-# streaming face's >= 1 contract — plan AND oracle change together);
-# a12_price_band_performance (touched: quantile_bins now 4dp-rounds its
-# edges per ADVICE r11 #2, oracle FLOOR-rounds to match);
-# pl_customer_warehouse (r12 brief #6), pl_product_warehouse and
-# pl_pricing_warehouse (r12 extension: ALL FOUR reference DAGs now
-# driver-certified end-to-end on the spine pattern), and
-# dd_cluster_safe_split (r12 extension: leakage-safe splitting —
-# near-dup clusters hash as a unit) are this round's registrations.
-# Then 26 of the 47 r9-latest certs (age 3).
-# The 21 deferred r9 certs (age 4 at r13 — they MUST lead the r13
-# window) all carry standing per-round machine signal while they wait:
-# a10_product_rollup + dd_bloom_decontam + dd_minhash_pairs +
-# dd_ppjoin_pairs + dd_semantic_dedup + dd_simhash_pairs +
-# ml_logreg_train_d64 + txt_chunk_overlap + u5_cdc_merge (all banded in
-# scripts/bench_sf1.py GROWTH_BASELINE, most also BENCH headline/
-# extended every round), ml_logreg_holdout_d64 (same d=64 trainer code
-# path as the banded train_d64 + tests/test_classifier.py family),
-# sim_lsh_recall (tests/test_plans.py fold-count gate +
-# tests/test_similarity_recall.py recall floor), sim_quantized_topk
-# (tests/test_plans.py plan gate), txt_quality_logit (its logit
-# expression is pinned batch-vs-stream in tests/test_streaming.py's
-# quality-gate parity test), txt_repetition
-# (tests/test_llmops_algos.py pins), dd_jaccard_pairs +
-# dd_contamination_report (tests/test_plans.py plan gates incl. the
-# zero-Python-UDF table), w11_salted_hot_keys (tests/test_plans.py
-# salted-plan gate), dd_embedding_neardup + txt_unigram_logprob +
-# txt_vocabulary (tests/test_plans.py plan gates — the latter two
-# displaced by the product/pricing warehouse registrations;
-# dd_contamination_report displaced by the a12 touched-code re-cert),
-# sql_correlated_exists (tests/test_plans.py decorrelation plan gate —
-# displaced by the dd_cluster_safe_split registration).
-# Honest steady-state arithmetic:
-# 167 oracle-backed queries vs 50 slots/round, of which new-query
-# promotions and touched-code re-certs also claim slots (7 this round)
-# — so the staleness tail runs at age <= 4, not <= 3, whenever a round
-# spends slots on new work; the deferral choice above always parks the
-# excess on machine-gated queries.
+# started the standing staleness rotation. Round 13 (this list; entering
+# cert histogram r12:50/r11:47/r10:49/r9:21 + 7 rows-only which carry no
+# oracle to age — note the tripwire counts pl_product_warehouse's r12
+# rows-only-green row as a cert, but its hash was RED, so it leads):
+# per the r12 VERDICT brief #1, the window LEADS with the 21 r9-latest
+# certs at age 4, in the judge's order. Then pl_product_warehouse — the
+# registry's only oracle-backed query without a green driver hash (r12:
+# hash_match=false, rows/schema green, unreproducible locally) — now on
+# the r13 single-derivation venue with version-stable oracle forms, and
+# pl_customer_warehouse (touched-code re-cert: NULL tenure -> NULL
+# segment, ADVICE r12 #2). Then the SAME-ROUND registrations: the five
+# pl_pw_face_* diagnostic slices (r12 brief #2b — if the composite hash
+# reds again the driver itself names the face) and sim_pq_adc_topk (r12
+# brief #5 — the PQ ADC leg oracle-backed, rows-only tail 7 -> 6).
+# Then 21 of the 49 r10-latest certs (age 3).
+# The 28 deferred r10-latest certs (age 4 at r14 — they MUST lead the
+# r14 window) all carry standing per-round machine signal while they
+# wait (gate files verified by grep this round):
+# dd_curation_classifier + dd_curation_classifier_ppjoin +
+# dd_curation_pipeline + dd_curation_ppjoin + dd_span_excision +
+# g1_pagerank_copurchase + sim_rp_rerank + txt_bm25_topk +
+# sm9_importance_resample (all in the bench.py extended tier AND banded
+# in scripts/bench_sf1.py GROWTH_BASELINE), dd_curation_minhash
+# (bench_sf1 band), ml_kmeans_step + ml_logreg_calibration +
+# txt_perplexity_prune + txt_repetition_battery + txt_shard_manifest +
+# u6_snapshot_diff + sk_cms_token_counts + w14_last_touch_attribution +
+# sim_rp_topk + sm8_weighted_sample + mm_frame_sample (all pinned in
+# tests/test_llmops_algos.py; ml_logreg_calibration also batch-vs-stream
+# in tests/test_streaming.py), sm5_stratified_sample + sm6_mixture_sample
+# + sm7_temperature_mixture + sm10_epoch_shuffle (tests/test_splits.py),
+# mm_png_decode (tests/test_multimodal_codecs.py), sc_market_position
+# (tests/test_pipelines.py pricing-pipeline pins), n4_pair_expansion_hof
+# (tests/test_properties.py multiset-semantics property test).
+# Honest steady-state arithmetic: 173 oracle-backed queries vs 50
+# slots/round, of which new-query promotions and touched-code re-certs
+# also claim slots (8 this round) — so the staleness tail runs at age
+# <= 4, not <= 3, whenever a round spends slots on new work; the
+# deferral choice above always parks the excess on machine-gated
+# queries.
 # RULE (caught by the r4 self-review): any NEW query
 # registered in a future round MUST be added to this list (or queued
 # with a comment) or it silently gets no driver row.
-# Queued note (r11): sim_pq_rerank and sim_ivfpq_rerank are ROWS-ONLY
-# (trained-quantizer index builds, no single-statement SQL replay — the
-# sk_hll precedent) and are pytest-pinned in
-# tests/test_similarity_recall.py; rows-only queries carry no oracle
-# cert to age, so they take no window slot (same status as the five r3
-# rows-only queries). Names listed here
-# but not (yet) registered are skipped harmlessly; everything not listed
-# keeps its original relative order after the curated block.
+# Queued note (r11, amended r13): sim_pq_rerank and sim_ivfpq_rerank
+# are ROWS-ONLY (trained-quantizer index builds, no single-statement SQL
+# replay — the sk_hll precedent) and are pytest-pinned in
+# tests/test_similarity_recall.py; the seeds-only ADC leg is now
+# oracle-backed as sim_pq_adc_topk (windowed this round). Rows-only
+# queries carry no oracle cert to age, so they take no window slot.
+# Names listed here but not (yet) registered are skipped harmlessly;
+# everything not listed keeps its original relative order after the
+# curated block.
 # tests/test_plans.py::test_driver_window_names_all_registered enforces
 # exactly 50 registered, duplicate-free names — no overflow entries.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW = [
-    # -- the 17 r8-latest certs at age 4 (r11 VERDICT brief #1 — they
+    # -- the 21 r9-latest certs at age 4 (r12 VERDICT brief #1 — they
     # lead, in the judge's order)
-    "a1_daily_sales",
-    "a4_customer_ltv",
-    "a8_pricing_summary",
-    "j1_order_lineitem_join",
-    "j9_asof_join",
-    "w4_sessionize",
-    "w7_moving_avg_7d",
-    "ml_kmeans_train",
-    "ml_logreg_train",
-    "ml_logreg_holdout",
-    "sim_ivf_topk",
-    "sim_ivf_recall",
-    "txt_bpe_merges",
-    "txt_bpe_token_counts",
-    "mm_asset_features",
-    "dd_eval_decontam",
-    "dd_winnow_overlap_pairs",
-    # -- round-12 same-round slots: touched-code re-certs (venue flip to
-    # the fused single-scan warehouse plan; benford >= 1 filter fix) and
-    # the round's new registration
-    "pl_sales_warehouse",
-    "dq_benford_deviation",
-    "a12_price_band_performance",
-    "pl_customer_warehouse",
+    "a10_product_rollup",
+    "dd_bloom_decontam",
+    "dd_contamination_report",
+    "dd_embedding_neardup",
+    "dd_jaccard_pairs",
+    "dd_minhash_pairs",
+    "dd_ppjoin_pairs",
+    "dd_semantic_dedup",
+    "dd_simhash_pairs",
+    "ml_logreg_holdout_d64",
+    "ml_logreg_train_d64",
+    "sim_lsh_recall",
+    "sim_quantized_topk",
+    "sql_correlated_exists",
+    "txt_chunk_overlap",
+    "txt_quality_logit",
+    "txt_repetition",
+    "txt_unigram_logprob",
+    "txt_vocabulary",
+    "u5_cdc_merge",
+    "w11_salted_hot_keys",
+    # -- the never-green composite (r12 red hash, r12 brief #1-#3:
+    # single-derivation venue + version-stable oracle, re-cert leading)
+    # and the touched-code re-cert (NULL-tenure fix, ADVICE r12 #2)
     "pl_product_warehouse",
-    "pl_pricing_warehouse",
-    "dd_cluster_safe_split",
-    # -- 26 of the 47 round-9-latest certs (age 3 -> re-certed); the 21
-    # deferred are listed in the header comment with their standing
-    # gates
-    "a17_percentiles",
-    "a18_argmax",
-    "a19_collect_sorted",
-    "a20_pivot",
-    "a23_zscore_outliers",
-    "a24_winsorized_stats",
-    "a25_price_histogram",
-    "dd_dedup_summary",
-    "dd_hash_split",
-    "dd_incremental_dedup",
-    "dd_jaccard_clusters",
-    "sim_hard_negatives",
-    "sql_nation_revenue",
-    "sql_top_revenue_orders",
-    "txt_bigram_logprob",
-    "txt_dataset_card",
-    "txt_lang_id_confusion",
-    "txt_pii_redaction",
-    "txt_tfidf_top_terms",
-    "txt_token_stats",
-    "txt_winnow_fingerprints",
-    "w12_funnel_conversion",
-    "w13_retention_cohorts",
-    "dq_validation_report",
-    "sc_date_arithmetic",
-    "sc_temporal_features",
+    "pl_customer_warehouse",
+    # -- round-13 same-round registrations: the five per-face
+    # diagnostics (r12 brief #2b) + the oracle-backed PQ ADC leg (#5)
+    "pl_pw_face_sales",
+    "pl_pw_face_category",
+    "pl_pw_face_bands",
+    "pl_pw_face_top",
+    "pl_pw_face_pairs",
+    "sim_pq_adc_topk",
+    # -- 21 of the 49 round-10-latest certs (age 3 -> re-certed); the 28
+    # deferred are listed in the header comment with their verified
+    # standing gates
+    "a22_cube",
+    "a26_rfm_segments",
+    "a27_pareto_revenue",
+    "dq_psi_drift",
+    "j12_association_rules",
+    "n1_json_scalar_extract",
+    "p7_lossy_cast",
+    "sc_age_tenure_segments",
+    "sc_string_functions",
+    "sim_knn_label_audit",
+    "sim_label_centroids",
+    "sql_grouping_sets",
+    "txt_char_entropy",
+    "txt_fingerprints",
+    "txt_freq_spectrum",
+    "txt_source_scorecard",
+    "txt_vocab_encode",
+    "u1_union_chunks",
+    "w2_balance_segments",
+    "w3_top_orders_per_customer",
+    "w8_gapfill_ffill",
 ]
 
 

@@ -26,7 +26,7 @@ load task chains).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ecommerce_etl_pipeline_spark.functions.binning import quantile_bins
@@ -887,9 +887,18 @@ def _pw_spine_select(df: DataFrame, table: str, key, n1, n2, amount, label1, lab
     )
 
 
-_NULL_B = F.lit(None).cast("bigint")
-_NULL_D = F.lit(None).cast("double")
-_NULL_S = F.lit(None).cast("string")
+# lazy: F.lit at module level would require an active SparkContext at
+# import time (the registry imports with no session)
+def _NULL_B() -> Column:
+    return F.lit(None).cast("bigint")
+
+
+def _NULL_D() -> Column:
+    return F.lit(None).cast("double")
+
+
+def _NULL_S() -> Column:
+    return F.lit(None).cast("string")
 
 
 @register(
@@ -904,7 +913,7 @@ def pl_pw_face_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     base, _ = _product_base(spark, sf_dir)
     return _pw_spine_select(
         base, "fact_product_sales", F.col("p_partkey"),
-        F.col("total_quantity"), _NULL_B, F.col("total_value"),
+        F.col("total_quantity"), _NULL_B(), F.col("total_value"),
         F.col("p_brand"), F.col("p_type"),
     )
 
@@ -927,7 +936,7 @@ def pl_pw_face_category(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return _pw_spine_select(
         agg, "fact_category_performance", F.col("p_brand"),
-        F.col("cnt"), F.col("sum_tq"), F.col("sum_tv"), _NULL_S, _NULL_S,
+        F.col("cnt"), F.col("sum_tq"), F.col("sum_tv"), _NULL_S(), _NULL_S(),
     )
 
 
@@ -943,7 +952,7 @@ def pl_pw_face_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = base.groupBy("price_band").agg(F.count(F.lit(1)).alias("cnt"))
     return _pw_spine_select(
         agg, "fact_price_bands", F.col("price_band"),
-        F.col("cnt"), _NULL_B, _NULL_D, _NULL_S, _NULL_S,
+        F.col("cnt"), _NULL_B(), _NULL_D(), _NULL_S(), _NULL_S(),
     )
 
 
@@ -960,7 +969,7 @@ def pl_pw_face_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = base.orderBy(F.desc("total_value"), F.asc("p_partkey")).limit(100)
     return _pw_spine_select(
         top, "fact_top_products", F.col("p_partkey"),
-        F.col("total_quantity"), _NULL_B, F.col("total_value"),
+        F.col("total_quantity"), _NULL_B(), F.col("total_value"),
         F.col("p_brand"), F.col("p_type"),
     )
 

@@ -486,7 +486,12 @@ _PW_STRUCT = (
 _PW_BASE_CTES = f"""
     rollup AS (
         SELECT l_partkey,
-               SUM(CAST(l_quantity AS BIGINT)) AS tq,
+               -- Outer CAST is load-bearing (r13 driver red, judge-verified):
+               -- DuckDB SUM(BIGINT) returns HUGEINT, which the bit-exact
+               -- compare layer surfaces as float64 (910.0 vs Spark's bigint
+               -- 910); UNION ALL then unifies the whole composite n1 column.
+               -- registry.py doctrine: always CAST(SUM(...) AS BIGINT).
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS tq,
                {_SUM2('l_extendedprice')} AS tv
         FROM lineitem GROUP BY 1
     ),
@@ -521,7 +526,9 @@ _PW_FACE_SALES = """
 _PW_FACE_CATEGORY = f"""
     SELECT 'fact_category_performance' AS warehouse_table,
            p_brand AS entity_key, COUNT(*) AS n1,
-           SUM(total_quantity) AS n2, {_SUM2('total_value')} AS amount,
+           -- CAST required: re-aggregating the BIGINT total_quantity would
+           -- yield HUGEINT again even with tq cast in _PW_BASE_CTES.
+           CAST(SUM(total_quantity) AS BIGINT) AS n2, {_SUM2('total_value')} AS amount,
            CAST(NULL AS VARCHAR) AS label1, CAST(NULL AS VARCHAR) AS label2
     FROM banded GROUP BY 2
 """

@@ -329,24 +329,39 @@ def test_product_warehouse_fused_matches_union_form(spark):
     for c in getattr(fused_df, "retained_caches", []):
         c.unpersist()
     # Plan gates (ADVICE r12 #3 hardened these from a first-SMJ substring
-    # peek to strategy-independent structural counts):
+    # peek to strategy-independent structural counts; ADVICE r13 #5 moved
+    # them off the executed-plan STRING — substring counts break when a
+    # Spark version reformats the dump — onto a node-name walk of the
+    # optimized logical plan):
     # - single derivation: the part-grain base is materialized once and
     #   BOTH the grouping-sets fan and the top-100 branch read the cache
+    #   (two InMemoryRelation use sites after cache substitution)
     # - exactly one Expand (one fused fan, never a duplicated rollup)
-    # - the pairs face never joins lineitem to itself: NO join node of
-    #   ANY strategy may carry l_orderkey (the basket build is a groupBy,
-    #   not a join)
+    # - the pairs face never joins lineitem to itself: NO Join node of
+    #   ANY strategy may carry l_orderkey in its condition (the basket
+    #   build is a groupBy, not a join)
     probe = pl_product_warehouse(spark, SF)
-    plan = probe._jdf.queryExecution().executedPlan().toString()
+
+    def _walk(node):
+        yield node
+        ch = node.children()
+        for i in range(ch.length()):
+            yield from _walk(ch.apply(i))
+
+    nodes = list(_walk(probe._jdf.queryExecution().optimizedPlan()))
     for c in getattr(probe, "retained_caches", []):
         c.unpersist()
-    assert plan.count("InMemoryTableScan") == 2, plan
-    assert plan.count("Expand") == 1, plan
-    for line in plan.splitlines():
-        if "Join" in line and "l_orderkey" in line:
-            raise AssertionError(
-                f"pairs face regressed to a lineitem self-join: {line}"
-            )
+    names = [n.nodeName() for n in nodes]
+    assert names.count("InMemoryRelation") == 2, names
+    assert names.count("Expand") == 1, names
+    offenders = [
+        n.simpleString(25)
+        for n in nodes
+        if "Join" in n.nodeName() and "l_orderkey" in n.simpleString(25)
+    ]
+    assert not offenders, (
+        f"pairs face regressed to a lineitem self-join: {offenders}"
+    )
 
 
 def test_pricing_warehouse_fused_matches_union_form(spark):

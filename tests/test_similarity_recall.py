@@ -365,3 +365,41 @@ def test_pq_adc_fold_is_bit_exact_vs_duckdb(spark, sf_dir):
             v,
             want[pair],
         )
+
+
+def test_adc_oracle_seed_predicate_matches_pq_train_selection(spark, sf_dir):
+    """ADVICE r13 #4: sim_pq_adc_topk's oracle selects its seed rows with
+    ``WHERE vec_id < 16`` while the Spark side (pq_train,
+    max_iterations=0) uses the 16 LOWEST-id rows — the two agree only
+    while the embeddings fixture's ids are contiguous from 0. Pin that
+    invariant explicitly: if a future fixture redraw ships sparse or
+    offset ids, this fails naming the real mismatch instead of the ADC
+    cert silently hashing red."""
+    ids = sorted(
+        r["vec_id"]
+        for r in load_table(spark, sf_dir, "embeddings")
+        .select("vec_id")
+        .orderBy("vec_id")
+        .limit(16)
+        .collect()
+    )
+    assert ids == list(range(16)), (
+        f"embeddings ids not contiguous from 0: {ids} — rewrite the "
+        "sim_pq_adc_topk oracle's seed CTE to rank-based selection "
+        "(QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= 16)"
+    )
+
+
+def test_pq_production_faces_default_to_arrow_kernel():
+    """VERDICT r13 brief #5: the batch/production PQ faces must default
+    to the Arrow encode kernel (the r11 vectorization win — interpreted
+    JVM folds are the cert-only path). Guards against a future refactor
+    flipping the default, which would silently triple sim_pq_rerank /
+    sim_ivfpq_rerank. (The r13 bench regression on those two was
+    arbitrated to session noise — the r12-close tree reproduced the slow
+    reading on the same corpus — but this pin makes the code axis
+    checkable in one assert.)"""
+    import inspect
+
+    assert inspect.signature(similarity.pq_encode).parameters["kernel"].default == "arrow"
+    assert inspect.signature(similarity.pq_topk).parameters["kernel"].default == "arrow"

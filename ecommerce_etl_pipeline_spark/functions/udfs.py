@@ -42,7 +42,9 @@ def cosine_arrow(a: pd.Series, b: pd.Series) -> pd.Series:
     numpy is SIMD) — but at 16-way parallelism the JVM path wins ~2x
     (2.8s vs 5.3s): Arrow IPC + Python-worker overhead doesn't scale with
     cores the way codegen does. Use for core-starved/batch-heavy rerank
-    stages; keep the JVM fold for parallel oracle-exact paths. See
+    stages. Since r14 the kernel is also FOLD-EXACT (sequential
+    accumulation, see inline comment), so both kernels are oracle-exact;
+    the pick between them is purely the parallelism/overhead trade. See
     SCALING.md "Python boundary"."""
     import numpy as np
 
@@ -65,7 +67,25 @@ def cosine_arrow(a: pd.Series, b: pd.Series) -> pd.Series:
         # float32 accumulation would drift ~1e-7 from the exact kernel
         av = np.stack(a[sel].to_numpy()).astype(np.float64)
         bv = np.stack(b[sel].to_numpy()).astype(np.float64)
-        num = (av * bv).sum(axis=1)
-        den = np.sqrt((av * av).sum(axis=1)) * np.sqrt((bv * bv).sum(axis=1))
+
+        # SEQUENTIAL accumulation (r14): fold each reduction left-to-
+        # right from 0.0 with elementwise vector adds — the same IEEE op
+        # sequence as the JVM zip_with/aggregate fold and DuckDB's
+        # list_sum — instead of numpy's pairwise ``.sum(axis=1)``, whose
+        # 8-way multi-accumulator reduction (8 <= n <= 128) drifts in
+        # the last ulp. Starting from an explicit zeros() matches the
+        # fold's 0.0 init bit-wise even for -0.0 products. This makes
+        # the Arrow cosine bit-identical to the JVM kernel by
+        # construction, so sim_cosine_topk_arrow carries the same
+        # DuckDB oracle as its JVM twin (pinned in
+        # tests/test_similarity_recall.py).
+        def _seqsum(mat: "np.ndarray") -> "np.ndarray":
+            acc = np.zeros(mat.shape[0])
+            for t in range(mat.shape[1]):
+                acc += mat[:, t]
+            return acc
+
+        num = _seqsum(av * bv)
+        den = np.sqrt(_seqsum(av * av)) * np.sqrt(_seqsum(bv * bv))
         out[sel] = num / den
     return pd.Series(pd.arrays.FloatingArray(out, mask=~ok))

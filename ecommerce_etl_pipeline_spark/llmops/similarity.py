@@ -1085,21 +1085,26 @@ def pq_encode(
       tests/test_similarity_recall.py pins the two kernels code-for-code
       on the full embeddings fixture.
 
-    Kernel parity is EMPIRICAL, not structural (ADVICE r12 #1 corrected
-    the earlier 'bit-for-bit by construction' claim): both kernels read
-    the same JVM-normalized ``_unit_vec`` doubles and (a-b)*(a-b) is one
-    IEEE sub+mul either way, but numpy's last-axis sum uses an 8-way
-    multi-accumulator pairwise reduction for 8 <= n <= 128 (NOT a
-    sequential fold — the fixture's sub-dim is exactly 8), so individual
-    distances can differ from the JVM's left-to-right fold in the last
-    ulp. The kernels agree on CODES because argmin margins in real data
-    exceed 1 ulp — pinned on the full embeddings fixture in
-    tests/test_similarity_recall.py, and any consumer needing
-    fold-exact distances (e.g. an oracle-backed ADC face) must pass
-    ``kernel="jvm"``. Ties break to the lower code on both (struct
-    least / first argmin). The arrow encode feeds rows-only queries, so
-    the no-Python-in-oracle-paths gate does not bind; the UDF is
-    Arrow-batched, never row-at-a-time."""
+    Kernel parity is structural SINCE r14 — and still empirically
+    pinned. The r12-r13 state was weaker (ADVICE r12 #1): numpy's
+    last-axis ``.sum(-1)`` uses an 8-way multi-accumulator pairwise
+    reduction for 8 <= n <= 128 (the fixture's sub-dim is exactly 8), so
+    arrow DISTANCES could drift from the JVM's left-to-right fold in the
+    last ulp and only the CODES were parity-pinned, forcing fold-exact
+    consumers (the oracle-backed ADC face) onto the interpreted JVM
+    kernel — the most expensive entry in the r13 bench. The r14 kernel
+    replaces the pairwise sum with an explicit sequential accumulation
+    over the sub-dim axis (elementwise vector adds in a Python loop —
+    no reassociation, same IEEE op sequence as the JVM fold and DuckDB's
+    list_sum), so BOTH kernels now produce bit-identical distances by
+    construction and the ADC cert face runs on the arrow kernel at
+    arrow speed. Pinned empirically on the full embeddings fixture
+    (distances AND codes, both kernels, plus the DuckDB triple) in
+    tests/test_similarity_recall.py. Ties break to the lower code on
+    both (struct least / first argmin). The UDF is Arrow-batched, never
+    row-at-a-time; pandas UDFs stay out of JVM-only oracle paths by the
+    plan gate, and the ADC face's UDF output is itself oracle-checked
+    bit-exact against the DuckDB replay."""
     sub = len(codebooks[0][0])
     out = _unit_vec(df, vec_col, "_uvenc")
     if kernel == "arrow":
@@ -1150,7 +1155,22 @@ def _pq_codes_arrow_udf(codebooks: list[list[list[float]]]):
             codes = np.empty((len(X), m), dtype=np.int32)
             for j in range(m):
                 Xj = X[:, j * sub : (j + 1) * sub]
-                d2 = ((Xj[:, None, :] - cents[j][None, :, :]) ** 2).sum(-1)
+                sq = Xj[:, None, :] - cents[j][None, :, :]
+                sq *= sq
+                # SEQUENTIAL accumulation over the sub-dim axis (r14):
+                # d2 = ((sq0 + sq1) + sq2) + ... exactly like the JVM
+                # HOF fold (acc starts at 0.0; 0.0 + sq0 == sq0 bit-wise
+                # since squares are never -0.0) and DuckDB's list_sum.
+                # numpy's .sum(-1) would use a pairwise multi-accumulator
+                # reduction for 8 <= n <= 128 and drift in the last ulp
+                # (ADVICE r12 #1); the explicit loop is elementwise adds
+                # only — no reassociation — so the arrow kernel's
+                # distances (not just its codes) are now bit-identical
+                # to the jvm kernel by construction, re-pinned
+                # empirically in tests/test_similarity_recall.py.
+                d2 = sq[:, :, 0].copy()
+                for t in range(1, sub):
+                    d2 += sq[:, :, t]
                 codes[:, j] = d2.argmin(axis=1)
             for i, row in zip(np.flatnonzero(ok), codes):
                 out[i] = row.tolist()

@@ -54,10 +54,12 @@ for _optional in (
 # _PW_FACE_CATEGORY (pipelines_queries.py — judge-verified bit-exact)
 # touch pl_product_warehouse + the three hash-red faces, and the two
 # green faces (_bands/_pairs) ride along once more so the whole family
-# certifies together on the fixed oracle. Then 16 of the 47 r11-latest
-# certs (age 3), chosen from the queries whose ONLY standing signal is
-# the local parity pin.
-# The 31 deferred r11-latest certs (age 4 at r15 — they MUST lead the
+# certifies together on the fixed oracle. Then the same-round touched
+# re-cert sim_pq_adc_topk (arrow-kernel switch) and oracle promotion
+# sim_cosine_topk_arrow (see their inline comments), and 14 of the 47
+# r11-latest certs (age 3), chosen from the queries whose ONLY standing
+# signal is the local parity pin.
+# The 33 deferred r11-latest certs (age 4 at r15 — they MUST lead the
 # r15 window; the tripwire test will name them at round close, by
 # design) all carry standing per-round machine signal while they wait.
 # Since r14 EVERY oracle-backed query carries a type-strict local pin
@@ -81,7 +83,9 @@ for _optional in (
 #   dd_segment_dup_ratio, n6_variant_metadata, p6_null_defaults,
 #   sc_currency_roundtrip, sm2_exact_n_sample, sm3_ri_cascade_sample,
 #   txt_sequence_packing, u3_except_keys, w10_scd2_intervals,
-#   w6_event_gaps
+#   w6_event_gaps, w5_cumulative_daily_sales (displaced by the
+#   sim_pq_adc_topk touched-code re-cert), u2_intersect_keys
+#   (displaced by the sim_cosine_topk_arrow oracle promotion)
 # Honest steady-state arithmetic: 173 oracle-backed queries vs 50
 # slots/round, of which new-query promotions and touched-code re-certs
 # also claim slots (6 this round) — so the staleness tail runs at age
@@ -143,8 +147,24 @@ _DRIVER_WINDOW = [
     "pl_pw_face_top",
     "pl_pw_face_bands",
     "pl_pw_face_pairs",
-    # -- 16 of the 47 round-11-latest certs (age 3 -> re-certed), drawn
-    # from the parity-pin-only set; the 31 deferred are listed in the
+    # -- same-round touched-code re-cert: sim_pq_adc_topk (r13 cert,
+    # age 1) switched from the interpreted JVM encode fold to the
+    # production arrow kernel after r14 made the kernels bit-identical
+    # by construction (sequential accumulation; triple-pinned vs the
+    # raw DuckDB replay) — touched Spark fn => driver re-cert, claiming
+    # the slot w5_cumulative_daily_sales held (w5 stays r11-latest and
+    # joins the r15 leads)
+    "sim_pq_adc_topk",
+    # -- same-round oracle promotion: sim_cosine_topk_arrow left the
+    # rows-only tail (tail 7 -> 6) when the r14 sequential-fold cosine
+    # kernel made the Arrow face bit-identical to its oracle-backed JVM
+    # twin (verbatim-twin oracle, drift-pinned); its only driver rows
+    # are r3-era rows-only, so as a NEW oracle-backed query it must be
+    # windowed now or the staleness tripwire fires — claims the
+    # u2_intersect_keys slot (u2 joins the r15 leads)
+    "sim_cosine_topk_arrow",
+    # -- 14 of the 47 round-11-latest certs (age 3 -> re-certed), drawn
+    # from the parity-pin-only set; the 33 deferred are listed in the
     # header comment with their verified standing gates
     "a2_priority_analysis",
     "a5_nation_stats",
@@ -160,8 +180,6 @@ _DRIVER_WINDOW = [
     "p1_projection_filter",
     "sim_lsh_topk",
     "sm1_seeded_sample",
-    "u2_intersect_keys",
-    "w5_cumulative_daily_sales",
 ]
 
 

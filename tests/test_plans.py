@@ -85,12 +85,26 @@ def test_vocabulary_partial_agg_and_topk(spark):
 def test_no_python_udfs_or_cartesian_in_oracle_queries(spark):
     """Oracle-checked queries must stay JVM-side (Python evaluation nodes
     are allowed only in the sanctioned multimodal path) and must never plan
-    an unbounded cross product."""
+    an unbounded cross product.
+
+    Sanctioned Arrow exception (r14): sim_pq_adc_topk runs the production
+    Arrow encode kernel — allowed because the UDF's effect on the result
+    (the PQ codes, hence the ranked distances) is itself pinned BIT-EXACT
+    against the raw DuckDB replay on both kernels
+    (tests/test_similarity_recall.py::test_pq_adc_fold_is_bit_exact_vs_
+    duckdb), a strictly stronger guarantee than this gate's plan-shape
+    proxy. Same basis for sim_cosine_topk_arrow (sequential-fold cosine
+    kernel, bit-exact vs the JVM twin and the shared oracle —
+    test_arrow_cosine_is_bit_exact_vs_jvm_twin). Row-at-a-time
+    BatchEvalPython stays banned everywhere."""
+    arrow_sanctioned = {"sim_pq_adc_topk", "sim_cosine_topk_arrow"}
     for name, spec in _REGISTRY.items():
         if spec.oracle is None:
             continue
         plan = explain_str(spec.fn(spark, SF), "simple")
-        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        if name not in arrow_sanctioned:
+            assert "ArrowEvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
 
 

@@ -127,8 +127,10 @@ def test_signatures_via_join_matches_literal_path(spark, clustered_embeddings):
 
 def test_arrow_kernel_agrees_with_jvm_kernel(spark):
     """The Arrow/numpy cosine kernel must produce the same top-k neighbor
-    sets as the oracle-exact JVM fold (values equal to ~1e-9; pairwise vs
-    sequential summation may differ in final ulps)."""
+    sets as the JVM fold. Historical tolerance-level check (r10, when the
+    kernel summed pairwise and could drift in final ulps); since r14 the
+    sequential-fold kernel is BIT-identical — the strict superset pin is
+    test_arrow_cosine_is_bit_exact_vs_jvm_twin. Kept as a fast smoke."""
     emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
     q = emb.filter(F.col("vec_id") < 5)
     jvm = similarity.brute_force_topk(emb, q, k=10, kernel="jvm").collect()
@@ -289,14 +291,16 @@ def test_ivfpq_recall_and_exactness(spark, sf_dir):
 def test_pq_encode_arrow_kernel_matches_jvm_fold(spark, sf_dir):
     """The vectorized Arrow encode kernel (r11 VERDICT brief #3) is
     pinned CODE-FOR-CODE against the retained JVM HOF fold on the full
-    embeddings fixture. Parity is EMPIRICAL, not structural (ADVICE r12
-    #1 corrected the earlier claim): numpy's last-axis sum uses an 8-way
-    pairwise reduction for 8 <= n <= 128 — the fixture's sub-dim is
-    exactly 8 — so individual DISTANCES can differ from the JVM's
-    sequential fold in the last ulp; the CODES agree because argmin
-    margins exceed 1 ulp on real data, which is precisely what this pin
-    checks (ties break to the lower code on both). Null and
-    width-mismatched vectors yield NULL codes on both kernels."""
+    embeddings fixture. Since r14 the parity is STRUCTURAL, not just
+    empirical: the kernel accumulates the sub-dim axis with an explicit
+    sequential loop (same IEEE op order as the JVM fold) instead of
+    numpy's pairwise ``.sum(-1)``, which for 8 <= n <= 128 uses an 8-way
+    multi-accumulator reduction that could drift in the last ulp (the
+    r12-r13 state, ADVICE r12 #1). This pin stays as the empirical
+    backstop for that claim (ties break to the lower code on both);
+    test_pq_adc_fold_is_bit_exact_vs_duckdb extends it to DISTANCES via
+    the DuckDB triple. Null and width-mismatched vectors yield NULL
+    codes on both kernels."""
     from ecommerce_etl_pipeline_spark.llmops.similarity import pq_encode, pq_train
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -325,15 +329,19 @@ def test_pq_encode_arrow_kernel_matches_jvm_fold(spark, sf_dir):
     assert got == {1: (None,) * 8, 2: (None,) * 8}
 
 
-def test_pq_adc_fold_is_bit_exact_vs_duckdb(spark, sf_dir):
+@pytest.mark.parametrize("kernel", ["jvm", "arrow"])
+def test_pq_adc_fold_is_bit_exact_vs_duckdb(spark, sf_dir, kernel):
     """The sim_pq_adc_topk parity chain holds BIT-FOR-BIT, not just to
     the oracle compare's 6-sig-digit canon: with seeds-only codebooks
-    (max_iterations=0) and kernel="jvm", every ranked pair's raw ADC
-    distance equals the DuckDB replay's double exactly (unit-vec fold ==
-    list_sum, JVM sub-distance fold == list_sum, Python LUT sums ==
-    per-subspace folds, left-assoc m-term add both sides). A red here
-    means a kernel/fold regression that would surface as a driver hash
-    miss on sim_pq_adc_topk."""
+    (max_iterations=0), every ranked pair's raw ADC distance equals the
+    DuckDB replay's double exactly (unit-vec fold == list_sum,
+    sub-distance fold == list_sum, Python LUT sums == per-subspace
+    folds, left-assoc m-term add both sides) — for BOTH encode kernels,
+    since r14's sequential-accumulation arrow kernel restored structural
+    fold parity. The arrow leg of this parametrization is the cert
+    safety case for running the REGISTERED sim_pq_adc_topk on the
+    production kernel. A red here means a kernel/fold regression that
+    would surface as a driver hash miss on sim_pq_adc_topk."""
     import struct
 
     from pyspark.sql import functions as F
@@ -346,7 +354,7 @@ def test_pq_adc_fold_is_bit_exact_vs_duckdb(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     books = similarity.pq_train(emb, m=8, k=16, max_iterations=0)
     res = similarity.pq_topk(
-        emb, emb.filter(F.col("vec_id") < 5), books, k=10, kernel="jvm"
+        emb, emb.filter(F.col("vec_id") < 5), books, k=10, kernel=kernel
     )
     got = {(r["query_id"], r["neighbor_id"]): r["adc_dist"] for r in res.collect()}
 
@@ -403,3 +411,49 @@ def test_pq_production_faces_default_to_arrow_kernel():
 
     assert inspect.signature(similarity.pq_encode).parameters["kernel"].default == "arrow"
     assert inspect.signature(similarity.pq_topk).parameters["kernel"].default == "arrow"
+
+
+def test_cosine_arrow_oracle_is_verbatim_jvm_twin():
+    """sim_cosine_topk_arrow's oracle is a DELIBERATE verbatim duplicate
+    of sim_cosine_topk's (sharing a constant would have rewritten the JVM
+    twin's registration — a touched-code re-cert on a deferred-window
+    query). This pin is the drift guard that makes the duplication safe:
+    the two strings must stay byte-identical."""
+    import ecommerce_etl_pipeline_spark.plans  # noqa: F401
+    from ecommerce_etl_pipeline_spark.plans.registry import _REGISTRY
+
+    assert (
+        _REGISTRY["sim_cosine_topk_arrow"].oracle
+        == _REGISTRY["sim_cosine_topk"].oracle
+    )
+
+
+def test_arrow_cosine_is_bit_exact_vs_jvm_twin(spark, sf_dir):
+    """The r14 sequential-accumulation cosine_arrow kernel makes the
+    Arrow brute-force face bit-identical to the JVM zip_with fold — raw
+    doubles compared via struct.pack, full fixture, every ranked pair.
+    This is the safety case for sim_cosine_topk_arrow carrying the same
+    DuckDB oracle as sim_cosine_topk (rows-only tail 6 -> 5)."""
+    import struct
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    jvm = {
+        (r["query_id"], r["neighbor_id"]): (r["cosine"], r["rank"])
+        for r in similarity.brute_force_topk(emb, queries, k=10).collect()
+    }
+    arrow = {
+        (r["query_id"], r["neighbor_id"]): (r["cosine"], r["rank"])
+        for r in similarity.brute_force_topk(
+            emb, queries, k=10, kernel="arrow"
+        ).collect()
+    }
+    assert set(jvm) == set(arrow) and len(jvm) == 50
+    for pair, (cos_j, rank_j) in jvm.items():
+        cos_a, rank_a = arrow[pair]
+        assert rank_a == rank_j, pair
+        assert struct.pack("<d", cos_a) == struct.pack("<d", cos_j), (
+            pair,
+            cos_a,
+            cos_j,
+        )

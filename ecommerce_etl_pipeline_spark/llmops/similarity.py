@@ -1208,10 +1208,10 @@ def pq_topk(
             corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)),
             codebooks,
             vec_col=vec_col,
-            # kernel="jvm" gives fold-exact distances (sequential
-            # left-to-right, bit-identical to a DuckDB list_sum twin) —
-            # what the oracle-backed pq_adc_topk face passes; the arrow
-            # default is the throughput path (parity pinned on codes)
+            # both kernels are fold-exact since r14 (the arrow kernel's
+            # sequential accumulation is bit-identical to the JVM fold
+            # by construction); the oracle-backed ADC face runs the
+            # arrow default, kernel="jvm" remains the parity twin
             kernel=kernel,
         ).select("neighbor_id", *[f"_pq{j}" for j in range(m)])
     )

@@ -2280,9 +2280,11 @@ def sim_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpus rows, pure data selection, no FP-order-sensitive k-means means)
 # so the ENTIRE pipeline unrolls into DuckDB CTEs. Bit-parity chain:
 # unit vectors via the certified list_sum fold (the cosine precedent),
-# code assignment by the JVM encode kernel (kernel="jvm" — sequential
-# left-to-right fold, bit-identical to list_sum; the arrow kernel's
-# pairwise sums can differ in the last ulp at sub-dim 8, ADVICE r12 #1),
+# code assignment by the PRODUCTION arrow encode kernel (since r14 its
+# sequential accumulation is bit-identical to the JVM fold and DuckDB
+# list_sum by construction — r13 had to pass kernel="jvm" here because
+# the then-pairwise arrow sums could drift a ulp at sub-dim 8, ADVICE
+# r12 #1; both kernels stay pinned vs the raw DuckDB replay),
 # ADC via Python-sequential LUT sums == the oracle's per-subspace folds,
 # raw-double ordering with id tiebreak (the certified-cosine exception).
 # The TRAINED operating point stays covered by sim_pq_rerank /

@@ -8,6 +8,8 @@ uses a trained coarse quantizer (KMeans) as its bucketer.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints resolve from here
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -22,6 +24,14 @@ from ecommerce_etl_pipeline_spark.operators.parallelism import ensure_parallelis
 #: land far under this even at 100 TB. Above it: distributed label
 #: propagation.
 SMALL_GRAPH_EDGES = 2_000_000
+
+#: Driver-venue budget for the portable k-means trainer, in MATRIX CELLS
+#: (rows x dim): 16M cells = 128 MB of float64 on the driver — the same
+#: bounded-local-fast-path idea as SMALL_GRAPH_EDGES / pagerank_portable's
+#: DRIVER_EDGE_ROWS. Under budget the integer-exact loop runs in numpy
+#: (bit-identical, order-independent sums); over it the distributed loop
+#: runs unchanged.
+KMEANS_DRIVER_CELLS = 16_000_000
 
 
 def _union_find_components(edge_rows) -> list[tuple]:
@@ -154,6 +164,68 @@ def connected_components(
     return labels
 
 
+def _assign_arrow_udf(centroids: list[list[float]], cids: list[int] | None = None):
+    """Arrow-batched nearest-centroid kernel — the vectorized twin of the
+    interpreted JVM assignment folds (:func:`assign_to_seeds` /
+    :func:`_assign_literal_centroids`), built the way the PQ encode kernel
+    was (similarity._pq_codes_arrow_udf, guide §4.2: batches to numpy
+    instead of interpreted per-row HOF eval).
+
+    Bit-parity is by construction, same doctrine as the r14 PQ kernel:
+    squared terms accumulate SEQUENTIALLY over the dim axis (``acc +=
+    d*d`` per element index — the same IEEE op sequence as the JVM fold's
+    left-to-right ``acc + (x-c)**2``; squares are never ``-0.0`` so the
+    zero-init is bit-neutral, and ``pow(x, 2.0)`` is the exactly-rounded
+    square, i.e. ``x*x``), and ties go to the first (lowest-index = lowest
+    cid once sorted) argmin exactly like ``array_min`` over (dist, cid)
+    structs. Pinned empirically per-row (cluster AND bit-level dist) and
+    on whole training trajectories in tests/test_llmops_algos.py.
+
+    Null or wrong-width vectors yield a NULL (cluster, dist) struct — the
+    same rows the JVM fold cannot rank either; the fixtures carry none and
+    the pins run on the full fixture.
+    """
+    import numpy as np
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    C = np.asarray(centroids, dtype=np.float64)
+    k, dim = C.shape
+    ids = list(range(k)) if cids is None else [int(c) for c in cids]
+
+    @F.pandas_udf(
+        StructType(
+            [
+                StructField("cluster", IntegerType()),
+                StructField("dist", DoubleType()),
+            ]
+        )
+    )
+    def _assign(vec: pd.Series) -> pd.DataFrame:
+        vals = vec.to_numpy()
+        ok = np.array([v is not None and len(v) == dim for v in vals], dtype=bool)
+        cl = np.full(len(vals), None, dtype=object)
+        dist = np.full(len(vals), None, dtype=object)
+        if ok.any():
+            X = np.stack(vals[ok]).astype(np.float64)
+            acc = np.zeros((len(X), k), dtype=np.float64)
+            for t in range(dim):
+                d = X[:, t, None] - C[None, :, t]
+                acc += d * d
+            best = acc.argmin(axis=1)
+            bestd = acc[np.arange(len(X)), best]
+            for i, j, dv in zip(np.flatnonzero(ok), best, bestd):
+                cl[i] = ids[j]
+                dist[i] = float(dv)
+        return pd.DataFrame({"cluster": cl, "dist": dist})
+
+    return _assign
+
+
 def assign_to_seeds(
     points: DataFrame,
     seeds: DataFrame,
@@ -162,6 +234,7 @@ def assign_to_seeds(
     vec_col: str = "embedding",
     seed_id_col: str = "cid",
     seed_vec_col: str = "cvec",
+    kernel: str = "jvm",
 ) -> DataFrame:
     """Nearest-seed assignment (squared Euclidean, ties to lowest seed id):
     returns (id, cluster, dist, vec). Seeds collapse to ONE broadcast row
@@ -175,11 +248,48 @@ def assign_to_seeds(
     so the DuckDB oracles replay unchanged. Shared by :func:`kmeans_step`
     (which aggregates it) and
     :func:`ecommerce_etl_pipeline_spark.llmops.dedup.semantic_dedup`
-    (which uses clusters as dedup candidate buckets)."""
+    (which uses clusters as dedup candidate buckets).
+
+    ``kernel="arrow"`` (r14 optimization) swaps the interpreted per-row
+    HOF fold for the vectorized numpy batch kernel
+    (:func:`_assign_arrow_udf`) — bit-identical (cluster AND dist) by the
+    same sequential-accumulation construction as the PQ encode kernel,
+    pinned on the full fixture. The fold is the corpus-dominant per-row
+    term of every consumer (measured 2.8 s for ONE pass over 2,000
+    vectors at sf0.1 — ~1.4 ms/row of interpreted Catalyst eval), so this
+    is guide §4.2 applied to the assignment pass. ``"jvm"`` (default)
+    stays the Python-free reference venue for oracle parity surfaces and
+    streaming."""
     p = points.select(F.col(id_col).alias("_pid"), F.col(vec_col).alias("_pv"))
     s = seeds.select(
         F.col(seed_id_col).alias("_cid"), F.col(seed_vec_col).alias("_cv")
     )
+    if kernel == "arrow":
+        # seeds are hyperparameter-sized by the operator's contract, so the
+        # build-time collect is the same bounded class as a join statistic;
+        # sort (cid, cvec) to mirror the JVM venue's array_sort order
+        cid_type = s.schema["_cid"].dataType.simpleString()
+        rows = sorted(
+            ((r["_cid"], [float(x) for x in r["_cv"]]) for r in s.collect()),
+            key=lambda rc: (rc[0], rc[1]),
+        )
+        if not rows:
+            # empty seeds => empty result, matching the JVM venue's filter
+            return p.filter(F.lit(False)).select(
+                F.col("_pid").alias("id"),
+                F.lit(None).cast(cid_type).alias("cluster"),
+                F.lit(None).cast("double").alias("dist"),
+                F.col("_pv").alias("vec"),
+            )
+        udf = _assign_arrow_udf(
+            [cv for _, cv in rows], cids=[c for c, _ in rows]
+        )
+        return p.withColumn("_a", udf(F.col("_pv"))).select(
+            F.col("_pid").alias("id"),
+            F.col("_a.cluster").cast(cid_type).alias("cluster"),
+            F.col("_a.dist").alias("dist"),
+            F.col("_pv").alias("vec"),
+        )
     # k is hyperparameter-sized: the whole seed set rides as one array in
     # one row (struct sorts by leading field, so the array is cid-ordered)
     seed_row = s.agg(
@@ -270,7 +380,9 @@ def kmeans_step(
     )
 
 
-def _assign_literal_centroids(pts: DataFrame, centroids: list[list[float]]) -> DataFrame:
+def _assign_literal_centroids(
+    pts: DataFrame, centroids: list[list[float]], *, kernel: str = "jvm"
+) -> DataFrame:
     """Nearest-centroid assignment against a LITERAL centroid matrix:
     distances to ALL centroids in ONE aggregate pass (the single-fold rule
     from SCALING.md: one array traversal carrying a k-wide accumulator
@@ -285,6 +397,21 @@ def _assign_literal_centroids(pts: DataFrame, centroids: list[list[float]]) -> D
     portable trainers (centroid literals are reprs of Python floats, which
     round-trip exactly, so the fold sees the same doubles DuckDB derives).
     """
+    if kernel == "arrow":
+        # r14: the numpy batch kernel (see _assign_arrow_udf) replaces the
+        # interpreted k-wide accumulator fold AND the per-iteration cost of
+        # parsing + recompiling a k*dim-literal expression string (at k=16,
+        # dim=64 that string carries 1,024 double literals and changes
+        # every iteration — measured as the dominant term of
+        # kmeans_train_portable at sf0.1: 7.8 s of its ~8 s). The UDF's
+        # codegen source is iteration-invariant (centroids live in the
+        # function object, not the plan), so nothing recompiles.
+        udf = _assign_arrow_udf(centroids)
+        return (
+            pts.withColumn("_a", udf(F.col("_pv")))
+            .withColumn("_cluster", F.col("_a.cluster"))
+            .drop("_a")
+        )
     k = len(centroids)
     dim = len(centroids[0])
     cols = "array(" + ",".join(
@@ -325,6 +452,7 @@ def kmeans_train(
     vec_col: str = "embedding",
     max_iterations: int = 10,
     tol: float = 1e-6,
+    kernel: str = "arrow",
 ) -> tuple[list[list[float]], int]:
     """DataFrame-native Lloyd's algorithm: iterate nearest-centroid
     assignment + centroid recomputation until the max centroid shift falls
@@ -350,7 +478,7 @@ def kmeans_train(
     iterations = 0
     for _ in range(max_iterations):
         iterations += 1
-        assigned = _assign_literal_centroids(pts, centroids).select(
+        assigned = _assign_literal_centroids(pts, centroids, kernel=kernel).select(
             F.col("_pv"), F.col("_cluster")
         )
         sums = (
@@ -377,6 +505,42 @@ def kmeans_train(
     return centroids, iterations
 
 
+def _driver_kmeans_loop_portable(
+    X, centroids: list[list[float]], *, iterations: int, nano: int
+) -> list[list[float]]:
+    """The driver venue of :func:`kmeans_train_portable`: the identical
+    loop over an in-memory float64 matrix. Bit-parity with the
+    distributed venue holds term by term — assignment distances are the
+    same sequential per-dim accumulation of exactly-rounded squares the
+    arrow/JVM kernels compute (first-argmin = tie-to-lowest-cid);
+    per-cluster sums are int64 over the same ``floor(x*1e9 + 0.5)``
+    quantization (integer, order-independent, overflow-guarded by the
+    caller); the centroid update reuses the exact ``(float(sum)/count)
+    /nano`` expression. Pinned venue-vs-venue in
+    tests/test_llmops_algos.py and end-to-end by the ml_kmeans_train /
+    sim_ivf_topk oracles."""
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64)
+    k, dim = C.shape
+    Q = np.floor(X * np.float64(nano) + np.float64(0.5)).astype(np.int64)
+    for _ in range(iterations):
+        acc = np.zeros((len(X), k), dtype=np.float64)
+        for t in range(dim):
+            d = X[:, t, None] - C[None, :, t]
+            acc += d * d
+        assign = acc.argmin(axis=1)
+        new_c = [[float(v) for v in c] for c in C]  # empty clusters keep position
+        for ci in range(k):
+            members = assign == ci
+            cnt = int(members.sum())
+            if cnt:
+                sv = Q[members].sum(axis=0)
+                new_c[ci] = [(float(int(x)) / cnt) / nano for x in sv]
+        C = np.asarray(new_c, dtype=np.float64)
+    return [[float(v) for v in c] for c in C]
+
+
 def kmeans_train_portable(
     points: DataFrame,
     *,
@@ -385,6 +549,8 @@ def kmeans_train_portable(
     vec_col: str = "embedding",
     iterations: int = 5,
     nano: int = 10**9,
+    kernel: str = "arrow",
+    driver_cells: int = KMEANS_DRIVER_CELLS,
 ) -> list[list[float]]:
     """Lloyd's k-means whose every cross-engine-sensitive step is made
     engine-portable — the oracle-checkable twin of :func:`kmeans_train`
@@ -408,14 +574,55 @@ def kmeans_train_portable(
     Cost of portability: ~1e-9 per-dimension truncation per round —
     invisible to any assignment that isn't already a coin flip. Returns
     the final centroid matrix (k x dim floats).
+
+    VENUE is statistics-driven since r14 (the pagerank_portable
+    discipline, verbatim): ONE probe action — ``limit(budget + 1)
+    .toPandas()`` where budget = ``driver_cells // dim`` rows — and if
+    the corpus comes back within budget and well-formed (every vector
+    the seed width, no nulls/NaNs), it IS the training set: the loop
+    runs as float64/int64 numpy on the driver
+    (:func:`_driver_kmeans_loop_portable`), removing ``iterations``
+    sequential Spark jobs (each of which re-scans the corpus, re-runs
+    the assignment pass and shuffles a k*dim aggregate — measured 0.5-1 s
+    per iteration of pure per-round constant at sf0.1's 2,000 vectors).
+    Integer nano-sums are ORDER-INDEPENDENT and the float64 assignment
+    arithmetic is the same IEEE op sequence, so both venues are
+    bit-identical — pinned in tests/test_llmops_algos.py, and the DuckDB
+    oracle (ml_kmeans_train) replays either. Over budget — the 100 TB
+    regime — the distributed loop runs with the ``kernel`` of choice
+    (default: the vectorized arrow assignment); that is a venue pick,
+    never a semantics change.
     """
     pts = points.select(F.col(id_col).alias("_pid"), F.col(vec_col).alias("_pv"))
     first = pts.orderBy("_pid").limit(k).collect()
     centroids = [[float(x) for x in r["_pv"]] for r in first]
     dim = len(centroids[0])
+    budget_rows = max(k, driver_cells // max(dim, 1))
+    head = pts.select("_pv").limit(budget_rows + 1).toPandas()
+    if len(head) <= budget_rows:
+        import numpy as np
+
+        vals = head["_pv"].to_numpy()
+        try:
+            ok = all(
+                v is not None and len(v) == dim and None not in list(v)
+                for v in vals
+            )
+            X = np.stack(vals).astype(np.float64) if ok else None
+        except (TypeError, ValueError):
+            X = None  # malformed rows: the distributed venue defines them
+        if X is not None:
+            # int64-sum overflow guard (the distributed venue's bigint sum
+            # would raise under ANSI; the driver venue must not wrap
+            # silently): worst-case |sum| < (max|q| + 1) * rows
+            qmax = float(np.abs(X).max(initial=0.0)) * nano + 1.0
+            if np.isfinite(X).all() and qmax * max(len(X), 1) < float(2**62):
+                return _driver_kmeans_loop_portable(
+                    X, centroids, iterations=iterations, nano=nano
+                )
     q = F.floor(F.col("_v").cast("double") * nano + F.lit(0.5)).cast("bigint")
     for _ in range(iterations):
-        assigned = _assign_literal_centroids(pts, centroids).select(
+        assigned = _assign_literal_centroids(pts, centroids, kernel=kernel).select(
             F.col("_pv"), F.col("_cluster")
         )
         sums = (
@@ -527,6 +734,7 @@ def ivf_topk_portable(
     n_probe: int = 2,
     k: int = 10,
     iterations: int = 5,
+    kernel: str = "arrow",
 ) -> DataFrame:
     """IVF approximate top-k on the PORTABLE quantizer — the oracle-
     checkable twin of :func:`ivf_topk` (VERDICT r7 #7): the coarse
@@ -546,16 +754,18 @@ def ivf_topk_portable(
     engine-portable order.
     """
     centroids = kmeans_train_portable(
-        corpus, k=n_cells, id_col=id_col, vec_col=vec_col, iterations=iterations
+        corpus, k=n_cells, id_col=id_col, vec_col=vec_col,
+        iterations=iterations, kernel=kernel,
     )
     spark = corpus.sparkSession
     seeds = spark.createDataFrame(
         [(i, c) for i, c in enumerate(centroids)], "cid INT, cvec ARRAY<DOUBLE>"
     )
     # corpus -> cell: assign_to_seeds' fold is the oracle af CTE's proven
-    # parity surface (ml_kmeans_train, green since round 4)
+    # parity surface (ml_kmeans_train, green since round 4); the arrow
+    # kernel is its bit-identical vectorized twin (r14)
     assigned = assign_to_seeds(
-        corpus, seeds, id_col=id_col, vec_col=vec_col
+        corpus, seeds, id_col=id_col, vec_col=vec_col, kernel=kernel
     ).select(
         F.col("id").alias("neighbor_id"),
         F.col("cluster").alias("cell"),

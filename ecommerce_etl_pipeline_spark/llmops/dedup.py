@@ -1197,6 +1197,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     n_seeds: int | None = None,
     threshold: float = 0.3,
+    kernel: str = "arrow",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     web-scale through semantic deduplication"): coarse-cluster the
@@ -1236,13 +1237,16 @@ def semantic_dedup(
     # 3 array folds per pair instead of 1 (measured 3x on the sf0.1
     # within-cluster pairing). Same value either way (sqrt of the same
     # double), so the oracle may keep computing norms inline.
-    # CACHED: the seed-assignment literal-matrix fold runs interpreted
-    # (HOF), and this frame feeds THREE consumers (both pair-join sides
-    # and the final keep/drop join) — uncached, each re-folds every
-    # vector against all n_seeds centroids. Rows are thin (id, cluster,
-    # vec, nrm); released via retained_caches.
+    # CACHED: the seed assignment is the corpus-dominant per-row pass, and
+    # this frame feeds THREE consumers (both pair-join sides and the final
+    # keep/drop join) — uncached, each re-folds every vector against all
+    # n_seeds centroids. Rows are thin (id, cluster, vec, nrm); released
+    # via retained_caches. kernel="arrow" (r14) runs the vectorized
+    # bit-identical assignment kernel instead of the interpreted HOF fold.
     assigned = (
-        assign_to_seeds(vectors, seeds, id_col=id_col, vec_col=vec_col)
+        assign_to_seeds(
+            vectors, seeds, id_col=id_col, vec_col=vec_col, kernel=kernel
+        )
         .select("id", "cluster", "vec", norm(F.col("vec")).alias("nrm"))
         .cache()
     )

@@ -1311,6 +1311,7 @@ def ivfpq_topk(
     beam: int = 100,
     k: int = 10,
     iterations: int = 5,
+    kernel: str = "arrow",
 ) -> DataFrame:
     """IVF+PQ — the production ANN index composition (what FAISS calls
     IVFPQ, the shape large-scale retrieval actually deploys): a coarse
@@ -1339,15 +1340,18 @@ def ivfpq_topk(
     m = len(codebooks)
     sub = len(codebooks[0][0])
     centroids = kmeans_train_portable(
-        corpus, k=n_cells, id_col=id_col, vec_col=vec_col, iterations=iterations
+        corpus, k=n_cells, id_col=id_col, vec_col=vec_col,
+        iterations=iterations, kernel=kernel,
     )
     spark = corpus.sparkSession
     seeds = spark.createDataFrame(
         [(i, c) for i, c in enumerate(centroids)], "cid INT, cvec ARRAY<DOUBLE>"
     )
-    # one fused write-side pass: cell + PQ codes per corpus row
+    # one fused write-side pass: cell + PQ codes per corpus row (both the
+    # cell assignment and the PQ encode run the arrow kernels by default
+    # since r14 — bit-identical to the JVM folds, pinned)
     assigned = assign_to_seeds(
-        corpus, seeds, id_col=id_col, vec_col=vec_col
+        corpus, seeds, id_col=id_col, vec_col=vec_col, kernel=kernel
     ).select(
         F.col("id").alias("neighbor_id"),
         F.col("cluster").alias("cell"),

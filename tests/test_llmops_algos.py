@@ -571,6 +571,71 @@ def test_shard_manifest_covers_corpus_without_skew(spark, sf_dir):
     assert max(r.n_docs for r in manifest) < 2 * mean
 
 
+def test_assign_arrow_kernel_bit_exact_vs_jvm(spark, sf_dir):
+    """r14 optimization pin: the Arrow nearest-centroid kernel
+    (clustering._assign_arrow_udf) is bit-identical to the interpreted JVM
+    fold — per-row cluster AND bit-level dist over the whole fixture —
+    including the tie-to-lowest-cid rule and schema. This is the safety
+    case on which dd_semantic_dedup / sim_ivf_topk / sim_ivf_recall /
+    sim_ivfpq_rerank run the vectorized kernel by default (each oracle-
+    backed one also re-verifies end-to-end against DuckDB every sweep)."""
+    import struct
+
+    from ecommerce_etl_pipeline_spark.llmops.clustering import assign_to_seeds
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = spark.createDataFrame(
+        [
+            (i, [float(x) for x in r.embedding])
+            for i, r in enumerate(emb.orderBy("vec_id").limit(16).collect())
+        ],
+        "cid INT, cvec ARRAY<DOUBLE>",
+    )
+    jvm = assign_to_seeds(emb, seeds, kernel="jvm")
+    arrow = assign_to_seeds(emb, seeds, kernel="arrow")
+    assert jvm.schema.simpleString() == arrow.schema.simpleString()
+
+    def canon(rows):
+        return {
+            r.id: (r.cluster, struct.pack(">d", r.dist)) for r in rows
+        }
+
+    cj, ca = canon(jvm.collect()), canon(arrow.collect())
+    assert len(cj) == emb.count() and cj == ca
+
+    # empty seeds: both venues return the empty frame with the same schema
+    empty = seeds.filter("cid < 0")
+    ej = assign_to_seeds(emb, empty, kernel="jvm")
+    ea = assign_to_seeds(emb, empty, kernel="arrow")
+    assert ej.count() == 0 and ea.count() == 0
+    assert ej.schema.simpleString() == ea.schema.simpleString()
+
+
+def test_kmeans_portable_trajectory_identical_across_kernels(spark, sf_dir):
+    """r14 optimization pin: kmeans_train_portable produces the IDENTICAL
+    centroid matrix (exact float equality — integer-nano updates leave no
+    FP slack) whether each iteration assigns via the interpreted literal-
+    matrix fold or the Arrow batch kernel. Five iterations compound any
+    per-row divergence into different argmins, so final equality pins the
+    whole trajectory."""
+    from ecommerce_etl_pipeline_spark.llmops.clustering import (
+        kmeans_train_portable,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # driver_cells=0 forces the DISTRIBUTED venue (the 100 TB regime);
+    # the default takes the driver numpy venue at fixture size
+    jvm = kmeans_train_portable(
+        emb, k=16, iterations=5, kernel="jvm", driver_cells=0
+    )
+    arrow = kmeans_train_portable(
+        emb, k=16, iterations=5, kernel="arrow", driver_cells=0
+    )
+    driver = kmeans_train_portable(emb, k=16, iterations=5)
+    assert jvm == arrow
+    assert jvm == driver
+
+
 def test_kmeans_train_monotone_and_deterministic(spark, sf_dir):
     """Lloyd invariants: total inertia never increases with more
     iterations; the loop is bit-deterministic (no RNG, fixed tiebreaks);

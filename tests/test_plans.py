@@ -95,9 +95,22 @@ def test_no_python_udfs_or_cartesian_in_oracle_queries(spark):
     duckdb), a strictly stronger guarantee than this gate's plan-shape
     proxy. Same basis for sim_cosine_topk_arrow (sequential-fold cosine
     kernel, bit-exact vs the JVM twin and the shared oracle —
-    test_arrow_cosine_is_bit_exact_vs_jvm_twin). Row-at-a-time
-    BatchEvalPython stays banned everywhere."""
-    arrow_sanctioned = {"sim_pq_adc_topk", "sim_cosine_topk_arrow"}
+    test_arrow_cosine_is_bit_exact_vs_jvm_twin), and — r14 optimization
+    round — for the nearest-centroid assignment kernel
+    (clustering._assign_arrow_udf, bit-exact cluster AND dist vs the JVM
+    fold on the full fixture plus whole-trajectory centroid equality,
+    test_assign_arrow_kernel_bit_exact_vs_jvm /
+    test_kmeans_portable_trajectory_identical_across_kernels) carried by
+    dd_semantic_dedup, sim_ivf_topk and sim_ivf_recall; each of these
+    also re-verifies END TO END against its DuckDB oracle every sweep.
+    Row-at-a-time BatchEvalPython stays banned everywhere."""
+    arrow_sanctioned = {
+        "sim_pq_adc_topk",
+        "sim_cosine_topk_arrow",
+        "dd_semantic_dedup",
+        "sim_ivf_topk",
+        "sim_ivf_recall",
+    }
     for name, spec in _REGISTRY.items():
         if spec.oracle is None:
             continue

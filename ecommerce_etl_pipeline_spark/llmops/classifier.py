@@ -55,6 +55,18 @@ NANO = 1_000_000_000
 #: the venue comment in train_linear_scorer.
 _WIDE_AGG_MAX_D = 16
 
+#: Driver-venue budget for the GD trainer, in MATRIX CELLS ((d+1) x rows):
+#: 16M cells = 128 MB of float64 on the driver — the same bounded-local-
+#: fast-path idea as clustering.KMEANS_DRIVER_CELLS / pagerank_portable's
+#: DRIVER_EDGE_ROWS. Under budget the integer-exact GD loop runs in numpy
+#: (bit-identical: integer nano-gradient sums are order-independent and
+#: the per-row float64 math is the same IEEE op sequence); over it the
+#: distributed loop runs unchanged — a venue pick, never a semantics
+#: change. <= 0 disables the probe outright (no k-floor leak: the
+#: distributed venue is then taken for ANY corpus, the escape hatch the
+#: venue-parity tests use).
+CLS_DRIVER_CELLS = 16_000_000
+
 
 def trunc_div(a: int, b: int) -> int:
     """Integer division truncating toward zero — the semantics of
@@ -217,6 +229,85 @@ def featurize(
     )
 
 
+def _driver_gd_matrix(head, d: int):
+    """Validate the probed feature frame for the driver GD venue; returns
+    (X, Y) float64 arrays or ``None`` when any precondition the
+    bit-parity and int64-overflow analysis rests on fails (non-finite
+    features, features outside [0, 1], labels outside {0, 1}) — the
+    distributed venue then defines the semantics, exactly like the
+    malformed-row fallback of kmeans_train_portable."""
+    import numpy as np
+
+    try:
+        X = head[[f"x{j}" for j in range(d)]].to_numpy(dtype=np.float64)
+        Y = head["y"].to_numpy(dtype=np.float64)
+    except (KeyError, TypeError, ValueError):
+        return None
+    if not (np.isfinite(X).all() and np.isfinite(Y).all()):
+        return None
+    # |per-row gradient| <= NANO needs x in [0,1] and |resid| < 1 (labels
+    # in {0,1}); then |sum| <= budget_rows * NANO < 2^62 — int64-safe
+    if len(X) and not (
+        (X >= 0.0).all() and (X <= 1.0).all() and np.isin(Y, (0.0, 1.0)).all()
+    ):
+        return None
+    return X, Y
+
+
+def _driver_gd_loop(
+    X, Y, *, iterations: int, lr_num: int, lr_den: int
+) -> list[int]:
+    """The driver venue of :func:`train_linear_scorer`: the identical GD
+    loop over an in-memory float64 feature matrix. Bit-parity with both
+    distributed gradient venues holds term by term:
+
+    - z is the zero-seeded left fold of w_j * x_j in float64 — the array
+      venue's ``aggregate`` fold literally; the wide venue omits the 0.0
+      seed, but its first term w_0 * x_0 multiplies the bias x_0 = 1.0,
+      which can never produce -0.0, and ``0.0 + a == a`` bitwise for every
+      other double, so the seeded and unseeded chains are bit-equal (the
+      same analysis as the array venue's docstring; the pure-Python replay
+      tests already pin the zero-seeded form against both venues);
+    - fast_sigmoid and the per-row quantization
+      ``floor((resid * x_j) * 1e9 + 0.5)`` are the same exactly-rounded
+      IEEE op sequence, elementwise;
+    - gradient sums are int64 over exact integers (order-independent;
+      |sum| <= rows * NANO, under the caller's cell budget by
+      construction), and the weight update is the shared trunc_div.
+
+    Pinned venue-vs-venue at d=5 and d=64 in tests/test_llmops_algos.py,
+    against the pure-Python replays, and end-to-end by the eight
+    classifier-family DuckDB oracles."""
+    import numpy as np
+
+    n_rows, d = X.shape
+    w = [0] * d
+    if n_rows == 0:
+        return w
+    nano_f = np.float64(NANO)
+    for _ in range(iterations):
+        z = np.zeros(n_rows, dtype=np.float64)
+        for j in range(d):
+            z = z + np.float64(float(w[j]) / NANO) * X[:, j]
+        resid = (
+            np.float64(0.5) + z / (np.float64(2.0) * (np.float64(1.0) + np.abs(z)))
+        ) - Y
+        w = [
+            w[j]
+            - trunc_div(
+                lr_num
+                * int(
+                    np.floor((resid * X[:, j]) * nano_f + np.float64(0.5))
+                    .astype(np.int64)
+                    .sum()
+                ),
+                lr_den * n_rows,
+            )
+            for j in range(d)
+        ]
+    return w
+
+
 def train_linear_scorer(
     docs: DataFrame,
     text_col: str = "text",
@@ -226,6 +317,7 @@ def train_linear_scorer(
     lr_den: int = 1,
     cache: bool = True,
     features: str = "quality",
+    driver_cells: int = CLS_DRIVER_CELLS,
 ) -> tuple[list[int], DataFrame]:
     """Gradient-descent training of the linear quality scorer; returns
     (weights in integer nanos, the cached feature frame for reuse —
@@ -244,6 +336,40 @@ def train_linear_scorer(
     """
     feats = featurize(docs, text_col, features=features)
     d = len(feats.columns) - 1  # x0..x{d-1} plus the label column y
+    # VENUE is statistics-driven since r15 (the kmeans_train_portable /
+    # pagerank_portable discipline, verbatim): ONE bounded probe action —
+    # ``limit(budget + 1).toPandas()`` where budget = driver_cells/(d+1)
+    # rows (<= 128 MB of float64) — and if the feature frame comes back
+    # within budget and well-formed, it IS the training set: the GD loop
+    # runs as float64/int64 numpy on the driver (:func:`_driver_gd_loop`),
+    # removing ``iterations`` sequential Spark jobs, each of which paid a
+    # per-round plan/compile/schedule constant (~0.3 s measured at sf0.1,
+    # guide §7.3's plan-build class) on top of the aggregate itself.
+    # Over budget — the 100 TB regime — the distributed loop below runs
+    # unchanged (localCheckpoint lineage cut + one map-side-combined
+    # aggregate per round). Bit-identical by construction; pinned
+    # venue-vs-venue and against the pure-Python replays in
+    # tests/test_llmops_algos.py, and end-to-end by the classifier-family
+    # DuckDB oracles.
+    if driver_cells > 0:
+        budget_rows = driver_cells // (d + 1)
+        head = feats.limit(budget_rows + 1).toPandas()
+        if len(head) <= budget_rows:
+            m = _driver_gd_matrix(head, d)
+            if m is not None:
+                w = _driver_gd_loop(
+                    m[0], m[1], iterations=iterations, lr_num=lr_num, lr_den=lr_den
+                )
+                if cache:
+                    # plain cache() (not localCheckpoint): no GD rounds
+                    # re-analyze the lineage in this venue, so the
+                    # checkpoint's re-analysis win is moot and cache keeps
+                    # fault tolerance + a working unpersist() for the
+                    # downstream consumers (evaluate_scorer/calibration —
+                    # lazily materialized only if actually scanned)
+                    feats = feats.cache()
+                feats.retained_caches = [feats] if cache else []
+                return w, feats
     if cache:
         # r14: localCheckpoint instead of cache() — same single
         # materialization and storage class (MEMORY_AND_DISK), but the GD

@@ -1344,6 +1344,38 @@ def test_logreg_trainer_hashed_d64_matches_pure_python_replay(spark):
     assert w == ref
 
 
+def test_logreg_trainer_driver_venue_identical_to_distributed(spark):
+    """r15: the driver GD venue (numpy loop over one bounded toPandas
+    probe) must be BIT-identical to the distributed venue at BOTH feature
+    widths (wide-agg d=5 and array-venue d=64) — the kmeans/pagerank
+    venue-parity discipline applied to the trainer. driver_cells=0
+    disables the probe outright (no k-floor leak), forcing the
+    distributed loop on the same corpus."""
+    from ecommerce_etl_pipeline_spark.llmops import classifier
+
+    texts = [
+        " ".join(f"tok{i}w{j}" for j in range(5 + 7 * i)) for i in range(12)
+    ] + [
+        "the a and of to in is " * 8,
+        "x! y? z., ;;; ::: !!!",
+        "el la de que y en los corto",
+        "",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id LONG, text STRING"
+    )
+    for features in ("quality", "hashed"):
+        w_driver, f1 = classifier.train_linear_scorer(
+            docs, iterations=5, features=features
+        )
+        w_dist, f2 = classifier.train_linear_scorer(
+            docs, iterations=5, features=features, driver_cells=0
+        )
+        for c in f1.retained_caches + f2.retained_caches:
+            c.unpersist()
+        assert w_driver == w_dist, f"venue divergence at features={features}"
+
+
 def test_hashed_featurize_stages_bucket_array_single_md5_site(spark):
     """The d=64 feature pass must md5 each token ONCE (ADVICE r8 #1):
     Spark's subexpression elimination skips LambdaVariable trees, so an

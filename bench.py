@@ -196,8 +196,7 @@ def main() -> None:
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         extended[name] = round(time.perf_counter() - t0, 3)
         spark.catalog.clearCache()
-    print(
-        json.dumps(
+    payload = json.dumps(
             {
                 "metric": "headline_total",
                 # round-1/2-comparable protocol: the FIRST run of each query
@@ -219,8 +218,21 @@ def main() -> None:
                 "warmup_mode": warmup_mode,
                 "sf": sf,
             }
-        )
     )
+    # r15 (VERDICT r14 #5): the driver's capture buffer truncated the r13
+    # one-line JSON (~4 KB and growing with the extended tier), losing the
+    # whole round-over-round table. Mirror the line to a file next to this
+    # script so the comparison survives tail truncation; stdout contract
+    # unchanged (same single JSON line, printed last).
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LAST.json"),
+            "w",
+        ) as fh:
+            fh.write(payload + "\n")
+    except OSError:
+        pass  # read-only checkout: stdout still carries the line
+    print(payload)
 
 
 if __name__ == "__main__":

@@ -181,14 +181,24 @@ def _assign_arrow_udf(centroids: list[list[float]], cids: list[int] | None = Non
     structs. Pinned empirically per-row (cluster AND bit-level dist) and
     on whole training trajectories in tests/test_llmops_algos.py.
 
-    Null or wrong-width vectors yield a NULL (cluster, dist) struct — the
-    same rows the JVM fold cannot rank either; the fixtures carry none and
-    the pins run on the full fixture.
+    Null or wrong-width vectors reproduce the JVM fold's ranking (r15,
+    ADVICE r14): the fold's zip_with pads width mismatches with NULLs, so
+    every distance is NULL and ``array_min`` over (dist, cid) structs
+    sorts NULL dist first — the row assigns to the LOWEST cid with a NULL
+    dist. The kernel emits exactly that (cluster = lowest cid, dist NULL),
+    pinned on explicit null/ragged rows in
+    test_assign_arrow_kernel_bit_exact_vs_jvm. (The literal-matrix JVM
+    fold differs on SHORTER-than-dim vectors — it folds the available
+    elements — but its callers feed uniform-width corpora by
+    construction.) The ``pow(x, 2.0) == x*x`` identity above is a
+    JVM/libm assumption (fdlibm special-cases y==2; Math.pow is only
+    guaranteed within 1 ulp), so the parity pin is empirical per
+    host/JVM — ADVICE r14.
     """
     import numpy as np
     from pyspark.sql.types import (
         DoubleType,
-        IntegerType,
+        LongType,
         StructField,
         StructType,
     )
@@ -200,7 +210,9 @@ def _assign_arrow_udf(centroids: list[list[float]], cids: list[int] | None = Non
     @F.pandas_udf(
         StructType(
             [
-                StructField("cluster", IntegerType()),
+                # LongType (r15, ADVICE r14): a bigint cid must not overflow
+                # inside the batch; callers cast back to their cid type
+                StructField("cluster", LongType()),
                 StructField("dist", DoubleType()),
             ]
         )
@@ -208,7 +220,9 @@ def _assign_arrow_udf(centroids: list[list[float]], cids: list[int] | None = Non
     def _assign(vec: pd.Series) -> pd.DataFrame:
         vals = vec.to_numpy()
         ok = np.array([v is not None and len(v) == dim for v in vals], dtype=bool)
-        cl = np.full(len(vals), None, dtype=object)
+        # unrankable rows (null / wrong width): the JVM fold ranks them
+        # (NULL dist sorts first) as (lowest cid, NULL dist) — reproduce it
+        cl = np.full(len(vals), ids[0] if k else None, dtype=object)
         dist = np.full(len(vals), None, dtype=object)
         if ok.any():
             X = np.stack(vals[ok]).astype(np.float64)
@@ -409,7 +423,9 @@ def _assign_literal_centroids(
         udf = _assign_arrow_udf(centroids)
         return (
             pts.withColumn("_a", udf(F.col("_pv")))
-            .withColumn("_cluster", F.col("_a.cluster"))
+            # cast back to int: centroid indexes are 0..k-1 (the UDF's
+            # cluster field widened to long for arbitrary cids — r15)
+            .withColumn("_cluster", F.col("_a.cluster").cast("int"))
             .drop("_a")
         )
     k = len(centroids)
@@ -597,9 +613,16 @@ def kmeans_train_portable(
     first = pts.orderBy("_pid").limit(k).collect()
     centroids = [[float(x) for x in r["_pv"]] for r in first]
     dim = len(centroids[0])
-    budget_rows = max(k, driver_cells // max(dim, 1))
-    head = pts.select("_pv").limit(budget_rows + 1).toPandas()
-    if len(head) <= budget_rows:
+    # no k floor (r15, ADVICE r14): driver_cells <= 0 must disable the
+    # driver venue for ANY corpus (the escape hatch the venue-parity tests
+    # use), so the probe is skipped outright rather than floored at k rows
+    budget_rows = driver_cells // max(dim, 1)
+    head = (
+        pts.select("_pv").limit(budget_rows + 1).toPandas()
+        if driver_cells > 0
+        else None
+    )
+    if head is not None and len(head) <= budget_rows:
         import numpy as np
 
         vals = head["_pv"].to_numpy()

@@ -43,55 +43,34 @@ for _optional in (
 # Driver-window curation. The correctness driver verifies the FIRST 50
 # registered queries (in dict insertion order). Rounds 1-4 proved the
 # full surface (every registered query has >=1 driver row); round 5
-# started the standing staleness rotation. Round 14 (this list; entering
-# cert histogram r13:50/r12:48/r11:47/r10:28 — the r13 row counts the
-# four hash-red pl_product_warehouse family rows, which re-cert below
-# under the touched-oracle rule anyway):
-# per the r13 VERDICT brief #2, the window LEADS with the 28 r10-latest
-# certs at age 4, in the judge's order (the rotation tripwire named
-# exactly these). Then the touched-code re-certs for brief #1: the two
-# HUGEINT casts added to the shared oracle fragment _PW_BASE_CTES /
-# _PW_FACE_CATEGORY (pipelines_queries.py — judge-verified bit-exact)
-# touch pl_product_warehouse + the three hash-red faces, and the two
-# green faces (_bands/_pairs) ride along once more so the whole family
-# certifies together on the fixed oracle. Then the same-round touched
-# re-cert sim_pq_adc_topk (arrow-kernel switch) and oracle promotion
-# sim_cosine_topk_arrow (see their inline comments), and 14 of the 47
-# r11-latest certs (age 3), chosen from the queries whose ONLY standing
-# signal is the local parity pin.
-# The 33 deferred r11-latest certs (age 4 at r15 — they MUST lead the
-# r15 window; the tripwire test will name them at round close, by
-# design) all carry standing per-round machine signal while they wait.
-# Since r14 EVERY oracle-backed query carries a type-strict local pin
-# every pytest run: tests/test_oracle_parity.py runs the full registry
-# against DuckDB at sf0.001 under the driver-strength canon
+# started the standing staleness rotation. Round 15 (this list; entering
+# cert histogram r14:50/r13:50/r12:48/r11:33-deferred):
+# per the standing doctrine the window LEADS with the 33 r11-latest
+# certs at age 4 — exactly the names the rotation tripwire
+# (tests/test_plans.py::test_window_rotation_keeps_cert_ages_bounded)
+# printed at r15 open, in its (sorted) order. Then the touched-code
+# re-certs for this optimization round:
+# - the 8 classifier-family queries whose trainer gained the r15 driver
+#   GD venue (llmops/classifier.py::train_linear_scorer — bit-identical
+#   by construction, but touched Spark fn => driver re-cert);
+# - the 4 oracle-backed carriers of the clustering kernels touched by
+#   the r15 null-parity/LongType/budget-floor fixes (ADVICE r14):
+#   dd_semantic_dedup, sim_ivf_topk, sim_ivf_recall (assign_to_seeds
+#   arrow kernel) and ml_kmeans_train (kmeans_train_portable probe).
+# The remaining 5 slots take the oldest parked certs (r12-latest,
+# age 3): a12_price_band_performance, a17_percentiles, a18_argmax,
+# a19_collect_sorted, a1_daily_sales.
+# Every parked query is backstopped per round by the type-strict local
+# parity pin: since r14 tests/test_oracle_parity.py runs the full
+# registry against DuckDB at sf0.001 under the driver-strength canon
 # (tests/oracle.py — bit-exact float hex, no int collapse, per-column
-# dtype-class assertion; the r13 HUGEINT class can no longer hide).
-# On top of that, verified per-file this round by grep:
-# - plan-gated in tests/test_plans.py: a3_discount_effectiveness,
-#   j10_range_band_join, j11_bloom_pruned_join, j2_customer_geo_broadcast,
-#   j6_semi_cascade, j8_customers_without_orders,
-#   n3_build_explode_roundtrip, o1_global_topk, u4_unpivot,
-#   w9_sliding_window
-# - bench.py extended tier AND banded in scripts/bench_sf1.py
-#   GROWTH_BASELINE: dd_exact_dedup, dd_jaccard_df_capped,
-#   j4_pair_names_lookup (also tests/test_oracle_parity.py wide-domain
-#   venue test), n2_hof_array_aggregate (also plan-gated),
-#   sim_cosine_topk, sim_mmr_diversify, txt_quality_scores
-# - strict parity pin only (the new universal gate): a11_brand_price_stats,
-#   a13_type_value_counts, a15_event_time_range, a16_rollup_hierarchy,
-#   dd_segment_dup_ratio, n6_variant_metadata, p6_null_defaults,
-#   sc_currency_roundtrip, sm2_exact_n_sample, sm3_ri_cascade_sample,
-#   txt_sequence_packing, u3_except_keys, w10_scd2_intervals,
-#   w6_event_gaps, w5_cumulative_daily_sales (displaced by the
-#   sim_pq_adc_topk touched-code re-cert), u2_intersect_keys
-#   (displaced by the sim_cosine_topk_arrow oracle promotion)
-# Honest steady-state arithmetic: 173 oracle-backed queries vs 50
-# slots/round, of which new-query promotions and touched-code re-certs
-# also claim slots (6 this round) — so the staleness tail runs at age
-# <= 4, not <= 3, whenever a round spends slots on new work; the
-# deferral choice above always parks the excess on machine-gated
-# queries, and the strict parity pin now backstops every parked query.
+# dtype-class assertion).
+# Honest steady-state arithmetic: 174 oracle-backed queries vs 50
+# slots/round, of which touched-code re-certs also claim slots (12 this
+# round) — so the staleness tail runs at age <= 4 whenever a round
+# spends slots on touched work; the deferral always parks the excess on
+# machine-gated queries, and the strict parity pin backstops every
+# parked query.
 # RULE (caught by the r4 self-review): any NEW query
 # registered in a future round MUST be added to this list (or queued
 # with a comment) or it silently gets no driver row.
@@ -99,8 +78,8 @@ for _optional in (
 # are ROWS-ONLY (trained-quantizer index builds, no single-statement SQL
 # replay — the sk_hll precedent) and are pytest-pinned in
 # tests/test_similarity_recall.py; the seeds-only ADC leg is oracle-
-# backed as sim_pq_adc_topk (certified r13). Rows-only queries carry no
-# oracle cert to age, so they take no window slot.
+# backed as sim_pq_adc_topk (certified r13, re-certified r14). Rows-only
+# queries carry no oracle cert to age, so they take no window slot.
 # Names listed here but not (yet) registered are skipped harmlessly;
 # everything not listed keeps its original relative order after the
 # curated block.
@@ -108,78 +87,65 @@ for _optional in (
 # exactly 50 registered, duplicate-free names — no overflow entries.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW = [
-    # -- the 28 r10-latest certs at age 4 (r13 VERDICT brief #2 — they
-    # lead, in the judge's order)
+    # -- the 33 r11-latest certs at age 4 (the rotation tripwire named
+    # exactly these at r15 open — they lead, in its order)
+    "a11_brand_price_stats",
+    "a13_type_value_counts",
+    "a15_event_time_range",
+    "a16_rollup_hierarchy",
+    "a3_discount_effectiveness",
+    "dd_exact_dedup",
+    "dd_jaccard_df_capped",
+    "dd_segment_dup_ratio",
+    "j10_range_band_join",
+    "j11_bloom_pruned_join",
+    "j2_customer_geo_broadcast",
+    "j4_pair_names_lookup",
+    "j6_semi_cascade",
+    "j8_customers_without_orders",
+    "n2_hof_array_aggregate",
+    "n3_build_explode_roundtrip",
+    "n6_variant_metadata",
+    "o1_global_topk",
+    "p6_null_defaults",
+    "sc_currency_roundtrip",
+    "sim_cosine_topk",
+    "sim_mmr_diversify",
+    "sm2_exact_n_sample",
+    "sm3_ri_cascade_sample",
+    "txt_quality_scores",
+    "txt_sequence_packing",
+    "u2_intersect_keys",
+    "u3_except_keys",
+    "u4_unpivot",
+    "w10_scd2_intervals",
+    "w5_cumulative_daily_sales",
+    "w6_event_gaps",
+    "w9_sliding_window",
+    # -- touched-code re-certs: the r15 driver GD venue
+    # (classifier.train_linear_scorer) feeds all eight; bit-identical by
+    # construction and locally re-verified, but touched Spark fn =>
+    # driver re-cert
+    "ml_logreg_train",
+    "ml_logreg_train_d64",
+    "ml_logreg_eval",
+    "ml_logreg_calibration",
+    "ml_logreg_holdout",
+    "ml_logreg_holdout_d64",
     "dd_curation_classifier",
     "dd_curation_classifier_ppjoin",
-    "dd_curation_minhash",
-    "dd_curation_pipeline",
-    "dd_curation_ppjoin",
-    "g1_pagerank_copurchase",
-    "ml_kmeans_step",
-    "ml_logreg_calibration",
-    "mm_frame_sample",
-    "mm_png_decode",
-    "n4_pair_expansion_hof",
-    "sc_market_position",
-    "sim_rp_rerank",
-    "sim_rp_topk",
-    "sk_cms_token_counts",
-    "sm5_stratified_sample",
-    "sm6_mixture_sample",
-    "sm7_temperature_mixture",
-    "sm8_weighted_sample",
-    "sm10_epoch_shuffle",
-    "sm9_importance_resample",
-    "txt_bm25_topk",
-    "txt_perplexity_prune",
-    "txt_repetition_battery",
-    "txt_shard_manifest",
-    "u6_snapshot_diff",
-    "w14_last_touch_attribution",
-    "dd_span_excision",
-    # -- touched-oracle re-certs (r13 brief #1: the two judge-verified
-    # BIGINT casts in the shared pl_product_warehouse oracle fragments;
-    # the whole family re-certifies together on the fixed oracle)
-    "pl_product_warehouse",
-    "pl_pw_face_sales",
-    "pl_pw_face_category",
-    "pl_pw_face_top",
-    "pl_pw_face_bands",
-    "pl_pw_face_pairs",
-    # -- same-round touched-code re-cert: sim_pq_adc_topk (r13 cert,
-    # age 1) switched from the interpreted JVM encode fold to the
-    # production arrow kernel after r14 made the kernels bit-identical
-    # by construction (sequential accumulation; triple-pinned vs the
-    # raw DuckDB replay) — touched Spark fn => driver re-cert, claiming
-    # the slot w5_cumulative_daily_sales held (w5 stays r11-latest and
-    # joins the r15 leads)
-    "sim_pq_adc_topk",
-    # -- same-round oracle promotion: sim_cosine_topk_arrow left the
-    # rows-only tail (tail 7 -> 6) when the r14 sequential-fold cosine
-    # kernel made the Arrow face bit-identical to its oracle-backed JVM
-    # twin (verbatim-twin oracle, drift-pinned); its only driver rows
-    # are r3-era rows-only, so as a NEW oracle-backed query it must be
-    # windowed now or the staleness tripwire fires — claims the
-    # u2_intersect_keys slot (u2 joins the r15 leads)
-    "sim_cosine_topk_arrow",
-    # -- 14 of the 47 round-11-latest certs (age 3 -> re-certed), drawn
-    # from the parity-pin-only set; the 33 deferred are listed in the
-    # header comment with their verified standing gates
-    "a2_priority_analysis",
-    "a5_nation_stats",
-    "a6_user_behavior",
-    "a7_returnflag_performance",
-    "a14_table_profile",
-    "dd_dup_clusters",
-    "dd_source_overlap",
-    "j3_parts_with_sales",
-    "ml_logreg_eval",
-    "n5_to_json_render",
-    "o3_year_histogram",
-    "p1_projection_filter",
-    "sim_lsh_topk",
-    "sm1_seeded_sample",
+    # -- touched-code re-certs: the r15 clustering-kernel fixes (arrow
+    # null-parity, LongType cluster field, kmeans probe budget floor)
+    "dd_semantic_dedup",
+    "sim_ivf_topk",
+    "sim_ivf_recall",
+    "ml_kmeans_train",
+    # -- the 5 oldest parked certs (r12-latest, age 3) fill the window
+    "a12_price_band_performance",
+    "a17_percentiles",
+    "a18_argmax",
+    "a19_collect_sorted",
+    "a1_daily_sales",
 ]
 
 

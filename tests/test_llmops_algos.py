@@ -610,6 +610,29 @@ def test_assign_arrow_kernel_bit_exact_vs_jvm(spark, sf_dir):
     assert ej.count() == 0 and ea.count() == 0
     assert ej.schema.simpleString() == ea.schema.simpleString()
 
+    # null / ragged vectors (r15, ADVICE r14): the JVM fold ranks
+    # unrankable rows — zip_with NULL-pads, every dist is NULL, array_min
+    # sorts NULL dist first — as (LOWEST cid, NULL dist); the arrow kernel
+    # must reproduce exactly that, not drop the row to NULL/NULL
+    weird = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, None), (3, [1.0]), (4, [1.0, 2.0, 3.0])],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    wseeds = spark.createDataFrame(
+        [(7, [0.0, 0.0]), (3, [2.0, 2.0])], "cid INT, cvec ARRAY<DOUBLE>"
+    )
+    wj = {
+        r.id: (r.cluster, r.dist)
+        for r in assign_to_seeds(weird, wseeds, kernel="jvm").collect()
+    }
+    wa = {
+        r.id: (r.cluster, r.dist)
+        for r in assign_to_seeds(weird, wseeds, kernel="arrow").collect()
+    }
+    assert wj == wa
+    for bad_id in (2, 3, 4):
+        assert wj[bad_id] == (3, None)  # lowest cid, NULL dist
+
 
 def test_kmeans_portable_trajectory_identical_across_kernels(spark, sf_dir):
     """r14 optimization pin: kmeans_train_portable produces the IDENTICAL
